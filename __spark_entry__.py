@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_golang_spark.operators import wordcount
+from mapreduce_golang_spark.operators import parity, wordcount
 from mapreduce_golang_spark.sources.tables import load_table
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -44,10 +44,25 @@ def _top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount.top_k_words(load_table(spark, sf_dir, "documents"), k=20, text_col="text")
 
 
+def _indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parity.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def _file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parity.file_counts(load_table(spark, sf_dir, "documents"), file_col="source")
+
+
+def _crash_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parity.crash_data(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wc": _wc,
         "top_k_words": _top_k_words,
+        "indexer": _indexer,
+        "file_counts": _file_counts,
+        "crash_data": _crash_data,
     }
 
 
@@ -74,6 +89,41 @@ _ORACLES: dict[str, str] = {
         GROUP BY word
         ORDER BY cnt DESC, word ASC
         LIMIT 20
+    """,
+    "indexer": r"""
+        WITH pairs AS (
+            SELECT DISTINCT doc, word
+            FROM (
+                SELECT source || '/' || CAST(doc_id AS VARCHAR) AS doc,
+                       unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+        )
+        SELECT word,
+               COUNT(*) AS n_docs,
+               string_agg(doc, ',' ORDER BY doc) AS docs
+        FROM pairs
+        GROUP BY word
+    """,
+    "file_counts": """
+        SELECT source AS filename, COUNT(*) AS cnt
+        FROM documents
+        GROUP BY source
+    """,
+    "crash_data": """
+        WITH kv AS (
+            SELECT 'a' AS key, source || '/' || CAST(doc_id AS VARCHAR) AS value FROM documents
+            UNION ALL
+            SELECT 'b', CAST(length(source || '/' || CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'd', 'xyzzy' FROM documents
+        )
+        SELECT key, string_agg(value, ' ' ORDER BY value) AS value
+        FROM kv
+        GROUP BY key
     """,
 }
 
