@@ -18,8 +18,38 @@ at small SF *and* sanity at cluster scale:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Python functions defined in our modules (mrapps, pandas UDFs)
+    cloudpickle *by reference* — executors must be able to import
+    ``mapreduce_golang_spark`` or every RDD/pandas-UDF task dies with
+    ModuleNotFoundError whenever the driver wasn't launched from the
+    repo root. addPyFile is the same mechanism ``--py-files`` uses on
+    a real cluster, so this is the deployment story at scale too.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    archive = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mapreduce_golang_spark_pkg"),
+        "zip",
+        root_dir=root,
+        base_dir="mapreduce_golang_spark",
+    )
+    sc.addPyFile(archive)
+    _SHIPPED_CONTEXTS.add(key)
 
 
 def _default_master() -> str:
@@ -46,6 +76,7 @@ def get_spark(app_name: str = "mapreduce-golang-spark", master: str | None = Non
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        ensure_package_shipped(active)
         return active
 
     builder = (
@@ -62,4 +93,6 @@ def get_spark(app_name: str = "mapreduce-golang-spark", master: str | None = Non
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark
