@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_golang_spark.operators import parity, wordcount
+from mapreduce_golang_spark.operators import joins, parity, windows, wordcount
 from mapreduce_golang_spark.sources.tables import load_table
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -56,6 +56,85 @@ def _crash_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity.crash_data(load_table(spark, sf_dir, "documents"))
 
 
+# --- star-schema joins -----------------------------------------------------
+
+
+def _q1(spark, sf_dir):
+    return joins.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q3(spark, sf_dir):
+    return joins.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q5(spark, sf_dir):
+    return joins.q5_local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _top_customers(spark, sf_dir):
+    return joins.top_customers_by_revenue(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _semi(spark, sf_dir):
+    return joins.orders_with_lineitems_semi(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _anti(spark, sf_dir):
+    return joins.customers_without_orders_anti(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _rank_in_nation(spark, sf_dir):
+    return joins.revenue_rank_in_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+# --- event-time / window analytics ----------------------------------------
+
+
+def _hourly(spark, sf_dir):
+    return windows.hourly_event_counts(load_table(spark, sf_dir, "events"))
+
+
+def _sessionize(spark, sf_dir):
+    return windows.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def _top_users(spark, sf_dir):
+    return windows.top_users_per_event_type(load_table(spark, sf_dir, "events"))
+
+
+def _rolling(spark, sf_dir):
+    return windows.rolling_user_value(load_table(spark, sf_dir, "events"))
+
+
+def _props(spark, sf_dir):
+    return windows.props_key_stats(load_table(spark, sf_dir, "events"))
+
+
+def _cube(spark, sf_dir):
+    return windows.event_type_share_cube(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wc": _wc,
@@ -63,6 +142,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexer": _indexer,
         "file_counts": _file_counts,
         "crash_data": _crash_data,
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier_volume": _q5,
+        "top_customers": _top_customers,
+        "orders_semi_join": _semi,
+        "customers_anti_join": _anti,
+        "revenue_rank_in_nation": _rank_in_nation,
+        "hourly_event_counts": _hourly,
+        "sessionize": _sessionize,
+        "top_users_per_event_type": _top_users,
+        "rolling_user_value": _rolling,
+        "props_key_stats": _props,
+        "event_type_cube": _cube,
     }
 
 
@@ -124,6 +216,160 @@ _ORACLES: dict[str, str] = {
         SELECT key, string_agg(value, ' ' ORDER BY value) AS value
         FROM kv
         GROUP BY key
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        WITH rev AS (
+            SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+        )
+        SELECT o_orderkey,
+               round(rev, 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN rev ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "top_customers": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, total_spent, n_orders
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "orders_semi_join": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45.0)
+        GROUP BY o_orderpriority
+    """,
+    "customers_anti_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "revenue_rank_in_nation": """
+        WITH per_cust AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT n_name, c_custkey, c_name, revenue,
+                   row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rnk
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, c_custkey, c_name, revenue, rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    "hourly_event_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_secs
+        FROM s
+        GROUP BY user_id, session_seq
+    """,
+    "top_users_per_event_type": """
+        WITH per_user AS (
+            SELECT event_type, user_id, round(sum(value), 6) AS total_value
+            FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+            SELECT event_type, user_id, total_value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY total_value DESC, user_id ASC) AS rnk
+            FROM per_user
+        )
+        SELECT event_type, user_id, total_value, rnk FROM ranked WHERE rnk <= 5
+    """,
+    "rolling_user_value": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   AS rolling_avg_value
+        FROM events
+    """,
+    "props_key_stats": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 6) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        WHERE k IS NOT NULL
+        GROUP BY event_type
+    """,
+    "event_type_cube": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(hod, -1) AS hod,
+               count(*) AS n
+        FROM (SELECT event_type, hour(ts) AS hod FROM events)
+        GROUP BY CUBE (event_type, hod)
     """,
 }
 

@@ -9,6 +9,7 @@ for free. Whole-text-file ingestion lives in ``sources.text``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Every table the driver generates under /root/testdata/sf*/ .
 TABLES = (
@@ -30,8 +31,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet scan → pushdown/pruning apply."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one fixture table. Parquet scan → pushdown/pruning apply.
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]); read it as
+    raw int64 nanos and integer-divide to microseconds — the same
+    ns→us truncation DuckDB applies, so oracle comparisons agree.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

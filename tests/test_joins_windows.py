@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+import pytest
+from tests.oracle import assert_matches_oracle
+
+JOIN_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers",
+    "orders_semi_join",
+    "customers_anti_join",
+    "revenue_rank_in_nation",
+]
+
+WINDOW_QUERIES = [
+    "hourly_event_counts",
+    "sessionize",
+    "top_users_per_event_type",
+    "rolling_user_value",
+    "props_key_stats",
+    "event_type_cube",
+]
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES + WINDOW_QUERIES)
+def test_matches_oracle(spark, sf_dir, name):
+    # anti-join may legitimately return 0 rows; everything else must not.
+    n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
+    if name != "customers_anti_join":
+        assert n > 0
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    # The dims must reach the plan as broadcast joins — a shuffled dim
+    # join at 100 TB would exchange the fact table needlessly.
+    plan = entrymod.queries()["q5_local_supplier_volume"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_pushes_filter_to_scan(spark, sf_dir):
+    plan = entrymod.queries()["q1_pricing_summary"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
