@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_golang_spark.operators import joins, parity, windows, wordcount
+from mapreduce_golang_spark.operators import joins, parity, text_analysis, windows, wordcount
 from mapreduce_golang_spark.sources.tables import load_table
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -135,6 +135,25 @@ def _cube(spark, sf_dir):
     return windows.event_type_share_cube(load_table(spark, sf_dir, "events"))
 
 
+# --- text analysis ---------------------------------------------------------
+
+
+def _lang_id(spark, sf_dir):
+    return text_analysis.lang_id(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _text_quality(spark, sf_dir):
+    return text_analysis.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _token_stats(spark, sf_dir):
+    return text_analysis.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprints(spark, sf_dir):
+    return text_analysis.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wc": _wc,
@@ -155,6 +174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": _rolling,
         "props_key_stats": _props,
         "event_type_cube": _cube,
+        "lang_id": _lang_id,
+        "text_quality": _text_quality,
+        "token_stats": _token_stats,
+        "doc_fingerprints": _fingerprints,
     }
 
 
@@ -372,6 +395,109 @@ _ORACLES: dict[str, str] = {
         GROUP BY CUBE (event_type, hod)
     """,
 }
+
+
+def _lexicon_values() -> str:
+    from mapreduce_golang_spark.operators.text_analysis import LANG_LEXICONS
+
+    rows = [f"('{lang}', '{w}')" for lang, ws in LANG_LEXICONS.items() for w in ws]
+    return ", ".join(rows)
+
+
+def _stopword_list() -> str:
+    from mapreduce_golang_spark.operators.text_analysis import QUALITY_STOPWORDS
+
+    return ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+
+
+_ORACLES["lang_id"] = rf"""
+    WITH lex(lex_lang, lex_word) AS (VALUES {_lexicon_values()}),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{{L}}]+')) AS word
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lex_lang, count(*) AS score
+        FROM toks JOIN lex ON word = lex_word
+        WHERE word <> ''
+        GROUP BY doc_id, lex_lang
+    ),
+    best AS (
+        SELECT doc_id, lex_lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lex_lang ASC) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(b.lex_lang, 'unknown') AS predicted_lang,
+           CAST(coalesce(b.score, 0) AS BIGINT) AS score
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+_ORACLES["text_quality"] = rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                               x -> x IN ({_stopword_list()}))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS punct_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+               length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS letter_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars > 0 THEN CAST(digit_chars AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens > 0 THEN CAST(letter_chars AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           round(0.4 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                 + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM feats
+"""
+
+_ORACLES["token_stats"] = r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS n_word_tokens,
+           CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''))) AS BIGINT) AS n_distinct_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+
+_ORACLES["doc_fingerprints"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) - 1 AS pos
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, md5(shingle) AS h
+        FROM shingled WHERE shingle IS NOT NULL
+    ),
+    rolled AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               max(pos) OVER (PARTITION BY doc_id) AS max_pos
+        FROM hashed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM rolled WHERE pos <= max_pos - 3
+    )
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

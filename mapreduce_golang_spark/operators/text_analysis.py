@@ -1,0 +1,160 @@
+"""Text-analysis operator pack over `documents` (extension surface —
+generalizes the reference's text workloads W1/W3, SURVEY.md §2.4; a
+core LLM-data-pipeline stage).
+
+Every operator is pure `pyspark.sql.functions` — no Python UDFs — so
+the hot path stays inside whole-stage codegen and scales linearly
+with a parquet scan. Ratios/scores are computed with the same integer
+inputs and double divisions as the DuckDB oracles, then rounded
+in-query for stable differential hashes.
+
+Scale notes:
+- lang_id joins an exploded token stream against a ~50-row lexicon:
+  broadcast join, then per-(doc,lang) counts collapse before the
+  argmax window. The exchange carries ≤ n_langs rows per doc.
+- fingerprints is the winnowing scheme (Schleimer et al., SIGMOD'03):
+  per-doc windows only — one exchange on doc_id, no cross-doc state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: Shared with the DuckDB oracle (oracle built from this constant).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "it", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por", "para", "como"),
+    "zh": ("de", "shi", "bu", "wo", "zai", "you", "le", "ren"),
+}
+
+#: Stopword set for the quality score (English-biased by design — the
+#: score measures "looks like prose", not language correctness).
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _clean_tokens(text_col):
+    return F.array_remove(F.split(text_col, LETTERS_ONLY_RE), "")
+
+
+def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of lexicon-marker hits per doc.
+
+    Returns (doc_id, predicted_lang, score); docs with zero marker
+    hits get ('unknown', 0). Deterministic tie-break: score desc,
+    lang asc.
+    """
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_LEXICONS.items() for w in ws], ["lex_lang", "lex_word"]
+    )
+    toks = df.select("doc_id", F.explode(_clean_tokens(F.lower(F.col("text")))).alias("word"))
+    scores = (
+        toks.join(F.broadcast(lex), toks.word == lex.lex_word)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lex_lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        df.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lex_lang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
+def text_quality(df: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    punct/digit ratios via length-difference (identical semantics in
+    Spark and DuckDB); stopword ratio over letters-only tokens;
+    composite = 0.4*stopword + 0.3*(1-punct) + 0.3*min(n_tokens/100,1).
+    """
+    text = F.col("text")
+    toks = _clean_tokens(F.lower(text))
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    # per-occurrence stopword count (array_intersect would dedupe)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    punct_chars = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    digit_chars = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    letter_chars = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit_chars / n_chars).otherwise(F.lit(0.0))
+    avg_token_len = F.when(n_tokens > 0, letter_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        0.4 * stopword_ratio
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens, letters-only tokens,
+    distinct letters-only tokens, BPE-ish pre-tokens."""
+    text = F.col("text")
+    ws = F.array_remove(F.split(text, r"\s+"), "")
+    word = _clean_tokens(text)
+    return df.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(word).cast("long").alias("n_word_tokens"),
+        F.size(F.array_distinct(word)).cast("long").alias("n_distinct_words"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash scheme).
+
+    k-word shingles → md5 → min-hash over each sliding window of
+    ``window`` consecutive shingles → distinct mins are the doc's
+    fingerprints. Returns (doc_id, n_fingerprints, min_fp, max_fp).
+    Window state is per-doc (partitionBy doc_id) — scales to any
+    corpus size; doc length bounds the per-partition sort.
+    """
+    toks = df.select("doc_id", F.posexplode(_clean_tokens(F.col("text"))).alias("pos", "tok"))
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(" ", "tok", F.lead("tok", 1).over(by_doc), F.lead("tok", 2).over(by_doc))
+    shingles = (
+        toks.withColumn("shingle", shingle)
+        .where(F.size(F.split(F.col("shingle"), " ")) == k)  # drop ragged tail shingles
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
+    roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    cnt = Window.partitionBy("doc_id")
+    mins = (
+        shingles.withColumn("max_pos", F.max("pos").over(cnt))
+        .withColumn("fp", F.min("h").over(roll))
+        .where(F.col("pos") <= F.col("max_pos") - (window - 1))  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

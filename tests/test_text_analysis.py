@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+import pytest
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["lang_id", "text_quality", "token_stats", "doc_fingerprints"])
+def test_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
+    assert n > 0
+
+
+def test_lang_id_unknown_for_empty(spark):
+    from mapreduce_golang_spark.operators.text_analysis import lang_id
+
+    df = spark.createDataFrame([(1, "zz qq xx"), (2, "the the and of is")], ["doc_id", "text"])
+    rows = {r.doc_id: (r.predicted_lang, r.score) for r in lang_id(spark, df).collect()}
+    assert rows[1] == ("unknown", 0)
+    assert rows[2][0] == "en"
+
+
+def test_fingerprints_detect_shared_text(spark):
+    from mapreduce_golang_spark.operators.text_analysis import doc_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now ok yes no maybe")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.n_fingerprints, r.min_fp, r.max_fp) for r in doc_fingerprints(df).collect()}
+    # identical docs → identical fingerprint sets; different doc differs
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
