@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_golang_spark.operators import joins, parity, text_analysis, windows, wordcount
+from mapreduce_golang_spark.operators import dedup, joins, parity, text_analysis, windows, wordcount
 from mapreduce_golang_spark.sources.tables import load_table
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -154,6 +154,33 @@ def _fingerprints(spark, sf_dir):
     return text_analysis.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# --- dedup -----------------------------------------------------------------
+
+
+def _exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash(spark, sf_dir):
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _embedding_pairs(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wc": _wc,
@@ -178,6 +205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "token_stats": _token_stats,
         "doc_fingerprints": _fingerprints,
+        "exact_dedup": _exact_dedup,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_lsh_pairs": _minhash_lsh,
+        "simhash": _simhash,
+        "simhash_pairs": _simhash_pairs,
+        "embedding_cosine_pairs": _embedding_pairs,
     }
 
 
@@ -466,6 +499,135 @@ _ORACLES["token_stats"] = r"""
            CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''))) AS BIGINT) AS n_distinct_words,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
     FROM documents
+"""
+
+# Shared CTE: distinct 3-word shingles per doc (letters-only tokens).
+# DuckDB's `||` propagates NULL at ragged tails, so the WHERE drops
+# incomplete shingles — same effect as Spark's size==k filter.
+_SHINGLES_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) AS pos
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, pos,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shn AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shn x ON x.doc_id = c.doc_a
+        JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+_ORACLES["exact_dedup"] = """
+    SELECT md5(lower(trim(text))) AS norm_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""
+
+_ORACLES["ngram_jaccard_pairs"] = f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+"""
+
+_ORACLES["minhash_lsh_pairs"] = f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(12)) AS seed),
+    mh AS (
+        SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS mh
+        FROM shn CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+"""
+
+_SIMHASH_CTE = r"""
+    tok_counts AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok
+            FROM documents
+        )
+        GROUP BY doc_id, tok
+    ),
+    bits AS (SELECT unnest(range(16)) AS i),
+    contrib AS (
+        SELECT doc_id, i,
+               sum(cnt * CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END) AS s
+        FROM tok_counts CROSS JOIN bits
+        GROUP BY doc_id, i
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id
+    )
+"""
+
+_ORACLES["simhash"] = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh
+"""
+
+_ORACLES["simhash_pairs"] = f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+_ORACLES["embedding_cosine_pairs"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.emb AS ea, b.emb AS eb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    terms AS (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM p),
+    sums AS (
+        SELECT va, vb, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        FROM terms GROUP BY va, vb
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM sums
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
 """
 
 _ORACLES["doc_fingerprints"] = r"""

@@ -1,0 +1,290 @@
+"""Deduplication operator pack (extension surface, SURVEY.md §2.4) —
+the core LLM-training-data pipeline stage: exact dedup, n-gram
+Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+
+All hash functions are md5-based string math so the DuckDB oracles
+compute bit-identical values — no engine-specific hash() anywhere.
+
+Scale design (100 TB):
+- exact_dedup: one hash-aggregate; partial agg collapses duplicates
+  map-side. The cheapest pass — always run it first.
+- ngram_jaccard_pairs: inverted-index join on shingles. The blow-up
+  risk is hot shingles (boilerplate); ``max_doc_freq`` drops shingles
+  appearing in more than N docs before the join — the standard
+  stopword-shingle guard. Quadratic only within a shingle's posting
+  list, never globally.
+- minhash_lsh_pairs: the scale path — candidates come from equality
+  joins on (band, band_signature); only candidates get exact-Jaccard
+  verification. Shuffle volume ∝ docs × n_hashes, not docs².
+- simhash: 16-bit signatures via per-(doc,bit) aggregation; near-dup
+  candidates from 4-bit band equality (pigeonhole-lossless for
+  hamming ≤ 3), then exact hamming verify.
+- embedding_cosine_pairs: brute-force is O(n²) BY DESIGN here as the
+  correctness baseline over the bounded `embeddings` fixture; the
+  scale path is operators/similarity.py (bucketed ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: (norm_hash, keep_doc_id, n_copies).
+
+    Keep-policy: smallest id survives (deterministic). Normalization:
+    lower + trim — extend in one place if the corpus needs more.
+    """
+    return (
+        df.groupBy(F.md5(F.lower(F.trim(F.col(text_col)))).alias("norm_hash"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-word shingles per doc: (doc_id, shingle)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    shingle = F.concat_ws(" ", *leads)
+    return (
+        toks.withColumn("shingle", shingle)
+        .where(F.size(F.split(F.col("shingle"), " ")) == k)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _jaccard_for_pairs(cand: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for given candidate (doc_a, doc_b) pairs only."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard_raw"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by k-word-shingle Jaccard ≥ threshold.
+
+    Candidates come from the shingle inverted index (docs sharing ≥1
+    shingle); ``max_doc_freq`` caps posting-list length to bound the
+    join blow-up on boilerplate shingles at scale.
+    """
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    posting = shingles
+    if max_doc_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        posting = shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    j = _jaccard_for_pairs(cand, shingles)
+    return j.where(F.col("jaccard_raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup join, exact-verified.
+
+    Signature: per (doc, seed) the min md5("<seed>#<shingle>") string —
+    deterministic, engine-portable. Docs agreeing on any band of
+    ``n_hashes/bands`` consecutive minhashes become candidates; only
+    candidates pay the exact-Jaccard verification. This is the
+    standard sub-quadratic near-dup topology for 100 TB corpora.
+    """
+    r = n_hashes // bands
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    mh = (
+        shingles.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    band_sigs = (
+        mh.withColumn("band", F.expr(f"seed DIV {r}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]),
+                "|",
+            ).alias("sig")
+        )
+    )
+    ba = band_sigs.alias("ba")
+    bb = band_sigs.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    j = _jaccard_for_pairs(cand, shingles)
+    return j.where(F.col("jaccard_raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+#: hex digits whose high bit is set — used as the per-bit hash of a token.
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit weighted SimHash per doc: (doc_id, simhash).
+
+    Bit i of a token = high bit of hex digit i of md5(token) —
+    deterministic and identical in any engine with md5. Weight =
+    token count in the doc. Bit set iff weighted sum ≥ 0.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i")
+    # substr with a column-valued position needs the SQL form (expr).
+    contrib = (
+        toks.select("doc_id", "tok", "cnt", bits)
+        .withColumn(
+            "sgn",
+            F.when(F.expr("substr(md5(tok), i + 1, 1)").isin(*_HI_HEX), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bit_val",
+            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").cast("long").alias("simhash"))
+    )
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Candidates via 4-bit band equality (4 bands over 16 bits): any
+    pair within hamming ≤ 3 shares at least one intact band
+    (pigeonhole), so banding loses nothing while avoiding the global
+    self-join. Verification computes the exact hamming distance.
+    """
+    sh = simhash(df, text_col=text_col, id_col=id_col)
+    n_bands = 4
+    width = SIMHASH_BITS // n_bands  # 4 bits per band
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("band_val", F.expr(f"(simhash DIV CAST(power(2, band * {width}) AS BIGINT)) % {2 ** width}").cast("long"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (doc_a < doc_b).
+
+    Norms are computed once per vector BEFORE the pair join; the dot
+    product is a zip_with/aggregate fold in doubles (JVM higher-order
+    functions, no Python). Brute force O(n²) — the correctness
+    baseline; use operators/similarity.py for the ANN scale path.
+    """
+    emb = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
