@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_golang_spark.operators import dedup, joins, parity, text_analysis, windows, wordcount
+from mapreduce_golang_spark.operators import (
+    dedup,
+    joins,
+    parity,
+    similarity,
+    text_analysis,
+    windows,
+    wordcount,
+)
 from mapreduce_golang_spark.sources.tables import load_table
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -181,6 +189,21 @@ def _embedding_pairs(spark, sf_dir):
     return dedup.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- similarity search -----------------------------------------------------
+
+
+def _ann_brute(spark, sf_dir):
+    return similarity.cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_ivf(spark, sf_dir):
+    return similarity.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wc": _wc,
@@ -211,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "embedding_cosine_pairs": _embedding_pairs,
+        "ann_topk_bruteforce": _ann_brute,
+        "ann_ivf_topk": _ann_ivf,
+        "ann_lsh_topk": _ann_lsh,
     }
 
 
@@ -629,6 +655,90 @@ _ORACLES["embedding_cosine_pairs"] = """
     FROM sums
     WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
 """
+
+# Shared ANN oracle scaffolding: norms + pairwise dot via zipped unnest.
+_ANN_BASE_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e)
+"""
+
+
+def _ann_oracle(candidate_cond: str, extra_cte: str = "", qcols: str = "") -> str:
+    return f"""
+        WITH {_ANN_BASE_CTE}{extra_cte},
+        q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qnrm{qcols}
+              FROM base WHERE vec_id < 10),
+        p AS (
+            SELECT q.query_id, base.vec_id AS neighbor_id, q.qe, base.emb,
+                   q.qnrm, base.nrm
+            FROM base CROSS JOIN q
+            WHERE base.vec_id <> q.query_id AND ({candidate_cond})
+        ),
+        terms AS (
+            SELECT query_id, neighbor_id, qnrm, nrm,
+                   unnest(qe) AS x, unnest(emb) AS y
+            FROM p
+        ),
+        sums AS (
+            SELECT query_id, neighbor_id,
+                   any_value(qnrm) AS qnrm, any_value(nrm) AS nrm,
+                   sum(x * y) AS dot
+            FROM terms GROUP BY query_id, neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(dot / (qnrm * nrm), 6) AS cosine
+            FROM sums
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+def _hyperplane_values() -> str:
+    from mapreduce_golang_spark.operators.similarity import HYPERPLANES
+
+    rows = [
+        f"({p}, {d + 1}, {sgn})"
+        for p, signs in enumerate(HYPERPLANES)
+        for d, sgn in enumerate(signs)
+    ]
+    return ", ".join(rows)
+
+
+_ORACLES["ann_topk_bruteforce"] = _ann_oracle(
+    "TRUE", extra_cte=",\n        base AS (SELECT * FROM n)"
+)
+
+_ORACLES["ann_ivf_topk"] = _ann_oracle(
+    "base.label = q.qlabel",
+    extra_cte=""",
+        base AS (SELECT n.vec_id, n.emb, n.nrm, emb0.label
+                 FROM n JOIN embeddings emb0 ON n.vec_id = emb0.vec_id)""",
+    qcols=", label AS qlabel",
+)
+
+_ORACLES["ann_lsh_topk"] = _ann_oracle(
+    "base.bucket = q.qbucket",
+    extra_cte=f""",
+        planes(p, d, sgn) AS (VALUES {_hyperplane_values()}),
+        tv AS (SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS d FROM e),
+        pb AS (SELECT vec_id, p, sum(sgn * x) AS dot
+               FROM tv JOIN planes ON tv.d = planes.d GROUP BY vec_id, p),
+        bkt AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM pb GROUP BY vec_id),
+        base AS (SELECT n.vec_id, n.emb, n.nrm, bkt.bucket
+                 FROM n JOIN bkt ON n.vec_id = bkt.vec_id)""",
+    qcols=", bucket AS qbucket",
+)
 
 _ORACLES["doc_fingerprints"] = r"""
     WITH toks AS (

@@ -1,0 +1,158 @@
+"""Similarity search over the `embeddings` table (extension surface,
+SURVEY.md §2.4): brute-force cosine top-k as the correctness baseline,
+plus two sub-linear "scale path" variants — label-IVF (probe only the
+query's coarse cluster) and random-hyperplane LSH bucketing.
+
+Engine-portable determinism: the LSH hyperplanes are ±1 sign vectors
+derived from md5 at module import (HYPERPLANES below); the DuckDB
+oracle is generated from the same constant, so both engines compute
+identical buckets. Ranking always orders by the ROUNDED cosine with a
+neighbor-id tie-break, so ranks can't diverge on float last-bits.
+
+Scale design (100 TB):
+- brute-force: the query batch is broadcast; every partition scores
+  its local vectors against all queries (no shuffle of the corpus),
+  then per-query top-k collapses through a window on query_id. Cost
+  is O(n_vectors × n_queries) — use only for bounded query batches.
+- IVF / LSH: candidates come from an equality join on the bucket id,
+  so the corpus side can be hash-partitioned (or bucketed on disk) by
+  bucket id and only matching partitions are read. Recall < 1 by
+  design; the tests measure it against brute force rather than
+  pretending exactness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+N_PLANES = 4  # 16 buckets over the fixture's 500 vectors (~30/bucket)
+
+
+def _plane_signs(plane: int, dim: int) -> int:
+    """Deterministic ±1 from md5 — no RNG, identical in any language."""
+    h = hashlib.md5(f"plane{plane}#dim{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) >= 8 else -1
+
+
+#: HYPERPLANES[p][d] ∈ {+1,-1}; shared with the generated DuckDB oracle.
+HYPERPLANES: list[list[int]] = [
+    [_plane_signs(p, d) for d in range(EMBEDDING_DIM)] for p in range(N_PLANES)
+]
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    e = F.col("embedding").cast("array<double>")
+    return embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
+    )
+
+
+def _cosine(col_a, col_b, nrm_a, nrm_b):
+    dot = F.aggregate(F.zip_with(col_a, col_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    return dot / (nrm_a * nrm_b)
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    n_queries), self excluded. Returns (query_id, neighbor_id, cosine,
+    rnk) with deterministic rounded-cosine ordering."""
+    base = _with_norm(embeddings)
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """IVF-style ANN with the `label` column as the coarse quantizer:
+    each query probes only vectors sharing its label (nprobe=1).
+
+    At scale the corpus is partitioned/bucketed by the coarse id, so a
+    probe reads ~1/n_clusters of the data. Approximate by design.
+    """
+    base = _with_norm(embeddings).join(embeddings.select("vec_id", "label"), "vec_id")
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        base.join(F.broadcast(q), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def lsh_bucket(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane LSH — bit p = 1 iff
+    plane_p · x ≥ 0; bucket = Σ 2^p · bit_p. Planes are the shared
+    deterministic HYPERPLANES constant."""
+    e = F.col("embedding").cast("array<double>")
+    bits = []
+    for p, signs in enumerate(HYPERPLANES):
+        plane = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(F.zip_with(e, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """LSH-bucketed ANN: each query scores only vectors in its own
+    hyperplane bucket. Candidate set via equality join on bucket —
+    partition-prunable at scale. Approximate by design."""
+    buckets = lsh_bucket(embeddings)
+    base = _with_norm(embeddings).join(buckets, "vec_id")
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
