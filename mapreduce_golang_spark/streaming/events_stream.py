@@ -1,0 +1,126 @@
+"""Structured Streaming over the `events` table (extension surface —
+the reference is strictly batch two-phase, SURVEY.md §2.3).
+
+Two operators:
+- tumbling-window counts (windowed agg + watermark) — the canonical
+  streaming aggregate; run with availableNow over the parquet fixture
+  it converges to exactly the batch answer, which is what the DuckDB
+  oracle checks.
+- a custom stateful per-user counter via applyInPandasWithState —
+  the "custom stateful operator" surface (arbitrary per-key state).
+
+Scale notes: state lives in the state store keyed by group — the
+exchange is on the group key, watermarks bound state retention for
+event-time windows. File-source here; on a real pipeline swap
+readStream.format("kafka") — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events.parquet physical schema — ts is INT64 nanos on disk (see
+#: sources/tables.py); streaming sources need the schema up front.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture with proper event-time ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory basePath; select just
+    # the events file out of the fixture dir with a glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str, query_name: str = "stream_hourly") -> DataFrame:
+    """Tumbling 1-hour windowed counts computed BY THE STREAMING ENGINE
+    (watermark + window agg), drained with availableNow into a memory
+    sink; returns the final batch DataFrame. Equals the batch answer
+    on finite input — oracle-checkable.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("hour"),
+        "event_type",
+        "n_events",
+    )
+
+
+def streaming_user_counts_stateful(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_user_counts"
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    applyInPandasWithState (arbitrary per-key state, the Spark
+    equivalent of a hand-rolled stateful reducer). Drained with
+    availableNow; returns (user_id, n_events).
+    """
+    import pandas as pd  # local import: executors ship their own
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            (prev,) = state.get
+            n += prev
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    result = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    _run_to_memory(result, query_name, "update")
+    # With availableNow the fixture drains in one batch per group →
+    # the memory sink holds each user's final count exactly once.
+    return spark.table(query_name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))

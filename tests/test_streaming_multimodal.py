@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+import pytest
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["streaming_hourly_counts", "streaming_user_counts", "media_features"]
+)
+def test_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
+    assert n > 0
+
+
+def test_decode_media_is_explicit_stub():
+    from mapreduce_golang_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image/png")
+
+
+def test_sample_frames_plumbing(spark):
+    from mapreduce_golang_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = spark.createDataFrame([(1, "x" * 600), (2, "y" * 100)], ["doc_id", "text"])
+    rows = sample_frames(attach_payload(docs), every_n_bytes=256, frame_bytes=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3  # offsets 0, 256, 512
+    assert len(by_doc[2]) == 1
+    assert all(len(r.frame) <= 16 for r in rows)
+    assert by_doc[1][0].frame == b"x" * 16
+
+
+def test_streaming_equals_batch_hourly(spark, sf_dir):
+    # The streaming aggregate drained with availableNow must equal the
+    # batch aggregate over the same fixture (n_events column naming
+    # differs from the batch query's sum_value variant, so compare counts).
+    batch = {
+        (r.hour, r.event_type): r.n_events
+        for r in entrymod.queries()["hourly_event_counts"](spark, sf_dir)
+        .withColumnRenamed("n_events", "n_events")
+        .collect()
+    }
+    stream = {
+        (r.hour, r.event_type): r.n_events
+        for r in entrymod.queries()["streaming_hourly_counts"](spark, sf_dir).collect()
+    }
+    assert stream == {k: v for k, v in batch.items()}
