@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_golang_spark.operators import (
+    analytics,
     dedup,
     joins,
     multimodal,
@@ -220,6 +221,52 @@ def _ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- analytics pack --------------------------------------------------------
+
+
+def _percentiles(spark, sf_dir):
+    return analytics.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def _user_stats(spark, sf_dir):
+    return analytics.event_type_user_stats(load_table(spark, sf_dir, "events"))
+
+
+def _approx_users(spark, sf_dir):
+    return analytics.approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def _except_users(spark, sf_dir):
+    return analytics.users_purchase_not_error(load_table(spark, sf_dir, "events"))
+
+
+def _intersect_users(spark, sf_dir):
+    return analytics.users_signup_and_purchase(load_table(spark, sf_dir, "events"))
+
+
+def _pivot(spark, sf_dir):
+    return analytics.event_counts_pivot(load_table(spark, sf_dir, "events"))
+
+
+def _asof(spark, sf_dir):
+    return analytics.last_click_before_purchase(load_table(spark, sf_dir, "events"))
+
+
+def _mr_wc(spark, sf_dir):
+    """The generic MapReduce compatibility layer (plans/mapreduce.py)
+    run through the correctness gate: wc as raw (mapf, reducef)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.plans import mrapps
+    from mapreduce_golang_spark.plans.mapreduce import run_job
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("filename"),
+        F.col("text").alias("contents"),
+    )
+    return run_job(spark, mrapps.wc_map, mrapps.wc_reduce, docs, n_reduce=10)
+
+
 # --- streaming + multimodal ------------------------------------------------
 
 
@@ -283,6 +330,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_hourly_counts": _stream_hourly,
         "streaming_user_counts": _stream_user_counts,
         "media_features": _media_features,
+        "value_percentiles": _percentiles,
+        "event_type_user_stats": _user_stats,
+        "approx_distinct_users": _approx_users,
+        "users_purchase_not_error": _except_users,
+        "users_signup_and_purchase": _intersect_users,
+        "event_counts_pivot": _pivot,
+        "last_click_before_purchase": _asof,
+        "mr_wc": _mr_wc,
     }
 
 
@@ -700,6 +755,70 @@ _ORACLES["embedding_cosine_pairs"] = """
            round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
     FROM sums
     WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+"""
+
+_ORACLES["value_percentiles"] = """
+    SELECT event_type,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+"""
+
+_ORACLES["event_type_user_stats"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY event_type
+"""
+
+# approx_distinct_users: HLL estimates are engine-specific — no oracle
+# (driver records rows-only); tests bound its error vs the exact count.
+
+_ORACLES["users_purchase_not_error"] = """
+    SELECT user_id, hour(ts) AS hod FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, hour(ts) AS hod FROM events WHERE event_type = 'error'
+"""
+
+_ORACLES["users_signup_and_purchase"] = """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+_ORACLES["event_counts_pivot"] = """
+    SELECT hour(ts) AS hod,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY hour(ts)
+"""
+
+_ORACLES["last_click_before_purchase"] = """
+    WITH marked AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        FROM events
+    )
+    SELECT event_id AS purchase_event_id,
+           user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           coalesce(last_click_id, -1) AS last_click_event_id
+    FROM marked WHERE event_type = 'purchase'
+"""
+
+_ORACLES["mr_wc"] = r"""
+    SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
 """
 
 _ORACLES["streaming_hourly_counts"] = """

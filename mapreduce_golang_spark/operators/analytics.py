@@ -1,0 +1,108 @@
+"""General analytics pack: percentiles, distinct counts, set ops,
+pivot, as-of join (extension surface — all categories absent from the
+reference per SURVEY.md §2.3, free on Spark).
+
+Scale notes: exact percentiles sort within group partitions (use
+approx_percentile beyond memory-bounded groups — exposed separately);
+set ops and pivot are single-exchange aggregates; the as-of join is
+the windowed form (one exchange on user_id, per-partition sort) —
+the scalable alternative to a range-condition nested-loop join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of value per event_type."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def event_type_user_stats(events: DataFrame) -> DataFrame:
+    """Per-type activity: row count, exact distinct users, time span."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_ts"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_ts"),
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct users per type — the sketch path for
+    cardinalities too large for exact countDistinct's shuffle. No
+    cross-engine oracle (sketch estimates are engine-specific); the
+    test bounds its error against the exact count instead."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("n_users_approx")
+    )
+
+
+def users_purchase_not_error(events: DataFrame) -> DataFrame:
+    """EXCEPT (distinct) at (user, hour-of-day) grain: slots where a
+    user purchased but never errored. (Plain user-level EXCEPT is
+    degenerate on this fixture — every user hits every event type.)"""
+    purchase_slots = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.hour("ts").cast("long").alias("hod")
+    )
+    error_slots = events.where(F.col("event_type") == "error").select(
+        "user_id", F.hour("ts").cast("long").alias("hod")
+    )
+    return purchase_slots.subtract(error_slots)
+
+
+def users_signup_and_purchase(events: DataFrame) -> DataFrame:
+    """INTERSECT (distinct): users who both signed up and purchased."""
+    signups = events.where(F.col("event_type") == "signup").select("user_id")
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id")
+    return signups.intersect(purchasers)
+
+
+def event_counts_pivot(events: DataFrame) -> DataFrame:
+    """Hour-of-day × event-type count matrix via pivot (explicit value
+    list keeps the plan to a single pass, no distinct-values job)."""
+    pivoted = (
+        events.select(F.hour("ts").cast("long").alias("hod"), "event_type")
+        .groupBy("hod")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "hod", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def last_click_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join, windowed form: for every purchase, the same user's
+    most recent click at-or-before it (ties broken by event_id order).
+
+    One exchange on user_id + per-partition sort — scales where a
+    range-condition join would nested-loop. NULL (no prior click) →
+    -1 so the oracle hash is stable.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    with_last = events.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+    return (
+        with_last.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.coalesce("last_click_id", F.lit(-1)).alias("last_click_event_id"),
+        )
+    )
