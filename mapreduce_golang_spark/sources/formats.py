@@ -1,0 +1,79 @@
+"""Format connectors beyond parquet: CSV, JSON (lines), partitioned
+parquet layout, and bucketed tables.
+
+The reference's only formats are whole text files in and "k v" text
+out (SURVEY.md §2.3 Scans/Sinks rows); everything here is the
+standard lakehouse surface a real pipeline needs:
+
+- CSV/JSON readers take an explicit schema — schema inference is a
+  full extra pass over the data and type-guesses; at 100 TB both are
+  unacceptable (pyspark guide: "avoid inferSchema in prod").
+- Partitioned parquet (`partitionBy`) gives partition PRUNING: a
+  filter on the partition column skips directories entirely —
+  asserted in tests via the scan's PartitionFilters.
+- Bucketed tables (`bucketBy` + saveAsTable) pre-shuffle data on the
+  join/agg key at WRITE time; two tables bucketed on the same key
+  join with NO exchange — the disk-layout answer to the brief's
+  "co-located joins via bucketing".
+
+Delta/Iceberg/Hudi would slot in here as formats but need their jars
+on the classpath, which this environment doesn't ship — deliberately
+not stubbed with fake implementations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned layout: one directory per partition-col
+    value; reads filtered on those columns prune at planning time."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def save_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Joins
+    and aggregations on ``bucket_col`` between tables bucketed the
+    same way run shuffle-free (asserted in tests)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed previous writer can orphan the managed location while
+    # the in-memory catalog forgets the table — clear it or saveAsTable
+    # fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    if warehouse:
+        import shutil
+
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
