@@ -221,6 +221,41 @@ def _ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- more TPC-H shapes -----------------------------------------------------
+
+
+def _q6(spark, sf_dir):
+    return joins.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q10(spark, sf_dir):
+    return joins.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q12(spark, sf_dir):
+    return joins.q12_late_shipments(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q14(spark, sf_dir):
+    return joins.q14_promo_revenue_share(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _survivors(spark, sf_dir):
+    return dedup.near_dup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+def _components(spark, sf_dir):
+    return dedup.near_dup_components(load_table(spark, sf_dir, "documents"))
+
+
 # --- analytics pack --------------------------------------------------------
 
 
@@ -338,6 +373,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_counts_pivot": _pivot,
         "last_click_before_purchase": _asof,
         "mr_wc": _mr_wc,
+        "q6_forecast_revenue": _q6,
+        "q10_returned_items": _q10,
+        "q12_late_shipments": _q12,
+        "q14_promo_revenue_share": _q14,
+        "near_dup_survivors": _survivors,
+        "near_dup_components": _components,
     }
 
 
@@ -699,6 +740,94 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["q6_forecast_revenue"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+"""
+
+_ORACLES["q10_returned_items"] = """
+    WITH returned AS (
+        SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    ), per_cust AS (
+        SELECT o_custkey, sum(rev) AS rev
+        FROM orders JOIN returned ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment, round(rev, 2) AS revenue
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+_ORACLES["q12_late_shipments"] = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_priority_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_priority_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+"""
+
+_ORACLES["q14_promo_revenue_share"] = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+# near-dup pairs at jaccard >= 0.5 (shared by survivors/components oracles)
+_NGRAM_PAIRS_SQL = f"""
+    {_SHINGLES_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shn x ON x.doc_id = c.doc_a
+        JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+"""
+
+_ORACLES["near_dup_survivors"] = f"""
+    WITH {_NGRAM_PAIRS_SQL}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+"""
+
+_ORACLES["near_dup_components"] = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    ),
+    reach_min AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+    SELECT d.doc_id, least(d.doc_id, coalesce(r.mn, d.doc_id)) AS component_id
+    FROM documents d LEFT JOIN reach_min r ON d.doc_id = r.u
 """
 
 _SIMHASH_CTE = r"""

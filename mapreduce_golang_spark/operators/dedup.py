@@ -197,6 +197,66 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_survivors(
+    df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy near-dup removal: drop every doc that appears as the
+    larger id of a qualifying pair (keep-lowest-id heuristic — the
+    standard single-pass policy; use near_dup_components for the
+    transitive version). Returns the surviving (doc_id) set.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def near_dup_components(
+    df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over the near-dup pair graph via iterative
+    min-label propagation — the transitive dedup grouping (a cluster =
+    one original + all its fuzzed copies). Returns (doc_id,
+    component_id) for every doc; singletons map to themselves.
+
+    Iterative DataFrame algorithm (not SQL-expressible in one query):
+    each round joins labels to edges and takes the min over the
+    neighborhood; converges in O(graph diameter) rounds, bounded by
+    ``max_iter``. Per-round cache + count keeps the loop's lineage
+    from compounding; at cluster scale add periodic checkpointing.
+    The DuckDB oracle computes the same fixpoint with a recursive CTE.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .cache()
+    )
+    labels = df.select(F.col(id_col).alias("u")).withColumn("label", F.col("u")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "u")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
+
+
 #: hex digits whose high bit is set — used as the per-bit hash of a token.
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 

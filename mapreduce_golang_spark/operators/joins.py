@@ -129,6 +129,96 @@ def q5_local_supplier_volume(
     )
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount-band what-if.
+    Scan → fully-pushed-down filters → single global agg; the ideal
+    minimal-plan query (one partial agg row per task)."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns.
+    Returned lines pre-aggregate per order, join orders (fact⋈fact on
+    the key), then per-customer agg with the dim broadcast last."""
+    returned = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    per_cust = (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", F.round("rev", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def q12_late_shipments(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape (adapted to this schema): per linestatus, how
+    many late-shipped lines belong to high- vs low-priority orders.
+    Conditional aggregation after one fact⋈fact join."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+def q14_promo_revenue_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: % of revenue from PROMO parts in a window.
+    Part dim broadcasts; one conditional-sum aggregate."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
     """Top-k customers by total order value; join after aggregation so
     the broadcast-joined side is one row per customer, then global
