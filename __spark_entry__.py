@@ -160,6 +160,14 @@ def _cube(spark, sf_dir):
     return windows.event_type_share_cube(load_table(spark, sf_dir, "events"))
 
 
+def _range_join(spark, sf_dir):
+    return windows.events_near_errors_range_join(load_table(spark, sf_dir, "events"))
+
+
+def _rollup(spark, sf_dir):
+    return windows.multi_granularity_rollup(load_table(spark, sf_dir, "events"))
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -373,6 +381,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_counts_pivot": _pivot,
         "last_click_before_purchase": _asof,
         "mr_wc": _mr_wc,
+        "events_range_join": _range_join,
+        "multi_granularity_rollup": _rollup,
         "q6_forecast_revenue": _q6,
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
@@ -740,6 +750,44 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["events_range_join"] = """
+    WITH errors AS (
+        SELECT event_id AS error_event_id, user_id, epoch_us(ts) AS e_us
+        FROM events WHERE event_type = 'error'
+    ),
+    counts AS (
+        SELECT e.error_event_id, count(*) AS n_preceding
+        FROM errors e
+        JOIN (SELECT user_id, epoch_us(ts) AS o_us FROM events) o
+          ON e.user_id = o.user_id
+         AND o.o_us >= e.e_us - 300000000
+         AND o.o_us < e.e_us
+        GROUP BY e.error_event_id
+    )
+    SELECT e.error_event_id, e.user_id,
+           CAST(coalesce(c.n_preceding, 0) AS BIGINT) AS n_preceding
+    FROM errors e LEFT JOIN counts c ON e.error_event_id = c.error_event_id
+"""
+
+_ORACLES["multi_granularity_rollup"] = """
+    WITH b AS (
+        SELECT '1h' AS grain, date_trunc('hour', ts) AS b0, event_type, value FROM events
+        UNION ALL
+        SELECT '6h',
+               date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR,
+               event_type, value FROM events
+        UNION ALL
+        SELECT '1d', date_trunc('day', ts), event_type, value FROM events
+    )
+    SELECT grain,
+           strftime(b0, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM b
+    GROUP BY grain, b0, event_type
 """
 
 _ORACLES["q6_forecast_revenue"] = """

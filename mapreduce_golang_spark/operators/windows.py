@@ -111,6 +111,77 @@ def props_key_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def events_near_errors_range_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Range join, bucketized: for each error event, how many events
+    the same user produced in the preceding ``window_minutes``.
+
+    Spark has no native range join; the scalable composition is:
+    bucket both sides by time window, equi-join on (user, bucket) for
+    the bucket and its successor, then filter the exact range — the
+    join never degenerates to a nested loop, and the bucket key
+    partitions evenly. (The DuckDB oracle uses the naive inequality
+    join directly — same semantics, quadratic engine-side.)
+    """
+    win_us = window_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user"),
+        us.alias("e_us"),
+    )
+    others = events.select(
+        F.col("user_id").alias("o_user"), us.alias("o_us"), F.col("event_id").alias("o_id")
+    )
+    # an event in [e_us - win, e_us) lies in the error's bucket or the
+    # immediately preceding one
+    e = errors.withColumn("bucket", F.expr(f"e_us DIV {win_us}"))
+    e = e.withColumn("probe", F.explode(F.array(F.col("bucket"), F.col("bucket") - 1)))
+    o = others.withColumn("obucket", F.expr(f"o_us DIV {win_us}"))
+    joined = e.join(
+        o,
+        (F.col("e_user") == F.col("o_user"))
+        & (F.col("probe") == F.col("obucket"))
+        & (F.col("o_us") >= F.col("e_us") - win_us)
+        & (F.col("o_us") < F.col("e_us")),
+    )
+    counts = joined.groupBy("error_event_id").agg(F.count("*").alias("n_preceding"))
+    return (
+        errors.join(counts, "error_event_id", "left")
+        .select(
+            "error_event_id",
+            F.col("e_user").alias("user_id"),
+            F.coalesce("n_preceding", F.lit(0)).cast("long").alias("n_preceding"),
+        )
+    )
+
+
+def multi_granularity_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same measure
+    maintained at 1h / 6h / 1d granularities, distinguished by a
+    `grain` column (one scan, three group-bys unioned — each is a
+    partial-agg + tiny exchange; at scale these feed materialized
+    views keyed by grain)."""
+    def grain(trunc_expr, label):
+        return (
+            events.groupBy(
+                F.date_format(trunc_expr, _TS_FMT).alias("bucket_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .withColumn("grain", F.lit(label))
+        )
+
+    hour = grain(F.date_trunc("hour", F.col("ts")), "1h")
+    six = grain(
+        F.timestamp_seconds((F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 1_000_000).cast("long")
+                            - ((F.hour("ts") % 6).cast("long") * 3600)),
+        "6h",
+    )
+    day = grain(F.date_trunc("day", F.col("ts")), "1d")
+    return hour.unionByName(six).unionByName(day).select(
+        "grain", "bucket_start", "event_type", "n_events", "sum_value"
+    )
+
+
 def event_type_share_cube(events: DataFrame) -> DataFrame:
     """CUBE over (event_type, hour-of-day) with counts — grouping-set
     coverage (absent in the reference, free in Spark). NULL group
