@@ -310,6 +310,51 @@ def _mr_wc(spark, sf_dir):
     return run_job(spark, mrapps.wc_map, mrapps.wc_reduce, docs, n_reduce=10)
 
 
+def _sql_interface(spark, sf_dir):
+    """The SQL API surface: same engine, textual SQL over registered
+    views (Catalyst path identical to the DataFrame API)."""
+    from mapreduce_golang_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        """
+    )
+
+
+def _date_dimensions(spark, sf_dir):
+    """Datetime function breadth: year/quarter/month/day-of-week
+    derivations feeding an aggregate."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mth"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.countDistinct("mth").alias("n_months"),
+            F.countDistinct("dow").alias("n_dows"),
+        )
+    )
+
+
 # --- streaming + multimodal ------------------------------------------------
 
 
@@ -383,6 +428,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mr_wc": _mr_wc,
         "events_range_join": _range_join,
         "multi_granularity_rollup": _rollup,
+        "sql_revenue_by_nation_year": _sql_interface,
+        "date_dimensions": _date_dimensions,
         "q6_forecast_revenue": _q6,
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
@@ -750,6 +797,29 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["sql_revenue_by_nation_year"] = """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+# Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → +1 aligns.
+_ORACLES["date_dimensions"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_price,
+           count(DISTINCT month(o_orderdate)) AS n_months,
+           count(DISTINCT dayofweek(o_orderdate) + 1) AS n_dows
+    FROM orders
+    GROUP BY year(o_orderdate), quarter(o_orderdate)
 """
 
 _ORACLES["events_range_join"] = """
