@@ -310,6 +310,31 @@ def _mr_wc(spark, sf_dir):
     return run_job(spark, mrapps.wc_map, mrapps.wc_reduce, docs, n_reduce=10)
 
 
+def _rollup_nation_year(spark, sf_dir):
+    """Native ROLLUP grouping sets (nation → nation+year → grand
+    total), NULL group cells coalesced for a stable oracle hash."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def _sql_interface(spark, sf_dir):
     """The SQL API surface: same engine, textual SQL over registered
     views (Catalyst path identical to the DataFrame API)."""
@@ -430,6 +455,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multi_granularity_rollup": _rollup,
         "sql_revenue_by_nation_year": _sql_interface,
         "date_dimensions": _date_dimensions,
+        "rollup_nation_year": _rollup_nation_year,
         "q6_forecast_revenue": _q6,
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
@@ -797,6 +823,17 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["rollup_nation_year"] = """
+    SELECT coalesce(n_name, 'ALL') AS n_name,
+           coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
 """
 
 _ORACLES["sql_revenue_by_nation_year"] = """

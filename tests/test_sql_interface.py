@@ -5,7 +5,20 @@ import pytest
 from tests.oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["sql_revenue_by_nation_year", "date_dimensions"])
+@pytest.mark.parametrize(
+    "name", ["sql_revenue_by_nation_year", "date_dimensions", "rollup_nation_year"]
+)
 def test_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
     assert n > 0
+
+
+def test_registered_python_udf_runs(spark, sf_dir):
+    # spark.udf.register surface (row-at-a-time UDF — supported but
+    # deliberately absent from operator hot paths; see README).
+    from mapreduce_golang_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("nation",))
+    spark.udf.register("shout", lambda s: s.upper() + "!")
+    rows = spark.sql("SELECT shout(n_name) AS x FROM nation ORDER BY x LIMIT 1").collect()
+    assert rows[0].x.endswith("!") and rows[0].x == rows[0].x.upper()
