@@ -389,6 +389,12 @@ def _stream_hourly(spark, sf_dir):
     return events_stream.streaming_hourly_counts(spark, sf_dir, f"sh_{uuid.uuid4().hex[:8]}")
 
 
+def _stream_sessionize(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_sessionize(spark, sf_dir, query_name=f"ss_{uuid.uuid4().hex[:8]}")
+
+
 def _stream_user_counts(spark, sf_dir):
     import uuid
 
@@ -441,6 +447,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_ivf_topk": _ann_ivf,
         "ann_lsh_topk": _ann_lsh,
         "streaming_hourly_counts": _stream_hourly,
+        "streaming_sessionize": _stream_sessionize,
         "streaming_user_counts": _stream_user_counts,
         "media_features": _media_features,
         "value_percentiles": _percentiles,
@@ -1111,6 +1118,29 @@ _ORACLES["streaming_hourly_counts"] = """
            count(*) AS n_events
     FROM events
     GROUP BY 1, 2
+"""
+
+# session_window(gap) merges exactly like the lag/cumsum construction;
+# oracle = the batch sessionize reduced to (user, session_start, n).
+_ORACLES["streaming_sessionize"] = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_seq
 """
 
 _ORACLES["streaming_user_counts"] = """

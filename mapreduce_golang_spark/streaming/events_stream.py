@@ -87,6 +87,29 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str, query_name: str = 
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Gap-based sessions computed by the STREAMING engine's native
+    session_window (merging windows with a 30-min gap + watermark),
+    drained with availableNow. On finite input this equals the batch
+    lag/cumsum sessionization (operators/windows.py::sessionize) per
+    (user, session_start, n_events) — which is exactly what the DuckDB
+    oracle checks."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select(
+        "user_id",
+        F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+        "n_events",
+    )
+
+
 def streaming_user_counts_stateful(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_user_counts"
 ) -> DataFrame:
