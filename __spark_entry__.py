@@ -256,6 +256,18 @@ def _q14(spark, sf_dir):
     )
 
 
+def _q18(spark, sf_dir):
+    return joins.q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _above_avg(spark, sf_dir):
+    return joins.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
+
+
 def _survivors(spark, sf_dir):
     return dedup.near_dup_survivors(load_table(spark, sf_dir, "documents"))
 
@@ -467,6 +479,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
         "q14_promo_revenue_share": _q14,
+        "q18_large_orders": _q18,
+        "orders_above_customer_avg": _above_avg,
         "near_dup_survivors": _survivors,
         "near_dup_components": _components,
     }
@@ -944,6 +958,32 @@ _ORACLES["q14_promo_revenue_share"] = """
                  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+_ORACLES["q18_large_orders"] = """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) >= 250.0
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+_ORACLES["orders_above_customer_avg"] = """
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(cust_avg, 6) AS cust_avg
+    FROM w WHERE o_totalprice > cust_avg
 """
 
 # near-dup pairs at jaccard >= 0.5 (shared by survivors/components oracles)

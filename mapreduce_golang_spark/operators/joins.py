@@ -219,6 +219,48 @@ def q14_promo_revenue_share(
     )
 
 
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 250.0
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customers. HAVING-style pre-filter collapses
+    lineitem to qualifying orderkeys BEFORE any join."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") >= min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-subquery shape (order price > its customer's average)
+    expressed as a window — the decorrelated form that scales: one
+    exchange on o_custkey instead of a per-row subquery."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
 def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
     """Top-k customers by total order value; join after aggregation so
     the broadcast-joined side is one row per customer, then global

@@ -8,6 +8,8 @@ JOIN_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_orders",
+    "orders_above_customer_avg",
     "top_customers",
     "orders_semi_join",
     "customers_anti_join",
