@@ -1,0 +1,109 @@
+"""Empty-input hardening: every operator family must return an empty
+(correctly-schemed) result on empty input, never throw — the behavior
+a 100 TB pipeline needs when a partition/filter legitimately yields
+nothing (cf. the reference's tolerance of empty outputs,
+/root/reference/src/main/test-mr.sh:90 `grep .`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], DOCS_SCHEMA)
+
+
+@pytest.fixture()
+def empty_events(spark):
+    return spark.createDataFrame([], EVENTS_SCHEMA)
+
+
+@pytest.fixture()
+def empty_emb(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+def test_text_ops_on_empty(spark, empty_docs):
+    from mapreduce_golang_spark.operators import dedup, parity, text_analysis, wordcount
+
+    assert wordcount.word_count(empty_docs).count() == 0
+    assert parity.inverted_index(empty_docs).count() == 0
+    assert parity.crash_data(empty_docs).count() == 0
+    assert text_analysis.text_quality(empty_docs).count() == 0
+    assert text_analysis.lang_id(spark, empty_docs).count() == 0
+    assert text_analysis.doc_fingerprints(empty_docs).count() == 0
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs).count() == 0
+    assert dedup.near_dup_components(empty_docs).count() == 0
+
+
+def test_event_ops_on_empty(empty_events):
+    from mapreduce_golang_spark.operators import analytics, windows
+
+    assert windows.hourly_event_counts(empty_events).count() == 0
+    assert windows.sessionize(empty_events).count() == 0
+    assert windows.events_near_errors_range_join(empty_events).count() == 0
+    assert analytics.value_percentiles(empty_events).count() == 0
+    assert analytics.last_click_before_purchase(empty_events).count() == 0
+    assert analytics.event_counts_pivot(empty_events).count() == 0
+
+
+def test_similarity_on_empty(spark, empty_emb):
+    from mapreduce_golang_spark.operators import dedup, similarity
+
+    assert similarity.cosine_topk_bruteforce(empty_emb).count() == 0
+    assert similarity.ann_lsh_topk(empty_emb).count() == 0
+    assert dedup.embedding_cosine_pairs(empty_emb).count() == 0
+
+
+def test_run_job_on_empty_corpus(spark):
+    from mapreduce_golang_spark.plans import mrapps
+    from mapreduce_golang_spark.plans.mapreduce import run_job
+
+    out = run_job(spark, mrapps.wc_map, mrapps.wc_reduce, [], n_reduce=3)
+    assert out.count() == 0
+    assert out.columns == ["key", "value"]

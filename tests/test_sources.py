@@ -37,6 +37,27 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert back.count() == df.where(F.col("event_type") == "click").count()
 
 
+def test_parquet_schema_merge(spark, tmp_path):
+    # schema evolution: new column appears in later files; mergeSchema
+    # unifies, old rows read NULL
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.x, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "nation")
+    for codec in ["snappy", "zstd", "gzip"]:
+        p = str(tmp_path / f"nation_{codec}")
+        df.write.option("compression", codec).mode("overwrite").parquet(p)
+        assert sorted(map(tuple, spark.read.parquet(p).collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
