@@ -51,26 +51,29 @@ def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
     Returns (doc_id, predicted_lang, score); docs with zero marker
     hits get ('unknown', 0). Deterministic tie-break: score desc,
     lang asc.
+
+    Zero-shuffle formulation: the lexicons are tiny compile-time
+    constants, so each language's score is a JVM array filter over the
+    doc's tokens and the argmax is a 5-element array sort — the whole
+    operator is a narrow map over the scan (a lexicon JOIN would add
+    an explode + exchange for nothing). ``spark`` is unused but kept
+    for signature stability.
     """
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, ws in LANG_LEXICONS.items() for w in ws], ["lex_lang", "lex_word"]
-    )
-    toks = df.select("doc_id", F.explode(_clean_tokens(F.lower(F.col("text")))).alias("word"))
-    scores = (
-        toks.join(F.broadcast(lex), toks.word == lex.lex_word)
-        .groupBy("doc_id", "lex_lang")
-        .agg(F.count("*").alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lex_lang"))
-    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return (
-        df.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("lex_lang", F.lit("unknown")).alias("predicted_lang"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
-        )
+    toks = _clean_tokens(F.lower(F.col("text")))
+
+    def _member_of(ws):  # single-arg lambda: F.filter treats 2-arg fns as (elem, idx)
+        return lambda t: t.isin(*ws)
+
+    entries = []
+    for lang in sorted(LANG_LEXICONS):
+        score = F.size(F.filter(toks, _member_of(LANG_LEXICONS[lang])))
+        # sort key: ascending on (-score, lang) == score desc, lang asc
+        entries.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang"), score.alias("score")))
+    best = F.element_at(F.array_sort(F.array(*entries)), 1)
+    return df.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("predicted_lang"),
+        F.when(best["score"] > 0, best["score"]).otherwise(F.lit(0)).cast("long").alias("score"),
     )
 
 
