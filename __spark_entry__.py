@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_golang_spark.operators import (
     analytics,
+    corpus,
     dedup,
     joins,
     multimodal,
@@ -256,6 +257,22 @@ def _q14(spark, sf_dir):
     )
 
 
+def _chunks(spark, sf_dir):
+    return corpus.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _packing(spark, sf_dir):
+    return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _redact(spark, sf_dir):
+    return corpus.redact_numbers(load_table(spark, sf_dir, "events"))
+
+
+def _final_selection(spark, sf_dir):
+    return corpus.corpus_final_selection(load_table(spark, sf_dir, "documents"))
+
+
 def _q18(spark, sf_dir):
     return joins.q18_large_orders(
         load_table(spark, sf_dir, "customer"),
@@ -483,6 +500,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "orders_above_customer_avg": _above_avg,
         "near_dup_survivors": _survivors,
         "near_dup_components": _components,
+        "chunk_documents": _chunks,
+        "pack_sequences": _packing,
+        "redact_numbers": _redact,
+        "corpus_final_selection": _final_selection,
     }
 
 
@@ -1015,6 +1036,32 @@ _ORACLES["near_dup_survivors"] = f"""
     WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 """
 
+_ORACLES["corpus_final_selection"] = rf"""
+    WITH {_NGRAM_PAIRS_SQL},
+    q AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                               x -> x IN ({_stopword_list()}))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS punct_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(0.4 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                     + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                     + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+        FROM q
+    )
+    SELECT doc_id, quality_score, n_tokens
+    FROM scored
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      AND quality_score >= 0.5
+      AND n_tokens >= 10
+"""
+
 _ORACLES["near_dup_components"] = f"""
     WITH RECURSIVE {_NGRAM_PAIRS_SQL},
     edges AS (
@@ -1030,6 +1077,50 @@ _ORACLES["near_dup_components"] = f"""
     reach_min AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
     SELECT d.doc_id, least(d.doc_id, coalesce(r.mn, d.doc_id)) AS component_id
     FROM documents d LEFT JOIN reach_min r ON d.doc_id = r.u
+"""
+
+_ORACLES["chunk_documents"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(n / 40.0) AS INT))) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ') AS chunk_text,
+           CAST(len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS BIGINT) AS n_tokens
+    FROM c
+"""
+
+_ORACLES["pack_sequences"] = r"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS bin
+        FROM sized
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY source, bin
+"""
+
+_ORACLES["redact_numbers"] = """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+    FROM events
 """
 
 _SIMHASH_CTE = r"""

@@ -1,0 +1,91 @@
+"""Training-corpus preparation operators — the last mile of an LLM
+data pipeline after analysis/dedup: chunking documents into training
+sequences, packing chunks into context windows, PII-style redaction,
+and the composed final-selection query.
+
+All pure DataFrame expressions (array slicing, window cumsums,
+regexp) — chunking is a narrow map + explode, packing is one exchange
+on the packing partition key, redaction is a narrow map. Each has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 50, overlap: int = 10) -> DataFrame:
+    """Split each doc into overlapping token chunks (stride =
+    chunk_tokens - overlap). Returns (doc_id, chunk_idx, chunk_text,
+    n_tokens); the ragged final chunk is kept. Narrow map + explode —
+    no shuffle, scales with the scan."""
+    stride = chunk_tokens - overlap
+    toks = F.array_remove(F.split(F.col("text"), LETTERS_ONLY_RE), "")
+    with_toks = df.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).where(F.col("n") > 0)
+    n_chunks = F.ceil(F.col("n") / F.lit(float(stride))).cast("int")
+    chunks = with_toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+        "toks",
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("toks"), start + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int = 2000) -> DataFrame:
+    """Greedy sequential packing of docs into fixed token budgets,
+    per source partition (deterministic doc_id order): bin b holds the
+    docs whose running pre-sum fits b*budget ≤ cum < (b+1)*budget.
+    One exchange on `source`; within-partition window cumsum —
+    the scalable packing topology (global greedy packing would
+    serialize through one partition).
+    Returns (source, bin, n_docs, total_tokens)."""
+    toks = F.array_remove(F.split(F.col("text"), LETTERS_ONLY_RE), "")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = df.select("source", "doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    binned = sized.withColumn(
+        "bin",
+        F.expr(f"(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+               f"ROWS UNBOUNDED PRECEDING) - n_tokens) DIV {budget_tokens}").cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def redact_numbers(events: DataFrame) -> DataFrame:
+    """PII-style scrubbing shape: replace digit runs in the raw props
+    payload, keep an audit count. Narrow regexp map (codegen)."""
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).cast("long").alias("n_redacted"),
+    )
+
+
+def corpus_final_selection(
+    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
+) -> DataFrame:
+    """The composed pipeline: near-dup survivors ∩ quality floor ∩
+    length floor — the "what actually ships to training" query.
+    Returns (doc_id, quality_score, n_tokens)."""
+    from mapreduce_golang_spark.operators.dedup import near_dup_survivors
+    from mapreduce_golang_spark.operators.text_analysis import text_quality
+
+    survivors = near_dup_survivors(df)
+    quality = text_quality(df).select("doc_id", "quality_score", "n_tokens")
+    return (
+        quality.join(survivors, "doc_id")
+        .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
+        .select("doc_id", "quality_score", "n_tokens")
+    )
