@@ -158,14 +158,21 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    # one md5 yields FOUR 8-hex-char hash values (32 hex chars / 8), so
+    # n_hashes=12 costs 3 md5 evaluations per shingle instead of 12 —
+    # hashing dominates signature cost at scale. Seed s reads chars
+    # [ (s%4)*8, +8 ) of md5("<s DIV 4>#<shingle>").
+    n_md5 = (n_hashes + 3) // 4
+    hcols = [
+        F.md5(F.concat(F.lit(str(g)), F.lit("#"), F.col("shingle"))).alias(f"h{g}")
+        for g in range(n_md5)
+    ]
+    hashed = shingles.select("doc_id", *hcols)
+    pieces = [
+        F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8) for s in range(n_hashes)
+    ]
     mh = (
-        shingles.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))).alias("h"),
-        )
+        hashed.select("doc_id", F.posexplode(F.array(*pieces)).alias("seed", "h"))
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("mh"))
     )
@@ -317,26 +324,25 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", i
     ).withColumn("band_val", F.expr(f"(simhash DIV CAST(power(2, band * {width}) AS BIGINT)) % {2 ** width}").cast("long"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # the hamming check rides in the join condition so the dedup
+    # (distinct) only ever sees QUALIFYING pairs, not every band
+    # collision — on vocab-skewed corpora band collisions dwarf real
+    # near-dups and would dominate the distinct's exchange
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= max_hamming),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sh_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
