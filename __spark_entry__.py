@@ -428,6 +428,14 @@ def _stream_sessionize(spark, sf_dir):
     return events_stream.streaming_sessionize(spark, sf_dir, query_name=f"ss_{uuid.uuid4().hex[:8]}")
 
 
+def _stream_ssj(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_purchase_click_join(
+        spark, sf_dir, query_name=f"sj_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _stream_user_counts(spark, sf_dir):
     import uuid
 
@@ -481,6 +489,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk": _ann_lsh,
         "streaming_hourly_counts": _stream_hourly,
         "streaming_sessionize": _stream_sessionize,
+        "streaming_stream_join": _stream_ssj,
         "streaming_user_counts": _stream_user_counts,
         "media_features": _media_features,
         "value_percentiles": _percentiles,
@@ -1278,6 +1287,17 @@ _ORACLES["streaming_sessionize"] = """
            count(*) AS n_events
     FROM s
     GROUP BY user_id, session_seq
+"""
+
+_ORACLES["streaming_stream_join"] = """
+    SELECT p.event_id AS purchase_event_id,
+           c.event_id AS click_event_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts < p.ts
 """
 
 _ORACLES["streaming_user_counts"] = """

@@ -110,6 +110,51 @@ def streaming_sessionize(
     )
 
 
+def streaming_purchase_click_join(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10, query_name: str = "stream_ssj"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same
+    user's clicks from the preceding ``window_minutes``. Watermarks on
+    BOTH sides bound the join state (the engine can drop buffered
+    clicks older than the interval + watermark) — the canonical
+    bounded-state stream-stream join. Drained with availableNow; on
+    finite input equals the batch interval join, which the DuckDB
+    oracle computes directly."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_event_id",
+        "click_event_id",
+        F.col("p_user").alias("user_id"),
+    )
+    _run_to_memory(joined, query_name, "append")
+    return spark.table(query_name)
+
+
 def streaming_user_counts_stateful(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_user_counts"
 ) -> DataFrame:

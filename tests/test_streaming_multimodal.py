@@ -6,7 +6,14 @@ from tests.oracle import assert_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["streaming_hourly_counts", "streaming_user_counts", "media_features"]
+    "name",
+    [
+        "streaming_hourly_counts",
+        "streaming_sessionize",
+        "streaming_stream_join",
+        "streaming_user_counts",
+        "media_features",
+    ],
 )
 def test_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
