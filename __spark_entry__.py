@@ -328,6 +328,10 @@ def _asof(spark, sf_dir):
     return analytics.last_click_before_purchase(load_table(spark, sf_dir, "events"))
 
 
+def _wmedian(spark, sf_dir):
+    return analytics.weighted_median_value(load_table(spark, sf_dir, "events"))
+
+
 def _mr_wc(spark, sf_dir):
     """The generic MapReduce compatibility layer (plans/mapreduce.py)
     run through the correctness gate: wc as raw (mapf, reducef)."""
@@ -499,6 +503,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "users_signup_and_purchase": _intersect_users,
         "event_counts_pivot": _pivot,
         "last_click_before_purchase": _asof,
+        "weighted_median_value": _wmedian,
         "mr_wc": _mr_wc,
         "events_range_join": _range_join,
         "multi_granularity_rollup": _rollup,
@@ -1249,6 +1254,28 @@ _ORACLES["last_click_before_purchase"] = """
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
            coalesce(last_click_id, -1) AS last_click_event_id
     FROM marked WHERE event_type = 'purchase'
+"""
+
+# weighted median = smallest value whose cumulative props.k weight
+# reaches half the total, per event_type (ties broken by event_id).
+_ORACLES["weighted_median_value"] = """
+    WITH prepared AS (
+        SELECT event_type, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(k) OVER (PARTITION BY event_type ORDER BY value, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(k) OVER (PARTITION BY event_type) AS total
+        FROM prepared
+    )
+    SELECT event_type, round(min(value), 6) AS weighted_median
+    FROM cum
+    WHERE cw >= total / 2.0
+    GROUP BY event_type
 """
 
 _ORACLES["mr_wc"] = r"""

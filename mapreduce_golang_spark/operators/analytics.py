@@ -82,6 +82,47 @@ def event_counts_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def weighted_median_value(events: DataFrame) -> DataFrame:
+    """Custom pandas UDAF: per event_type, the weighted median of
+    `value` weighted by props.k — defined as the smallest value whose
+    cumulative weight reaches half the total (deterministic under
+    ties). applyInPandas gives the arbitrary-aggregation surface the
+    reference's Reduce UDAF provides (SURVEY.md §2.1 F6) beyond what
+    built-in aggregates express; the DuckDB oracle computes the same
+    definition with a cumsum window."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("weighted_median", DoubleType()),
+        ]
+    )
+
+    def wmedian(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = pdf.dropna(subset=["k"]).sort_values(["value", "event_id"])
+        w = d["k"].to_numpy(dtype="float64")
+        total = w.sum()
+        if total <= 0:
+            return pd.DataFrame({"event_type": [key[0]], "weighted_median": [None]})
+        idx = int(np.searchsorted(np.cumsum(w), total / 2.0))
+        return pd.DataFrame(
+            {"event_type": [key[0]], "weighted_median": [round(float(d["value"].iloc[idx]), 6)]}
+        )
+
+    prepared = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+    return prepared.groupBy("event_type").applyInPandas(wmedian, out_schema)
+
+
 def last_click_before_purchase(events: DataFrame) -> DataFrame:
     """As-of join, windowed form: for every purchase, the same user's
     most recent click at-or-before it (ties broken by event_id order).

@@ -46,7 +46,16 @@ def crashy_map(name, contents):
 def reduce_sorted(key, values):
     return " ".join(sorted(values))
 
-crashy_src = run_job(spark, crashy_map, reduce_sorted, docs, n_reduce=3)
+def crashy_reduce(key, values):
+    # first reduction of each key dies too (reference crash.go injects
+    # failures in BOTH map and reduce)
+    marker = os.path.join({marker_dir_placeholder!r}, "r_" + key)
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("injected crash: first reduce of " + key)
+    return " ".join(sorted(values))
+
+crashy_src = run_job(spark, crashy_map, crashy_reduce, docs, n_reduce=3)
 crashed = sorted(map(tuple, crashy_src.collect()))
 
 healthy = sorted(map(tuple, run_job(
