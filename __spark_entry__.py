@@ -372,6 +372,44 @@ def _rollup_nation_year(spark, sf_dir):
     )
 
 
+def _string_functions(spark, sf_dir):
+    """Explicit string-function coverage (upper/lower/trim/substr/
+    replace/lpad/levenshtein/split) — §2.3 'String functions' made
+    first-class rather than implicit in other queries."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_nodigits"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.levenshtein(F.lower("c_name"), F.lit("customer")).cast("long").alias("lev_to_customer"),
+        F.concat_ws("|", F.split("c_name", "#")).alias("name_rejoined"),
+    )
+
+
+def _math_functions(spark, sf_dir):
+    """Explicit math-function coverage over lineitem measures."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.abs(F.col("l_quantity") - 25.0).alias("abs_qty_dev"),
+        F.ceil("l_tax").cast("long").alias("ceil_tax"),
+        F.floor("l_quantity").cast("long").alias("floor_qty"),
+        F.round(F.pow("l_discount", F.lit(2.0)), 6).alias("disc_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).cast("long").alias("key_mod"),
+    )
+
+
 def _sql_interface(spark, sf_dir):
     """The SQL API surface: same engine, textual SQL over registered
     views (Catalyst path identical to the DataFrame API)."""
@@ -510,6 +548,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sql_revenue_by_nation_year": _sql_interface,
         "date_dimensions": _date_dimensions,
         "rollup_nation_year": _rollup_nation_year,
+        "string_functions": _string_functions,
+        "math_functions": _math_functions,
         "q6_forecast_revenue": _q6,
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
@@ -885,6 +925,31 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["string_functions"] = """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_nodigits,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           CAST(levenshtein(lower(c_name), 'customer') AS BIGINT) AS lev_to_customer,
+           array_to_string(string_split(c_name, '#'), '|') AS name_rejoined
+    FROM customer
+"""
+
+_ORACLES["math_functions"] = """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           abs(l_quantity - 25.0) AS abs_qty_dev,
+           CAST(ceil(l_tax) AS BIGINT) AS ceil_tax,
+           CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+           round(pow(l_discount, 2.0), 6) AS disc_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem
 """
 
 _ORACLES["rollup_nation_year"] = """
