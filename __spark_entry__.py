@@ -211,6 +211,10 @@ def _simhash(spark, sf_dir):
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash64(spark, sf_dir):
+    return dedup.simhash64(load_table(spark, sf_dir, "documents"))
+
+
 def _simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -524,6 +528,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_pairs": _minhash_lsh,
         "simhash": _simhash,
+        "simhash64": _simhash64,
         "simhash_pairs": _simhash_pairs,
         "embedding_cosine_pairs": _embedding_pairs,
         "ann_topk_bruteforce": _ann_brute,
@@ -1237,6 +1242,31 @@ _SIMHASH_CTE = r"""
 _ORACLES["simhash"] = f"""
     WITH {_SIMHASH_CTE}
     SELECT doc_id, simhash FROM sh
+"""
+
+_ORACLES["simhash64"] = r"""
+    WITH tok_counts AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok
+            FROM documents
+        )
+        GROUP BY doc_id, tok
+    ),
+    bits AS (SELECT unnest(range(63)) AS i),
+    contrib AS (
+        SELECT doc_id, i,
+               sum(cnt * CASE WHEN (CAST((strpos('0123456789abcdef',
+                                            substr(md5(tok), CAST(i // 4 + 1 AS INT), 1)) - 1) AS INT)
+                               // CAST(power(2, i % 4) AS INT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS s
+        FROM tok_counts CROSS JOIN bits
+        GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash64
+    FROM contrib GROUP BY doc_id
 """
 
 _ORACLES["simhash_pairs"] = f"""

@@ -306,6 +306,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit weighted SimHash: bit i of a token is bit (i%4) of hex
+    digit (i DIV 4) of md5(token) — the full-width production
+    signature (16-bit `simhash` trades width for a cheaper demo).
+    Still engine-portable: hex-digit value via position in
+    '0123456789abcdef', no engine hash() anywhere. Bit 63 is kept
+    positive (top bit unused) so the value fits a BIGINT unsigned-free.
+    """
+    n_bits = 63  # stay within non-negative BIGINT range
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
+    # hex digit value without engine-specific conv(): position in the
+    # hex alphabet, identical in DuckDB
+    digit_val = F.expr("position(substr(md5(tok), i DIV 4 + 1, 1) IN '0123456789abcdef') - 1")
+    contrib = (
+        toks.select("doc_id", "tok", "cnt", bits)
+        .withColumn("dv", digit_val)
+        .withColumn("sgn", F.when(F.expr("(dv DIV CAST(power(2, i % 4) AS INT)) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bit_val",
+            F.when(F.col("s") >= 0, F.expr("CAST(power(2, i) AS BIGINT)")).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").cast("long").alias("simhash64"))
+    )
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 

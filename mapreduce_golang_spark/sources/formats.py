@@ -55,6 +55,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction (OPTIMIZE-style maintenance): rewrite a
+    parquet directory into ~target_file_mb files. File count derives
+    from the actual on-disk bytes, so a directory of thousands of tiny
+    files (the classic streaming-ingest pathology) collapses to a few
+    scan-efficient ones. Returns the target file count. coalesce (not
+    repartition) keeps it shuffle-free."""
+    df = spark.read.parquet(path)
+    total_bytes = _dir_bytes(path)
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def save_bucketed_table(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
 ) -> None:

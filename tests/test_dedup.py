@@ -9,6 +9,7 @@ DEDUP_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash64",
     "simhash_pairs",
     "embedding_cosine_pairs",
 ]
