@@ -301,6 +301,12 @@ def _components(spark, sf_dir):
     return dedup.near_dup_components(load_table(spark, sf_dir, "documents"))
 
 
+def _pagerank(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_pagerank
+
+    return near_dup_pagerank(load_table(spark, sf_dir, "documents"))
+
+
 # --- analytics pack --------------------------------------------------------
 
 
@@ -563,6 +569,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "orders_above_customer_avg": _above_avg,
         "near_dup_survivors": _survivors,
         "near_dup_components": _components,
+        "near_dup_pagerank": _pagerank,
         "chunk_documents": _chunks,
         "pack_sequences": _packing,
         "redact_numbers": _redact,
@@ -1151,6 +1158,47 @@ _ORACLES["corpus_final_selection"] = rf"""
       AND quality_score >= 0.5
       AND n_tokens >= 10
 """
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank (recursive CTEs can't carry
+    the aggregation portably; 10 chained CTEs compute the identical
+    fixed point, same arithmetic as the Spark loop)."""
+    from mapreduce_golang_spark.operators.graph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+
+    d = PAGERANK_DAMPING
+    steps = []
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               (1.0 - {d}) / (SELECT n FROM params) + {d} * coalesce(s.inflow, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, sum(r.rank / d2.deg) AS inflow
+            FROM edges e
+            JOIN r{i - 1} r ON e.u = r.node
+            JOIN deg d2 ON e.u = d2.u
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_NGRAM_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    params AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+    {chained}
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM r{PAGERANK_ITERATIONS}
+"""
+
+
+_ORACLES["near_dup_pagerank"] = _pagerank_oracle()
 
 _ORACLES["near_dup_components"] = f"""
     WITH RECURSIVE {_NGRAM_PAIRS_SQL},

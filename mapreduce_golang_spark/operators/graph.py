@@ -1,0 +1,72 @@
+"""Iterative graph algorithms over document-similarity graphs.
+
+Connected components lives in operators/dedup.py (min-label
+propagation); this module adds PageRank — the canonical fixed-point
+iteration — over the near-dup pair graph. Both are DataFrame loops
+(not SQL-expressible as one query); the oracles unroll the iteration
+into chained CTEs so DuckDB computes the identical fixed number of
+steps.
+
+Scale notes: per iteration one join (ranks ⋈ edges, both hash-
+partitioned on the node key) + one aggregation; caching each
+iteration's ranks keeps lineage flat. Classic Pregel-on-DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+
+PAGERANK_ITERATIONS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def near_dup_pagerank(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PageRank over the undirected near-dup graph (nodes = docs in
+    ≥1 qualifying pair; every node has degree ≥ 1, so no dangling-mass
+    term). rank₀ = 1/N; rankᵢ₊₁(v) = (1-d)/N + d·Σᵤ→ᵥ rankᵢ(u)/deg(u).
+    Returns (doc_id, rank) with rank rounded to 6 decimals."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # computed once, reused every iteration
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return df.sparkSession.createDataFrame([], "doc_id long, rank double")
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # localCheckpoint truncates the lineage each round — without it
+        # the logical plan nests once per iteration and planning cost
+        # (even plan stringification) grows until the driver OOMs
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.oracle import assert_matches_oracle
+
+
+def test_pagerank_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["near_dup_pagerank"],
+        entrymod.oracle_sql()["near_dup_pagerank"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from mapreduce_golang_spark.operators.graph import near_dup_pagerank
+
+    # star graph: hub 1 connected to 2,3,4 (crafted pairs input)
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.9), (1, 4, 0.9)], ["doc_a", "doc_b", "jaccard"]
+    )
+    docs = spark.createDataFrame([(i, "x") for i in range(1, 5)], ["doc_id", "text"])
+    ranks = {r.doc_id: r.rank for r in near_dup_pagerank(docs, pairs=pairs).collect()}
+    # no dangling nodes → total rank mass stays 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    # the hub outranks every leaf; leaves are symmetric
+    assert ranks[1] > ranks[2] == ranks[3] == ranks[4]
