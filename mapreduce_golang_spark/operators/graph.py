@@ -36,13 +36,17 @@ def near_dup_pagerank(
     Returns (doc_id, rank) with rank rounded to 6 decimals."""
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
+    # the near-dup graph is orders of magnitude smaller than the corpus
+    # — right-size its partitioning before iterating so each round runs
+    # a handful of tasks, not the session's corpus-sized shuffle width
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
+        .repartition(4, "u")
         .localCheckpoint(eager=True)  # computed once, reused every iteration
     )
-    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = edges.select(F.col("u").alias("node")).distinct().repartition(4, "node").localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")
