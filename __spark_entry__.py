@@ -342,6 +342,18 @@ def _wmedian(spark, sf_dir):
     return analytics.weighted_median_value(load_table(spark, sf_dir, "events"))
 
 
+def _histogram(spark, sf_dir):
+    return analytics.event_value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def _price_stats(spark, sf_dir):
+    return analytics.lineitem_price_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def _dq_report(spark, sf_dir):
+    return analytics.data_quality_report(load_table(spark, sf_dir, "lineitem"))
+
+
 def _mr_wc(spark, sf_dir):
     """The generic MapReduce compatibility layer (plans/mapreduce.py)
     run through the correctness gate: wc as raw (mapf, reducef)."""
@@ -553,6 +565,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_counts_pivot": _pivot,
         "last_click_before_purchase": _asof,
         "weighted_median_value": _wmedian,
+        "event_value_histogram": _histogram,
+        "lineitem_price_stats": _price_stats,
+        "data_quality_report": _dq_report,
         "mr_wc": _mr_wc,
         "events_range_join": _range_join,
         "multi_granularity_rollup": _rollup,
@@ -1419,6 +1434,44 @@ _ORACLES["weighted_median_value"] = """
     FROM cum
     WHERE cw >= total / 2.0
     GROUP BY event_type
+"""
+
+_ORACLES["event_value_histogram"] = """
+    SELECT event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           round(CAST(floor(value / 10.0) AS BIGINT) * 10.0, 6) AS bin_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, floor(value / 10.0)
+"""
+
+_ORACLES["lineitem_price_stats"] = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 6) AS stddev_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+_ORACLES["data_quality_report"] = """
+    SELECT 'qty_below_min' AS rule,
+           CAST(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+    UNION ALL
+    SELECT 'qty_above_max', CAST(sum(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'null_orderkey', CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_too_old',
+           CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'duplicate_order_line',
+           CAST(coalesce(sum(c), 0) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
 """
 
 _ORACLES["mr_wc"] = r"""

@@ -82,6 +82,65 @@ def event_counts_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def event_value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of `value` per event_type (deterministic
+    floor binning — the scalable histogram: one hash-agg, no sort)."""
+    bin_ = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        events.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * bin_width, 6).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+def lineitem_price_stats(lineitem: DataFrame) -> DataFrame:
+    """Bivariate statistics per returnflag: Pearson correlation,
+    sample covariance, stddev — single-pass algebraic aggregates."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("stddev_price"),
+    )
+
+
+def data_quality_report(lineitem: DataFrame) -> DataFrame:
+    """Expectation-style data-quality audit: one row per rule with its
+    violation count — the validation stage every ingest pipeline runs
+    before publishing a partition. Single pass: all rules are
+    conditional counts in ONE aggregate; the uniqueness rule is the
+    only extra exchange."""
+    checks = lineitem.agg(
+        F.sum(F.when(F.col("l_quantity") < 1, 1).otherwise(0)).cast("long").alias("qty_below_min"),
+        F.sum(F.when(F.col("l_quantity") > 50, 1).otherwise(0)).cast("long").alias("qty_above_max"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0))
+        .cast("long")
+        .alias("discount_out_of_range"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("null_orderkey"),
+        F.sum(F.when(F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp"), 1).otherwise(0))
+        .cast("long")
+        .alias("shipdate_too_old"),
+    )
+    dup_keys = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+        .select(F.lit("duplicate_order_line").alias("rule"), F.col("v").alias("n_violations"))
+    )
+    melted = checks.selectExpr(
+        "stack(5, 'qty_below_min', qty_below_min, 'qty_above_max', qty_above_max, "
+        "'discount_out_of_range', discount_out_of_range, 'null_orderkey', null_orderkey, "
+        "'shipdate_too_old', shipdate_too_old) AS (rule, n_violations)"
+    )
+    return melted.unionByName(dup_keys)
+
+
 def weighted_median_value(events: DataFrame) -> DataFrame:
     """Custom pandas UDAF: per event_type, the weighted median of
     `value` weighted by props.k — defined as the smallest value whose
