@@ -141,6 +141,26 @@ def data_quality_report(lineitem: DataFrame) -> DataFrame:
     return melted.unionByName(dup_keys)
 
 
+def observed_quality_metrics(lineitem: DataFrame):
+    """Single-pass pipeline metrics via df.observe(): the quality
+    counters ride along with whatever action consumes the DataFrame —
+    zero extra scans, the pattern for per-partition publish gates at
+    scale. Returns (df, observation); read observation.get AFTER an
+    action on df."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_metrics")
+    observed = lineitem.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)).alias(
+            "bad_qty"
+        ),
+        F.sum(F.when(F.col("l_discount") > 0.1, 1).otherwise(0)).alias("bad_discount"),
+    )
+    return observed, obs
+
+
 def weighted_median_value(events: DataFrame) -> DataFrame:
     """Custom pandas UDAF: per event_type, the weighted median of
     `value` weighted by props.k — defined as the smallest value whose
