@@ -394,6 +394,29 @@ def _rollup_nation_year(spark, sf_dir):
     )
 
 
+def _array_functions(spark, sf_dir):
+    """Explicit array-function coverage over the embedding vectors:
+    size/element_at/slice + element-wise aggregates via higher-order
+    functions (JVM-side, no UDF)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        F.round(F.element_at(e, 1), 6).alias("first_val"),
+        F.round(F.array_min(e), 6).alias("min_val"),
+        F.round(F.array_max(e), 6).alias("max_val"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_val"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 6
+        ).alias("l2_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda a, x: a + x), 6).alias("head8_sum"),
+    )
+
+
 def _string_functions(spark, sf_dir):
     """Explicit string-function coverage (upper/lower/trim/substr/
     replace/lpad/levenshtein/split) — §2.3 'String functions' made
@@ -576,6 +599,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rollup_nation_year": _rollup_nation_year,
         "string_functions": _string_functions,
         "math_functions": _math_functions,
+        "array_functions": _array_functions,
         "q6_forecast_revenue": _q6,
         "q10_returned_items": _q10,
         "q12_late_shipments": _q12,
@@ -952,6 +976,20 @@ _ORACLES["minhash_lsh_pairs"] = f"""
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
+"""
+
+_ORACLES["array_functions"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT vec_id,
+           CAST(len(emb) AS BIGINT) AS dim,
+           round(emb[1], 6) AS first_val,
+           round(list_min(emb), 6) AS min_val,
+           round(list_max(emb), 6) AS max_val,
+           round(list_sum(emb), 6) AS sum_val,
+           round(sqrt(list_sum(list_transform(emb, x -> x * x))), 6) AS l2_norm,
+           CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_positive,
+           round(list_sum(emb[1:8]), 6) AS head8_sum
+    FROM e
 """
 
 _ORACLES["string_functions"] = """

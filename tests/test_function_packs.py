@@ -10,6 +10,7 @@ from tests.oracle import assert_matches_oracle
     [
         "string_functions",
         "math_functions",
+        "array_functions",
         "weighted_median_value",
         "event_value_histogram",
         "lineitem_price_stats",
