@@ -277,6 +277,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     deterministic and identical in any engine with md5. Weight =
     token count in the doc. Bit set iff weighted sum ≥ 0.
     """
+    # md5 hoisted ABOVE the per-bit explosion: hash once per (doc,tok),
+    # not once per (doc,tok,bit) — 16× less hashing, same values
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -284,14 +286,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         )
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("tok"))
     )
     bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i")
     # substr with a column-valued position needs the SQL form (expr).
     contrib = (
-        toks.select("doc_id", "tok", "cnt", bits)
+        toks.select("doc_id", "h", "cnt", bits)
         .withColumn(
             "sgn",
-            F.when(F.expr("substr(md5(tok), i + 1, 1)").isin(*_HI_HEX), F.lit(1)).otherwise(F.lit(-1)),
+            F.when(F.expr("substr(h, i + 1, 1)").isin(*_HI_HEX), F.lit(1)).otherwise(F.lit(-1)),
         )
         .groupBy("doc_id", "i")
         .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
@@ -315,6 +318,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     positive (top bit unused) so the value fits a BIGINT unsigned-free.
     """
     n_bits = 63  # stay within non-negative BIGINT range
+    # md5 hoisted above the per-bit explosion (63× less hashing)
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -322,13 +326,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("tok"))
     )
     bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
     # hex digit value without engine-specific conv(): position in the
     # hex alphabet, identical in DuckDB
-    digit_val = F.expr("position(substr(md5(tok), i DIV 4 + 1, 1) IN '0123456789abcdef') - 1")
+    digit_val = F.expr("position(substr(h, i DIV 4 + 1, 1) IN '0123456789abcdef') - 1")
     contrib = (
-        toks.select("doc_id", "tok", "cnt", bits)
+        toks.select("doc_id", "h", "cnt", bits)
         .withColumn("dv", digit_val)
         .withColumn("sgn", F.when(F.expr("(dv DIV CAST(power(2, i % 4) AS INT)) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)))
         .groupBy("doc_id", "i")
