@@ -13,6 +13,29 @@ def test_matches_oracle(spark, sf_dir, name):
     assert n > 0
 
 
+def test_python_udtf_runs(spark, sf_dir):
+    # Python table function (1→N rows) — the modern form of the
+    # reference's Map UDTF contract, registered into SQL.
+    from pyspark.sql.functions import udtf
+
+    from mapreduce_golang_spark.sources.tables import register_views
+
+    @udtf(returnType="word: string, pos: int")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    register_views(spark, sf_dir, names=("documents",))
+    rows = spark.sql(
+        "SELECT t.word, t.pos FROM documents, LATERAL tokenize_udtf(text) t "
+        "WHERE doc_id = 0"
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.pos >= 0 for r in rows)
+
+
 def test_registered_python_udf_runs(spark, sf_dir):
     # spark.udf.register surface (row-at-a-time UDF — supported but
     # deliberately absent from operator hot paths; see README).
