@@ -155,6 +155,33 @@ def streaming_purchase_click_join(
     return spark.table(query_name)
 
 
+def stream_to_parquet_exactly_once(
+    spark: SparkSession, sf_dir: str, out_path: str, query_name: str = "stream_sink"
+) -> None:
+    """foreachBatch parquet sink with idempotent batch directories:
+    each micro-batch writes to batch_id-keyed partitions with
+    overwrite, so a replayed batch (failure/restart) lands in the same
+    place instead of duplicating — the standard exactly-once file-sink
+    recipe when the built-in file sink's log can't be used."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch={batch_id}")
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{out_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_user_counts_stateful(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_user_counts"
 ) -> DataFrame:

@@ -41,6 +41,21 @@ def test_sample_frames_plumbing(spark):
     assert by_doc[1][0].frame == b"x" * 16
 
 
+def test_foreachbatch_sink_exactly_once(spark, sf_dir, tmp_path):
+    from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.streaming.events_stream import stream_to_parquet_exactly_once
+
+    out = str(tmp_path / "sink")
+    stream_to_parquet_exactly_once(spark, sf_dir, out, query_name="sink_t1")
+    written = spark.read.parquet(out)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert written.count() == n_src
+    # replay: restarting against the same checkpoint must be a no-op
+    # (no new batches, no duplicated rows)
+    stream_to_parquet_exactly_once(spark, sf_dir, out, query_name="sink_t2")
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_streaming_equals_batch_hourly(spark, sf_dir):
     # The streaming aggregate drained with availableNow must equal the
     # batch aggregate over the same fixture (n_events column naming
