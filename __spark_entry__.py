@@ -947,11 +947,19 @@ _ORACLES["exact_dedup"] = """
     GROUP BY 1
 """
 
+# mirrors operators/dedup.py::ngram_jaccard_pairs default semantics:
+# candidates from the doc-freq-capped posting lists (max_doc_freq=256,
+# the boilerplate-shingle guard), Jaccard verified over FULL sets
 _ORACLES["ngram_jaccard_pairs"] = f"""
     WITH {_SHINGLES_CTE},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    posting AS (
+        SELECT s.doc_id, s.shingle
+        FROM shn s JOIN freq f ON s.shingle = f.shingle AND f.df_ <= 256
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     {_JACCARD_TAIL}
 """
@@ -1157,12 +1165,20 @@ _ORACLES["orders_above_customer_avg"] = """
     FROM w WHERE o_totalprice > cust_avg
 """
 
-# near-dup pairs at jaccard >= 0.5 (shared by survivors/components oracles)
+# near-dup pairs at jaccard >= 0.5 (shared by survivors/components
+# oracles) — candidates from the doc-freq-capped posting lists
+# (max_doc_freq=256 default), Jaccard over FULL sets, mirroring
+# operators/dedup.py::ngram_jaccard_pairs
 _NGRAM_PAIRS_SQL = f"""
     {_SHINGLES_CTE},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    posting AS (
+        SELECT s.doc_id, s.shingle
+        FROM shn s JOIN freq f ON s.shingle = f.shingle AND f.df_ <= 256
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     common AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common

@@ -94,46 +94,71 @@ def _jaccard_for_pairs(cand: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+#: default posting-list cap — shingles appearing in more docs than this
+#: are boilerplate (license headers, templates) and are dropped from
+#: CANDIDATE GENERATION only. The standard stopword-shingle guard: the
+#: co-occurrence join is quadratic per posting list, so an uncapped hot
+#: shingle shared by 1M docs is a 10^12-row join at corpus scale.
+DEFAULT_MAX_DOC_FREQ = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs by k-word-shingle Jaccard ≥ threshold.
 
     Candidates come from the shingle inverted index (docs sharing ≥1
-    shingle); ``max_doc_freq`` caps posting-list length to bound the
-    join blow-up on boilerplate shingles at scale.
+    shingle); ``max_doc_freq`` (ON by default) caps posting-list length
+    to bound the join blow-up on boilerplate shingles at scale. The cap
+    affects CANDIDATES only: Jaccard is always verified over each doc's
+    FULL shingle set (same split as minhash_lsh_pairs), so reported
+    similarity is never underestimated — a pair is only ever missed if
+    it shares exclusively boilerplate shingles, which is the guard's
+    documented semantics. ``max_doc_freq=None`` disables the guard and
+    computes the exact all-pairs answer.
     """
     shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    posting = shingles
-    if max_doc_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
-        posting = shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
-    # one co-occurrence join, aggregated straight to common counts —
-    # no separate candidate-distinct + re-join pass (halves the work;
-    # the candidate/verify split only pays off when candidates are
-    # produced by something cheaper than the join itself, i.e. LSH)
-    a = posting.alias("a")
-    b = posting.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    j = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard_raw"),
+    if max_doc_freq is None:
+        # exact path: one co-occurrence join, aggregated straight to
+        # common counts — no separate candidate-distinct + re-join pass
+        # (halves the work when every posting list is fair game)
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
         )
-    )
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        j = (
+            common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard_raw"),
+            )
+        )
+    else:
+        # guarded path: candidates from the capped inverted index,
+        # exact Jaccard over the UNFILTERED shingle sets
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        posting = shingles.join(
+            freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+        )
+        a = posting.alias("a")
+        b = posting.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        j = _jaccard_for_pairs(cand, shingles)
     return j.where(F.col("jaccard_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
@@ -229,18 +254,32 @@ def near_dup_components(
     Iterative DataFrame algorithm (not SQL-expressible in one query):
     each round joins labels to edges and takes the min over the
     neighborhood; converges in O(graph diameter) rounds, bounded by
-    ``max_iter``. Per-round cache + count keeps the loop's lineage
-    from compounding; at cluster scale add periodic checkpointing.
-    The DuckDB oracle computes the same fixpoint with a recursive CTE.
+    ``max_iter``. Each round ``localCheckpoint(eager=True)``s the new
+    labels so the logical plan stays flat (lazy cache leaves the plan
+    nesting once per round until driver planning cost explodes — same
+    pattern as operators/graph.py::near_dup_pagerank). The pair graph
+    is orders of magnitude smaller than the corpus, so edges/labels are
+    re-partitioned down before iterating. If the loop exits without
+    converging (graph diameter > max_iter) a RuntimeError is raised
+    rather than silently returning non-fixpoint labels — the DuckDB
+    oracle computes the full transitive closure, and the documented
+    semantics are the fixpoint.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .cache()
+        .repartition(4, "v")
+        .localCheckpoint(eager=True)  # computed once, reused every round
     )
-    labels = df.select(F.col(id_col).alias("u")).withColumn("label", F.col("u")).cache()
+    labels = (
+        df.select(F.col(id_col).alias("u"))
+        .withColumn("label", F.col("u"))
+        .repartition(4, "u")
+        .localCheckpoint(eager=True)
+    )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -250,7 +289,7 @@ def near_dup_components(
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select("u", F.least("label", F.coalesce("nmin", "label")).alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -261,6 +300,12 @@ def near_dup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); raise max_iter — convergence "
+            "needs O(component diameter) rounds"
+        )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
 
 

@@ -141,7 +141,12 @@ def doc_fingerprints(df: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """
     toks = df.select("doc_id", F.posexplode(_clean_tokens(F.col("text"))).alias("pos", "tok"))
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    shingle = F.concat_ws(" ", "tok", F.lead("tok", 1).over(by_doc), F.lead("tok", 2).over(by_doc))
+    # k-shingle = this token + the next k-1 (concat_ws skips the null
+    # leads past the doc end; the size==k filter below drops those
+    # ragged tails) — same lead construction as dedup.word_shingles
+    shingle = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(by_doc) for i in range(1, k)]
+    )
     shingles = (
         toks.withColumn("shingle", shingle)
         .where(F.size(F.split(F.col("shingle"), " ")) == k)  # drop ragged tail shingles

@@ -14,9 +14,43 @@ from __future__ import annotations
 import re
 
 # Same predicate as Go unicode.IsLetter splitting in the reference
-# tokenizer (/root/reference/src/mrapps/wc.go:21-27): runs of letters,
-# expressed as word-chars minus digits/underscore (Python re lacks \p{L}).
-_LETTER_RUN = re.compile(r"[^\W\d_]+", re.UNICODE)
+# tokenizer (/root/reference/src/mrapps/wc.go:21-27): runs of letters.
+# The engine's CANONICAL letter predicate is the JVM regex \p{L}
+# (functions/tokenize.py tokenizes JVM-side in the hot path), so this
+# Python tokenizer must match it exactly. Python's [^\W\d_] follows
+# CPython's Unicode tables, which classify some codepoints differently
+# from the JRE's (newer-Unicode letters like U+12F90, and category
+# No/Nl word-chars like '²'); _unicode_compat holds the generated
+# divergence sets and we correct the class with them.
+from mapreduce_golang_spark.functions._unicode_compat import JVM_NOT_PY, PY_NOT_JVM
+
+
+def _codepoint_class(cps) -> str:
+    """Compress a codepoint set into regex character-class ranges."""
+    out, run_start, prev = [], None, None
+    for cp in sorted(cps):
+        if run_start is None:
+            run_start = prev = cp
+        elif cp == prev + 1:
+            prev = cp
+        else:
+            out.append((run_start, prev))
+            run_start = prev = cp
+    if run_start is not None:
+        out.append((run_start, prev))
+    return "".join(
+        f"\\U{a:08X}" if a == b else f"\\U{a:08X}-\\U{b:08X}" for a, b in out
+    )
+
+
+def _build_letter_run() -> re.Pattern[str]:
+    core = rf"[^\W\d_{_codepoint_class(PY_NOT_JVM)}]"
+    if JVM_NOT_PY:
+        return re.compile(rf"(?:{core}|[{_codepoint_class(JVM_NOT_PY)}])+", re.UNICODE)
+    return re.compile(core + "+", re.UNICODE)
+
+
+_LETTER_RUN = _build_letter_run()
 
 
 def _tokens(text: str) -> list[str]:

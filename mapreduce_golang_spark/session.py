@@ -23,7 +23,8 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_APPS: set[str] = set()
+_ARCHIVE_DIR: str | None = None
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -35,21 +36,30 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     ModuleNotFoundError whenever the driver wasn't launched from the
     repo root. addPyFile is the same mechanism ``--py-files`` uses on
     a real cluster, so this is the deployment story at scale too.
+
+    The archive lives in a per-process mkdtemp and is named per
+    applicationId, so concurrent sessions (bench + pytest, multiple
+    users) never rewrite a zip another context's executors are
+    fetching; keying the shipped-set on applicationId (not id(sc))
+    survives id() reuse after GC.
     """
     sc = spark.sparkContext
-    key = id(sc)
-    if key in _SHIPPED_CONTEXTS:
+    key = sc.applicationId
+    if key in _SHIPPED_APPS:
         return
+    global _ARCHIVE_DIR
+    if _ARCHIVE_DIR is None:
+        _ARCHIVE_DIR = tempfile.mkdtemp(prefix="mgs_pkg_")
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     archive = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "mapreduce_golang_spark_pkg"),
+        os.path.join(_ARCHIVE_DIR, f"mapreduce_golang_spark_pkg_{key}"),
         "zip",
         root_dir=root,
         base_dir="mapreduce_golang_spark",
     )
     sc.addPyFile(archive)
-    _SHIPPED_CONTEXTS.add(key)
+    _SHIPPED_APPS.add(key)
 
 
 def _default_master() -> str:

@@ -52,3 +52,46 @@ def test_simhash_identical_docs_same_hash(spark):
     rows = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert rows[1] == rows[2]
     assert 0 <= rows[1] < 2**16
+
+
+def test_ngram_hot_shingle_guard_caps_posting_list(spark):
+    # a boilerplate shingle shared by MANY docs must not generate
+    # candidates (posting list capped at max_doc_freq), while pairs
+    # sharing a rare shingle still verify Jaccard over FULL sets
+    from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved forever"  # one shared 4-token run -> shared 3-shingles
+    rows = [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(40)]
+    # docs 100/101: share boilerplate AND a rare tail -> near-dup pair
+    rows += [
+        (100, f"{boiler} special marker tail one"),
+        (101, f"{boiler} special marker tail two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # cap below the boilerplate doc-frequency: the 40 filler docs share
+    # ONLY capped shingles -> zero pairs among them
+    guarded = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=10).collect()
+    pair_ids = {(r.doc_a, r.doc_b): r.jaccard for r in guarded}
+    assert all(a in (100, 101) or b in (100, 101) for a, b in pair_ids)
+    assert (100, 101) in pair_ids
+
+    # jaccard must equal the UNFILTERED value (full-set verify), not the
+    # underestimate from filtered postings
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=None).collect()
+    }
+    assert pair_ids[(100, 101)] == exact[(100, 101)]
+
+
+def test_ngram_guard_default_matches_exact_on_fixture(spark, sf_dir):
+    # at fixture scale no shingle exceeds the default cap, so the
+    # guarded default must return the identical pair set
+    from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    guarded = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    exact = {tuple(r) for r in ngram_jaccard_pairs(docs, max_doc_freq=None).collect()}
+    assert guarded == exact and len(guarded) > 0

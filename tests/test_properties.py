@@ -15,10 +15,13 @@ import __spark_entry__ as entrymod  # noqa: F401 — ensures sys.path wiring
 from mapreduce_golang_spark.plans.mapreduce import run_job
 from mapreduce_golang_spark.plans.mrapps import _tokens
 
-# text with unicode letters, digits, punctuation, whitespace
+# text with unicode letters, digits, punctuation, whitespace — plus the
+# categories where \w-based and \p{L}-based classes diverge (No/Nl
+# superscripts and fractions, modifier letters, marks)
 TEXTS = st.text(
     alphabet=st.characters(
-        codec="utf-8", categories=("Lu", "Ll", "Lo", "Nd", "Po", "Zs", "Cc")
+        codec="utf-8",
+        categories=("Lu", "Ll", "Lo", "Lt", "Lm", "Nd", "Nl", "No", "Po", "Zs", "Cc", "Mn", "So"),
     ),
     max_size=200,
 )
@@ -40,21 +43,69 @@ def test_distributed_equals_sequential_any_corpus(spark, docs):
     assert dist == seq
 
 
-@given(TEXTS)
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_tokenizer_python_matches_spark_regex(spark, text):
+@given(st.lists(TEXTS, min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tokenizer_python_matches_spark_regex(spark, texts):
     # the Python mrapps tokenizer and the Spark \p{L} tokenizer must
-    # agree on arbitrary unicode input (Go unicode.IsLetter semantics)
+    # agree on arbitrary unicode input (Go unicode.IsLetter semantics);
+    # each example checks a batch of texts in one DataFrame round-trip
+    # (8 examples x 25 texts ≈ 200 generated inputs per run)
     from pyspark.sql import functions as F
 
     from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
 
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    rows = (
+        df.select("i", F.array_remove(F.split("text", LETTERS_ONLY_RE), "").alias("t"))
+        .orderBy("i")
+        .collect()
+    )
+    for row in rows:
+        assert row.t == _tokens(texts[row.i])
+
+
+def test_tokenizer_divergent_codepoints_match_jvm(spark):
+    # regression for the Unicode-version skew: codepoints Python's
+    # [^\W\d_] accepts but the JVM \p{L} rejects (U+12F90 Cypro-Minoan,
+    # '²' No-category) must be separators in BOTH tokenizers
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+    text = "a\U00012F90b x²y"
     py_tokens = _tokens(text)
     df = spark.createDataFrame([(text,)], ["text"])
     spark_tokens = df.select(
         F.array_remove(F.split("text", LETTERS_ONLY_RE), "").alias("t")
     ).collect()[0].t
-    assert spark_tokens == py_tokens
+    assert spark_tokens == py_tokens == ["a", "b", "x", "y"]
+
+
+def test_unicode_compat_table_current(spark):
+    # the baked divergence table must match the running engines: every
+    # listed codepoint classifies as recorded, and a deterministic
+    # stride-sample of all other codepoints shows no NEW divergence
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.functions._unicode_compat import JVM_NOT_PY, PY_NOT_JVM
+
+    py_letter = re.compile(r"[^\W\d_]")
+    listed = sorted(PY_NOT_JVM | JVM_NOT_PY)
+    sample = [
+        cp
+        for cp in range(0, 0x110000, 17)
+        if not (0xD800 <= cp <= 0xDFFF) and cp not in PY_NOT_JVM and cp not in JVM_NOT_PY
+    ]
+    rows = [(cp, chr(cp), bool(py_letter.match(chr(cp)))) for cp in listed + sample]
+    df = spark.createDataFrame(rows, ["cp", "ch", "py_letter"])
+    diff = {
+        r.cp
+        for r in df.withColumn("jvm_letter", F.col("ch").rlike(r"^\p{L}$"))
+        .where(F.col("py_letter") != F.col("jvm_letter"))
+        .collect()
+    }
+    assert diff == set(PY_NOT_JVM), "letter-classification drift vs baked _unicode_compat table"
+    assert not JVM_NOT_PY  # currently empty; regenerate the table if this fires
 
 
 def test_tokenizer_known_unicode_edges(spark):

@@ -32,3 +32,31 @@ def test_fingerprints_detect_shared_text(spark):
     # identical docs → identical fingerprint sets; different doc differs
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_fingerprints_k_parameter_respected(spark, k):
+    # regression: k used to be accepted but hardcoded to 3-token
+    # shingles (k=2 kept only ragged tails, k>3 returned zero rows)
+    from mapreduce_golang_spark.operators.text_analysis import doc_fingerprints
+
+    words = [f"w{i}" for i in range(12)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = doc_fingerprints(df, k=k, window=4).collect()
+    assert len(rows) == 1
+    # n tokens → n-k+1 full shingles → n-k+1-(window-1) full windows,
+    # fingerprints = distinct window-mins ∈ [1, windows]
+    n_windows = len(words) - k + 1 - 3
+    assert 1 <= rows[0].n_fingerprints <= n_windows
+
+
+def test_fingerprints_different_k_different_prints(spark):
+    from mapreduce_golang_spark.operators.text_analysis import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    k2 = doc_fingerprints(df, k=2).collect()[0]
+    k3 = doc_fingerprints(df, k=3).collect()[0]
+    assert (k2.min_fp, k2.max_fp) != (k3.min_fp, k3.max_fp)
