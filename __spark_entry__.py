@@ -78,6 +78,10 @@ def _indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity.inverted_index(load_table(spark, sf_dir, "documents"))
 
 
+def _indexer_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parity.inverted_index(load_table(spark, sf_dir, "documents"), packed=True)
+
+
 def _file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity.file_counts(load_table(spark, sf_dir, "documents"), file_col="source")
 
@@ -293,6 +297,62 @@ def _above_avg(spark, sf_dir):
     return joins.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
 
 
+def _q4(spark, sf_dir):
+    return joins.q4_order_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q7(spark, sf_dir):
+    return joins.q7_volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q8(spark, sf_dir):
+    return joins.q8_market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q13(spark, sf_dir):
+    return joins.q13_customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q17(spark, sf_dir):
+    return joins.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q19(spark, sf_dir):
+    return joins.q19_discounted_revenue(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q22(spark, sf_dir):
+    return joins.q22_sales_opportunity(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _survivors(spark, sf_dir):
     return dedup.near_dup_survivors(load_table(spark, sf_dir, "documents"))
 
@@ -305,6 +365,16 @@ def _pagerank(spark, sf_dir):
     from mapreduce_golang_spark.operators.graph import near_dup_pagerank
 
     return near_dup_pagerank(load_table(spark, sf_dir, "documents"))
+
+
+def _near_dup_pipeline(spark, sf_dir):
+    return dedup.near_dup_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+def _bucketed_join(spark, sf_dir):
+    from mapreduce_golang_spark.sources.formats import bucketed_join_revenue
+
+    return bucketed_join_revenue(spark, sf_dir)
 
 
 # --- analytics pack --------------------------------------------------------
@@ -613,6 +683,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pack_sequences": _packing,
         "redact_numbers": _redact,
         "corpus_final_selection": _final_selection,
+        "indexer_packed": _indexer_packed,
+        "near_dup_pipeline": _near_dup_pipeline,
+        "q4_order_priority": _q4,
+        "q7_volume_shipping": _q7,
+        "q8_market_share": _q8,
+        "q13_customer_distribution": _q13,
+        "q17_small_quantity_revenue": _q17,
+        "q19_discounted_revenue": _q19,
+        "q22_sales_opportunity": _q22,
+        "bucketed_join_revenue": _bucketed_join,
     }
 
 
@@ -1284,6 +1364,166 @@ _ORACLES["near_dup_components"] = f"""
     reach_min AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
     SELECT d.doc_id, least(d.doc_id, coalesce(r.mn, d.doc_id)) AS component_id
     FROM documents d LEFT JOIN reach_min r ON d.doc_id = r.u
+"""
+
+# same pairs graph feeding components + survivors + sizes — mirrors
+# operators/dedup.py::near_dup_pipeline (one pairs computation shared)
+_ORACLES["near_dup_pipeline"] = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    ),
+    reach_min AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+    comp AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(r.mn, d.doc_id)) AS component_id
+        FROM documents d LEFT JOIN reach_min r ON d.doc_id = r.u
+    ),
+    comp_sizes AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, c.component_id, s.component_size,
+           CAST(CASE WHEN c.doc_id IN (SELECT doc_b FROM pairs) THEN 0 ELSE 1 END AS BIGINT)
+               AS is_survivor
+    FROM comp c JOIN comp_sizes s USING (component_id)
+"""
+
+# bucketing is an execution-layout detail — the relational answer is a
+# plain join+group-by (the exchange-free plan is asserted in
+# tests/test_sources.py::test_bucketed_query_entry_plan)
+_ORACLES["bucketed_join_revenue"] = """
+    SELECT o.o_orderkey,
+           max(o.o_totalprice) AS o_totalprice,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS line_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+"""
+
+_ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+_ORACLES["q7_volume_shipping"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q8_market_share"] = """
+    SELECT year(o.o_orderdate) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE o.o_custkey IN (
+        SELECT c.c_custkey
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AMERICA'
+    )
+    GROUP BY 1
+"""
+
+_ORACLES["q13_customer_distribution"] = """
+    WITH cnt AS (
+        SELECT o_custkey, count(*) AS c_count
+        FROM orders
+        WHERE o_orderpriority <> '5-LOW'
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(cnt.c_count, 0) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey
+    GROUP BY 1
+"""
+
+_ORACLES["q17_small_quantity_revenue"] = """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+_ORACLES["q19_discounted_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_ORACLES["q22_sales_opportunity"] = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_mktsegment
+"""
+
+# reference indexer.go:38 packed output: "<n_docs> <doc1,doc2,...>"
+_ORACLES["indexer_packed"] = r"""
+    WITH pairs AS (
+        SELECT DISTINCT doc, word
+        FROM (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) AS doc,
+                   unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+    )
+    SELECT word,
+           CAST(COUNT(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS index
+    FROM pairs
+    GROUP BY word
 """
 
 _ORACLES["chunk_documents"] = r"""

@@ -309,6 +309,41 @@ def near_dup_components(
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
 
 
+def near_dup_pipeline(
+    df: DataFrame, id_col: str = "doc_id", max_iter: int = 15
+) -> DataFrame:
+    """Materialize-once near-dup pipeline: the pair graph is computed
+    ONCE (``localCheckpoint(eager=True)`` — the in-session analogue of
+    writing the pairs table to parquet between pipeline stages) and
+    feeds BOTH downstream consumers — connected components and the
+    keep-lowest-id survivor policy — plus per-component sizes.
+
+    Standalone, each consumer recomputes ``ngram_jaccard_pairs`` from
+    scratch (shingle explode + posting-list join); at 100 TB that is
+    the dominant cost, so a real pipeline pays it once and shares the
+    result. Returns one row per doc:
+    (doc_id, component_id, component_size, is_survivor).
+    """
+    pairs = ngram_jaccard_pairs(df, id_col=id_col).localCheckpoint(eager=True)
+    comp = near_dup_components(df, pairs=pairs, id_col=id_col, max_iter=max_iter)
+    surv = near_dup_survivors(df, pairs=pairs, id_col=id_col).withColumn(
+        "is_survivor", F.lit(1)
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return (
+        comp.join(sizes, "component_id")
+        .join(surv, id_col, "left")
+        .select(
+            id_col,
+            "component_id",
+            "component_size",
+            F.coalesce("is_survivor", F.lit(0)).cast("long").alias("is_survivor"),
+        )
+    )
+
+
 #: hex digits whose high bit is set — used as the per-bit hash of a token.
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 

@@ -244,6 +244,202 @@ def q18_large_orders(
     )
 
 
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the fixture has no l_commitdate /
+    l_receiptdate, so a line is "late" if shipped more than
+    ``late_days`` after the order date). EXISTS becomes a LEFT SEMI
+    join — the equi-key carries the hash join, the lateness predicate
+    rides as the join filter, and only o_orderkey ships for the probe.
+    """
+    sel = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue between two nations by
+    (supplier nation, customer nation, ship year). Both nation-tagged
+    dims broadcast; the only big exchange is lineitem⋈orders."""
+    two = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(two), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(two), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "AMERICA",
+    target_nation: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of supply revenue into
+    one region's customers, per order year. Conditional-sum ratio after
+    all-broadcast dim joins; one fact⋈fact exchange."""
+    rnations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(rnations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left join is the point of the
+    query). The fixture lacks o_comment, so the excluded-order filter
+    stands in on o_orderpriority. Orders pre-aggregate per custkey
+    before touching the customer dim."""
+    cnt = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    per_cust = customer.select("c_custkey").join(
+        cnt, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q17_small_quantity_revenue(
+    part: DataFrame, lineitem: DataFrame, brand: str = "Brand#1", fraction: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity lines of one
+    brand (yearly average). The correlated scalar subquery
+    (0.2 * per-part avg quantity) decorrelates into a pre-aggregated
+    per-part average joined back — broadcastable because it is one row
+    per part, bounded by the dim."""
+    parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    avgs = li.groupBy("p_partkey").agg((fraction * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(avgs.withColumnRenamed("p_partkey", "a_partkey")),
+                F.col("p_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (brand, size, quantity-band)
+    predicate — the classic OR-of-ANDs join filter. The part dim
+    broadcasts; the OR predicate evaluates inside the join's codegen
+    (no per-branch scans)."""
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q22_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no orders since
+    ``since`` (lapsed accounts — every fixture customer has *some*
+    order, so "never ordered" would be vacuously empty), grouped by
+    market segment (the fixture has no phone column, so mktsegment
+    stands in for the country code). The global positive-balance
+    average is a scalar broadcast (cross join of one row); the
+    no-recent-orders test is a LEFT ANTI shipping only the filtered
+    o_custkey side."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("bal_cut"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
     """Correlated-subquery shape (order price > its customer's average)
     expressed as a window — the decorrelated form that scales: one

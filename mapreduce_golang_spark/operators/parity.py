@@ -23,15 +23,20 @@ from pyspark.sql import functions as F
 from mapreduce_golang_spark.functions.tokenize import doc_name, tokenize
 
 
-def inverted_index(df: DataFrame, doc_col=None, text_col: str = "text") -> DataFrame:
+def inverted_index(
+    df: DataFrame, doc_col=None, text_col: str = "text", packed: bool = False
+) -> DataFrame:
     """W2 `indexer` — word → (n_docs, sorted comma-joined doc list).
 
     Reference map dedupes words within a doc via a set, reduce sorts
     doc names and joins with ',' prefixing the count
     (/root/reference/src/mrapps/indexer.go:20-39). Relationally:
-    distinct (doc, word) pairs → count + ordered string_agg. We keep
-    count and list as separate typed columns instead of the "<n> <list>"
-    packed string — same information, honest schema.
+    distinct (doc, word) pairs → count + ordered string_agg. By default
+    we keep count and list as separate typed columns instead of the
+    "<n> <list>" packed string — same information, honest schema;
+    ``packed=True`` emits the reference's exact output value
+    (indexer.go:38: ``fmt.Sprintf("%d %s", len(docs), join(docs,","))``)
+    as (word, index) for bit-exact mr-out parity.
 
     Plan shape: explode → local+global DISTINCT (partial aggregate
     before the exchange — the reference's map-side dedup, generalized)
@@ -39,10 +44,16 @@ def inverted_index(df: DataFrame, doc_col=None, text_col: str = "text") -> DataF
     """
     doc = doc_col if doc_col is not None else doc_name()
     pairs = tokenize(df.withColumn("doc", doc), text_col=text_col, out="word", keep=("doc",)).distinct()
-    return pairs.groupBy("word").agg(
+    idx = pairs.groupBy("word").agg(
         F.count("doc").alias("n_docs"),
         F.concat_ws(",", F.sort_array(F.collect_list("doc"))).alias("docs"),
     )
+    if packed:
+        return idx.select(
+            "word",
+            F.concat_ws(" ", F.col("n_docs").cast("string"), "docs").alias("index"),
+        )
+    return idx
 
 
 def file_counts(df: DataFrame, file_col: str = "source") -> DataFrame:

@@ -81,24 +81,84 @@ def _dir_bytes(path: str) -> int:
 
 
 def save_bucketed_table(
-    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (optionally sorted) managed table. Joins
-    and aggregations on ``bucket_col`` between tables bucketed the
-    same way run shuffle-free (asserted in tests)."""
+    """Persist as a bucketed (optionally sorted) table. Joins and
+    aggregations on ``bucket_col`` between tables bucketed the same way
+    run shuffle-free (asserted in tests). With ``path`` the table is
+    EXTERNAL at that location (usable when the session's warehouse dir
+    isn't writable — e.g. a driver launched from a read-only cwd);
+    otherwise managed in the warehouse."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a crashed previous writer can orphan the managed location while
-    # the in-memory catalog forgets the table — clear it or saveAsTable
-    # fails with LOCATION_ALREADY_EXISTS
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    if warehouse:
-        import shutil
+    if path is None:
+        # a crashed previous writer can orphan the managed location while
+        # the in-memory catalog forgets the table — clear it or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        if warehouse:
+            import shutil
 
-        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+            shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> DataFrame:
+    """End-to-end bucketed co-located join: orders and lineitem are
+    written bucketed on the ORDER KEY (external location), then joined
+    and aggregated on that same key. The join and the group-by consume
+    the bucketing — ZERO hash exchanges in the executed plan (asserted
+    in tests/test_sources.py): the shuffle was paid once at write
+    time, which is the point of bucketing for repeated co-located
+    joins at 100 TB. Returns per-order revenue
+    (o_orderkey, o_totalprice, line_revenue, n_lines)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    loc = tempfile.mkdtemp(prefix="mgs_buckets_")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    save_bucketed_table(orders, "bq_orders", "o_orderkey", n_buckets, path=f"{loc}/orders")
+    save_bucketed_table(li, "bq_lineitem", "l_orderkey", n_buckets, path=f"{loc}/lineitem")
+    # hint("merge") pins SMJ so the co-location property holds at any
+    # size (broadcast would also be exchange-free but only while one
+    # side stays small — not the 100 TB story being demonstrated)
+    return (
+        spark.table("bq_orders")
+        .join(
+            spark.table("bq_lineitem").hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("o_totalprice").alias("o_totalprice"),
+            # price×(1-discount) has ≤4 exact decimal digits, so the
+            # decimal(18,4) cast is lossless and the SUM is exact and
+            # ORDER-INDEPENDENT — with thousands of groups, a double
+            # sum hits .xx5 rounding ties that flip between engines
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("line_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

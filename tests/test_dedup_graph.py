@@ -8,7 +8,7 @@ from tests.oracle import assert_matches_oracle
 @pytest.mark.parametrize(
     "name",
     ["q6_forecast_revenue", "q10_returned_items", "q12_late_shipments", "q14_promo_revenue_share",
-     "near_dup_survivors", "near_dup_components"],
+     "near_dup_survivors", "near_dup_components", "near_dup_pipeline"],
 )
 def test_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
@@ -32,3 +32,25 @@ def test_components_transitive_chain(spark):
     comp = {r.doc_id: r.component_id for r in near_dup_components(df).collect()}
     assert comp[10] == 10
     assert comp[1] == comp[2] == comp[3] == 1
+
+
+def test_pipeline_consistent_with_parts(spark, sf_dir):
+    # the materialize-once pipeline must agree with the standalone
+    # operators it composes (same pairs → same components/survivors)
+    from mapreduce_golang_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_pipeline,
+        near_dup_survivors,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = near_dup_pipeline(docs).collect()
+    comp = {r.doc_id: r.component_id for r in near_dup_components(docs).collect()}
+    surv = {r.doc_id for r in near_dup_survivors(docs).collect()}
+    assert {r.doc_id: r.component_id for r in pipe} == comp
+    assert {r.doc_id for r in pipe if r.is_survivor == 1} == surv
+    sizes: dict[int, int] = {}
+    for r in pipe:
+        sizes[r.component_id] = sizes.get(r.component_id, 0) + 1
+    assert all(r.component_size == sizes[r.component_id] for r in pipe)

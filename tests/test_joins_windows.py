@@ -14,6 +14,12 @@ JOIN_QUERIES = [
     "orders_semi_join",
     "customers_anti_join",
     "revenue_rank_in_nation",
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
 ]
 
 WINDOW_QUERIES = [
@@ -32,6 +38,16 @@ def test_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
     if name != "customers_anti_join":
         assert n > 0
+
+
+def test_q7_matches_oracle_sf001(spark):
+    # the two-nation cross-border join is empty at sf0.001 (too few
+    # supplier/customer pairs); the driver-gate scale sf0.01 has rows
+    name = "q7_volume_shipping"
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], "/root/testdata/sf0.01"
+    )
+    assert n > 0
 
 
 def test_q5_broadcasts_dims(spark, sf_dir):

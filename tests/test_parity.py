@@ -5,10 +5,29 @@ import pytest
 from tests.oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["indexer", "file_counts", "crash_data"])
+@pytest.mark.parametrize("name", ["indexer", "indexer_packed", "file_counts", "crash_data"])
 def test_parity_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
     assert n > 0
+
+
+def test_indexer_packed_format(spark):
+    # bit-exact reference value format: "<n> <doc1,doc2,...>" with docs
+    # sorted (indexer.go:36-39)
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.operators.parity import inverted_index
+
+    df = spark.createDataFrame(
+        [("b.txt", 1, "shared"), ("a.txt", 2, "shared only"), ("c.txt", 3, "other")],
+        ["source", "doc_id", "text"],
+    )
+    doc = F.col("source")
+    # r["index"] not r.index — Row.index is a method name
+    rows = {r.word: r["index"] for r in inverted_index(df, doc_col=doc, packed=True).collect()}
+    assert rows["shared"] == "2 a.txt,b.txt"
+    assert rows["only"] == "1 a.txt"
+    assert rows["other"] == "1 c.txt"
 
 
 def test_crash_data_has_four_keys(spark, sf_dir):

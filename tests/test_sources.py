@@ -80,3 +80,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert n == orders.select("o_orderkey").distinct().join(
         lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
     ).count()
+
+
+def test_bucketed_query_entry_plan(spark, sf_dir):
+    # the queries()-grade entry must be exchange-free AND oracle-correct
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    df = entrymod.queries()["bucketed_join_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SelectedBucketsCount" in plan
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["bucketed_join_revenue"],
+        entrymod.oracle_sql()["bucketed_join_revenue"],
+        sf_dir,
+    )
+    assert n > 0
