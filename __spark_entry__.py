@@ -353,6 +353,67 @@ def _q22(spark, sf_dir):
     )
 
 
+def _q2(spark, sf_dir):
+    return joins.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q9(spark, sf_dir):
+    return joins.q9_product_type_profit(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q11(spark, sf_dir):
+    return joins.q11_important_stock(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q15(spark, sf_dir):
+    return joins.q15_top_supplier(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q16(spark, sf_dir):
+    return joins.q16_supplier_part_counts(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q20(spark, sf_dir):
+    return joins.q20_dominant_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q21(spark, sf_dir):
+    return joins.q21_suppliers_kept_waiting(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _survivors(spark, sf_dir):
     return dedup.near_dup_survivors(load_table(spark, sf_dir, "documents"))
 
@@ -693,6 +754,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q19_discounted_revenue": _q19,
         "q22_sales_opportunity": _q22,
         "bucketed_join_revenue": _bucketed_join,
+        "q2_min_cost_supplier": _q2,
+        "q9_product_type_profit": _q9,
+        "q11_important_stock": _q11,
+        "q15_top_supplier": _q15,
+        "q16_supplier_part_counts": _q16,
+        "q20_dominant_suppliers": _q20,
+        "q21_suppliers_kept_waiting": _q21,
     }
 
 
@@ -1944,6 +2012,149 @@ _ORACLES["doc_fingerprints"] = r"""
     )
     SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
     FROM fps GROUP BY doc_id
+"""
+
+
+_ORACLES["q2_min_cost_supplier"] = """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    rsupp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+               su.supply_cost
+        FROM supply su
+        JOIN part p ON su.l_partkey = p.p_partkey
+             AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        JOIN rsupp s ON su.l_suppkey = s.s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM cand c
+    WHERE supply_cost = (SELECT min(supply_cost) FROM cand c2
+                         WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+_ORACLES["q9_product_type_profit"] = """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+"""
+
+_ORACLES["q11_important_stock"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(round(value, 2) AS DOUBLE) AS value
+    FROM per_part
+    WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
+"""
+
+_ORACLES["q15_top_supplier"] = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(p.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.total_revenue = (SELECT max(total_revenue) FROM per_supp)
+"""
+
+_ORACLES["q16_supplier_part_counts"] = """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON pr.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 3)
+      AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q20_dominant_suppliers"] = """
+    WITH li AS (
+        SELECT l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE year(l_shipdate) = 1997
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    ),
+    per_ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        FROM li GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY 1
+    ),
+    dominant AS (
+        SELECT DISTINCT p.l_suppkey
+        FROM per_ps p JOIN per_part t ON p.l_partkey = t.l_partkey
+        WHERE p.supp_qty > 0.5 * t.part_qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+_ORACLES["q21_suppliers_kept_waiting"] = """
+    WITH per_os AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT l_suppkey, late,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM per_os
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM flagged f
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
+      AND n.n_name = 'NATION_2'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
 """
 
 

@@ -515,3 +515,309 @@ def revenue_rank_in_nation(
         .where(F.col("rnk") <= k)
         .select("n_name", "c_custkey", "c_name", "revenue", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def q2_min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    type_name: str = "STANDARD",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp table, so
+    the supply relation derives from lineitem — a (part, supplier)
+    pair's supply cost is its cheapest observed unit price
+    ``min(l_extendedprice / l_quantity)``).
+
+    The correlated min-cost subquery decorrelates into a per-part min
+    joined back; both the min table and the dims are bounded by the
+    part/supplier dims, so every join after the one lineitem hash-agg
+    is a broadcast. Top-k orders on a full unique key so the LIMIT is
+    deterministic.
+    """
+    rsupp = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = part.where(
+        (F.col("p_size") == size) & (F.col("p_type") == type_name)
+    ).select("p_partkey", "p_name")
+    supply = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = supply.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            # unrounded: the division is the same IEEE double in any
+            # engine, while round() half-ties (price/qty often ends
+            # .xxxx5 exactly) break differently between engines.
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def q9_product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_fragment: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp → per-unit supply cost is
+    proxied as ``cost_factor * p_retailprice``). Profit by (supplier
+    nation, order year) over parts whose name contains the fragment.
+
+    part and supplier⋈nation broadcast; the only big exchange is
+    lineitem⋈orders, then one hash agg. The profit terms are cast to
+    decimal(18,4) before SUM so the aggregate is exact and
+    summation-order independent (double sums are not).
+    """
+    parts = part.where(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q11_important_stock(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp → a part's "stock value"
+    from one nation's suppliers is the revenue shipped by those
+    suppliers). Parts whose value exceeds ``fraction`` of the nation
+    total — the HAVING-over-global-scalar shape: the total is a
+    one-row aggregate cross-joined back as a broadcast, not a
+    correlated rescan.
+    """
+    nsupp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = (
+        lineitem.join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.lit(fraction) * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).cast("double").alias("value"),
+        )
+    )
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter. The view becomes a per-supplier aggregate; the scalar max
+    is a one-row broadcast compared in decimal so the equality is
+    exact (a double-sum tie would be engine/order dependent).
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_part_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#5",
+    sizes: tuple = (1, 9, 14, 19, 23, 36, 45, 3),
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the (part, supplier) relation derives
+    from lineitem; "customer complaints" — the NOT IN supplier
+    exclusion — is proxied by negative account balance). Distinct
+    supplier count per (brand, type, size): the distinct pairs shrink
+    first (hash-agg on the pair), the excluded-supplier set ships as a
+    broadcast anti join, then one count-distinct agg.
+    """
+    parts = part.where(
+        (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_dominant_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "small",
+    year: int = 1997,
+    share: float = 0.5,
+    nation_name: str = "NATION_1",
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty → a supplier
+    "has excess stock" of a part if it shipped more than ``share`` of
+    that part's total quantity in the year — the dominant supplier).
+
+    Two-level aggregation: per (part, supplier) quantity, then per
+    part total joined back (bounded by the part dim → broadcast); the
+    qualifying supplier set reaches the supplier dim as a left-semi.
+    """
+    parts = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    li = lineitem.where(F.year("l_shipdate") == year).join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_suppliers_kept_waiting(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_2",
+    late_days: int = 30,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than
+    ``late_days`` after the order date — same convention as Q4).
+
+    Suppliers who were the ONLY late supplier on a multi-supplier
+    finalized order. The EXISTS (another supplier) / NOT EXISTS
+    (another late supplier) pair decorrelates into one per-(order,
+    supplier) aggregate plus order-level window counts — a single
+    orderkey exchange instead of two correlated self-joins of
+    lineitem.
+    """
+    li = lineitem.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).cast("int"),
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("is_late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    waiting = flagged.where(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            supplier.join(
+                F.broadcast(nation.where(F.col("n_name") == nation_name)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_semi",
+            ).select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

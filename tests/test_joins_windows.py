@@ -20,6 +20,11 @@ JOIN_QUERIES = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
 ]
 
 WINDOW_QUERIES = [
@@ -44,6 +49,17 @@ def test_q7_matches_oracle_sf001(spark):
     # the two-nation cross-border join is empty at sf0.001 (too few
     # supplier/customer pairs); the driver-gate scale sf0.01 has rows
     name = "q7_volume_shipping"
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], "/root/testdata/sf0.01"
+    )
+    assert n > 0
+
+
+@pytest.mark.parametrize("name", ["q20_dominant_suppliers", "q21_suppliers_kept_waiting"])
+def test_q20_q21_match_oracle_sf001(spark, name):
+    # both are empty at sf0.001 (no dominant supplier / no multi-
+    # supplier finalized order with exactly one late supplier in the
+    # tiny fixture); the driver-gate scale sf0.01 has rows
     n = assert_matches_oracle(
         spark, entrymod.queries()[name], entrymod.oracle_sql()[name], "/root/testdata/sf0.01"
     )
