@@ -353,6 +353,18 @@ def _q22(spark, sf_dir):
     )
 
 
+def _tfidf(spark, sf_dir):
+    return text_analysis.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _contamination(spark, sf_dir):
+    return text_analysis.contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+def _stratified_sample(spark, sf_dir):
+    return corpus.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
 def _q2(spark, sf_dir):
     return joins.q2_min_cost_supplier(
         load_table(spark, sf_dir, "region"),
@@ -761,6 +773,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q16_supplier_part_counts": _q16,
         "q20_dominant_suppliers": _q20,
         "q21_suppliers_kept_waiting": _q21,
+        "tfidf_top_terms": _tfidf,
+        "contamination_check": _contamination,
+        "stratified_sample": _stratified_sample,
     }
 
 
@@ -2155,6 +2170,74 @@ _ORACLES["q21_suppliers_kept_waiting"] = """
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
+"""
+
+
+_ORACLES["tfidf_top_terms"] = r"""
+    WITH words AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),
+    docfreq AS (SELECT word, count(DISTINCT source) AS source_freq FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM documents),
+    scored AS (
+        SELECT tf.source, tf.word, tf.tf, d.source_freq,
+               tf.tf * n.n_sources / d.source_freq AS tfidf
+        FROM tf JOIN docfreq d ON tf.word = d.word CROSS JOIN n
+    )
+    SELECT source, word, tf, source_freq, tfidf, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+"""
+
+_ORACLES["contamination_check"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) AS pos
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, source,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT doc_id, source, md5(shingle) AS h
+        FROM shingled
+        WHERE shingle IS NOT NULL
+          AND len(string_split(shingle, ' ')) = 3
+    ),
+    train AS (SELECT DISTINCT h FROM sh WHERE source NOT IN ('src18', 'src19')),
+    ev AS (SELECT doc_id, h FROM sh WHERE source IN ('src18', 'src19')),
+    hits AS (
+        SELECT doc_id, count(*) AS contaminated
+        FROM ev WHERE h IN (SELECT h FROM train) GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, count(*) AS total_ngrams FROM ev GROUP BY 1)
+    SELECT t.doc_id, t.total_ngrams,
+           coalesce(hits.contaminated, 0) AS contaminated,
+           round(coalesce(hits.contaminated, 0) / t.total_ngrams, 6) AS contamination_ratio
+    FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""
+
+_ORACLES["stratified_sample"] = """
+    WITH u AS (
+        SELECT source, doc_id,
+               ((CAST(CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIT) AS BIGINT)
+                 + 4294967296) % 4294967296) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT source, doc_id, round(u, 10) AS sample_key
+    FROM u
+    WHERE u < 0.2
 """
 
 

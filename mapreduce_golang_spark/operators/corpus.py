@@ -89,3 +89,33 @@ def corpus_final_selection(
         .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
         .select("doc_id", "quality_score", "n_tokens")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+    stratify_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified sample: keep ~``fraction`` of each
+    stratum, selected by an md5-derived uniform over the row id — the
+    reproducible replacement for ``df.sample()`` in a corpus pipeline
+    (re-runs, resumed jobs, and the DuckDB oracle all pick the exact
+    same rows; rand() would be engine- and partition-order dependent).
+
+    Scale shape: a pure narrow map — the per-row uniform is
+    ``int(md5[:8]) / 16^8`` and the filter ``uniform < fraction``
+    runs inside the scan's codegen stage. ZERO shuffles at any scale;
+    strata need no grouping because the threshold test is per-row.
+    Expected per-stratum sample size is fraction × stratum size
+    (binomial, not exact-k; exact-k per stratum would instead take a
+    row_number over the same hash within each stratum).
+    """
+    uniform = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return (
+        df.withColumn("u", uniform)
+        .where(F.col("u") < fraction)
+        .select(stratify_col, id_col, F.round("u", 10).alias("sample_key"))
+    )

@@ -48,18 +48,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, shingle)."""
+    """Distinct k-word shingles per doc: (doc_id, shingle).
+
+    A pure narrow map: the shingle array is sliced out of the token
+    array inside one codegen stage (no explode→window sort — an
+    earlier formulation paid a per-doc sort here, and every caller
+    recomputes this subplan several times). The only exchange is the
+    per-doc distinct, which callers' joins need hash-partitioned
+    anyway.
+    """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("pos", "tok"),
+        F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "").alias("toks"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    shingle = F.concat_ws(" ", *leads)
+    # guard: sequence(1, n) with n < 1 would generate a DESCENDING
+    # sequence, not an empty one — short docs must yield array()
+    shingle_arr = F.expr(
+        f"CASE WHEN size(toks) >= {k} "
+        f"THEN transform(sequence(1, size(toks) - {k - 1}), "
+        f"     i -> array_join(slice(toks, i, {k}), ' ')) "
+        f"ELSE array() END"
+    )
     return (
-        toks.withColumn("shingle", shingle)
-        .where(F.size(F.split(F.col("shingle"), " ")) == k)
-        .select("doc_id", "shingle")
+        toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -145,20 +156,79 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        # guarded path: candidates from the capped inverted index,
-        # exact Jaccard over the UNFILTERED shingle sets
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
-        posting = shingles.join(
-            freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+        # guarded path: candidates from the capped (cold) inverted
+        # index; Jaccard stays exact over the FULL shingle sets via
+        #   n_common = cold_common + hot_common
+        # cold_common aggregates straight out of the capped self-join
+        # (counts, no arrays); hot_common intersects per-doc arrays of
+        # HOT shingles only — hot shingles are few by definition (the
+        # cap marks boilerplate), so those arrays stay small even when
+        # the cold join is large. This avoids shipping each doc's full
+        # shingle set per candidate pair, which is quadratic bytes.
+        # one inverted-index aggregation (the ONLY exchange of the
+        # full shingle stream), checkpointed because three consumers
+        # read it: pair generation, hot per-doc sets, and doc sizes.
+        # Pairs then come narrowly out of each posting array — no
+        # co-occurrence self-join shuffle at all; the cap bounds the
+        # per-array expansion at max_doc_freq²/2.
+        post = (
+            shingles.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .localCheckpoint(eager=False)
         )
-        a = posting.alias("a")
-        b = posting.alias("b")
-        cand = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
+        sizes = (
+            post.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
         )
-        j = _jaccard_for_pairs(cand, shingles)
+        pair_expr = F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "  transform(slice(docs, i + 2, size(docs) - i - 1), "
+            "            y -> named_struct('doc_a', x, 'doc_b', y))))"
+        )
+        cold_common = (
+            post.where(F.size("docs") <= max_doc_freq)
+            .select(F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_cold"))
+        )
+        hot_sets = (
+            post.where(F.size("docs") > max_doc_freq)
+            .select("shingle", F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("hot_set"))
+        )
+        j = (
+            cold_common.join(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
+            )
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .join(
+                hot_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot_set", "hot_a"),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hot_set", "hot_b"),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "n_hot",
+                F.when(
+                    F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+                    F.size(F.array_intersect("hot_a", "hot_b")),
+                ).otherwise(F.lit(0)),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    (F.col("n_cold") + F.col("n_hot"))
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_cold") - F.col("n_hot"))
+                ).alias("jaccard_raw"),
+            )
+        )
     return j.where(F.col("jaccard_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )

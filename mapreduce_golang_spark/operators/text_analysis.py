@@ -166,3 +166,92 @@ def doc_fingerprints(df: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k distinctive terms per source by TF-IDF.
+
+    IDF is the *rational* form ``n_sources / doc_freq`` (doc_freq =
+    number of sources containing the term) rather than a logarithm:
+    the ranking is identical for a fixed corpus and the score is a
+    single exact double division, so the DuckDB differential hash is
+    stable to the last bit (``ln`` is not guaranteed correctly rounded
+    across libm implementations).
+
+    Scale shape: tokens collapse to (source, word) counts with partial
+    aggregation before any exchange; doc-frequency is a second
+    aggregate over the *already-collapsed* per-source vocabulary (rows
+    ∝ vocab × sources, not corpus tokens), joined back on word — both
+    sides hash-partition on word, no broadcast needed at any vocab
+    size. Top-k per source is a bounded window (sources are a bounded
+    dimension; the sort key set per group is the source vocabulary).
+    """
+    words = df.select(
+        "source", F.explode(_clean_tokens(F.col("text"))).alias("word")
+    )
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    # one-row scalar as a broadcast cross join — not a driver action
+    n_src = df.agg(F.countDistinct("source").cast("double").alias("n_sources"))
+    doc_freq = tf.groupBy("word").agg(F.countDistinct("source").alias("df"))
+    scored = (
+        tf.join(doc_freq, "word")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn("tfidf", F.col("tf") * F.col("n_sources") / F.col("df"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "source",
+            "word",
+            "tf",
+            F.col("df").alias("source_freq"),
+            F.col("tfidf").alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    eval_sources: tuple = ("src18", "src19"),
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval contamination: per eval doc, the fraction of its
+    k-token shingles that also occur anywhere in the train split
+    (every source not in ``eval_sources``) — the standard n-gram
+    decontamination pass run before training on a corpus that might
+    contain benchmark text.
+
+    Scale shape: the train side collapses to DISTINCT shingle hashes
+    (md5, so the oracle is bit-identical) before the join; the
+    membership probe is a LEFT SEMI join hash-partitioned on the
+    shingle hash — shuffle ∝ distinct shingles, never pairs. The
+    per-doc ratio is one final aggregate on doc_id.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    eval_df = df.where(F.col("source").isin(list(eval_sources)))
+    train_df = df.where(~F.col("source").isin(list(eval_sources)))
+    eval_sh = word_shingles(eval_df, k=k).withColumn("h", F.md5("shingle"))
+    train_sh = (
+        word_shingles(train_df, k=k).select(F.md5("shingle").alias("h")).distinct()
+    )
+    hits = eval_sh.join(train_sh, "h", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("contaminated")
+    )
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").alias("total_ngrams"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_ngrams",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            F.round(
+                F.coalesce("contaminated", F.lit(0)) / F.col("total_ngrams"), 6
+            ).alias("contamination_ratio"),
+        )
+    )

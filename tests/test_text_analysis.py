@@ -5,7 +5,18 @@ import pytest
 from tests.oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["lang_id", "text_quality", "token_stats", "doc_fingerprints"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lang_id",
+        "text_quality",
+        "token_stats",
+        "doc_fingerprints",
+        "tfidf_top_terms",
+        "contamination_check",
+        "stratified_sample",
+    ],
+)
 def test_matches_oracle(spark, sf_dir, name):
     n = assert_matches_oracle(spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir)
     assert n > 0
@@ -60,3 +71,37 @@ def test_fingerprints_different_k_different_prints(spark):
     k2 = doc_fingerprints(df, k=2).collect()[0]
     k3 = doc_fingerprints(df, k=3).collect()[0]
     assert (k2.min_fp, k2.max_fp) != (k3.min_fp, k3.max_fp)
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from mapreduce_golang_spark.operators.text_analysis import contamination_check
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, leak + " extra tail words here", "train_a"),
+            (2, leak, "eval_x"),
+            (3, "completely unrelated benchmark text rows", "eval_x"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r.doc_id: (r.contaminated, r.total_ngrams, r.contamination_ratio)
+        for r in contamination_check(df, eval_sources=("eval_x",), k=3).collect()
+    }
+    # doc 2 is fully contained in train doc 1 → every shingle contaminated
+    assert rows[2][0] == rows[2][1] and rows[2][2] == 1.0
+    assert rows[3][0] == 0 and rows[3][2] == 0.0
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from mapreduce_golang_spark.operators.corpus import stratified_sample
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in stratified_sample(docs, fraction=0.3).collect())
+    b = sorted(r.doc_id for r in stratified_sample(docs, fraction=0.3).collect())
+    assert a == b and len(a) > 0
+    # smaller fraction is a strict subset (same hash, lower threshold)
+    c = set(r.doc_id for r in stratified_sample(docs, fraction=0.1).collect())
+    assert c < set(a)
