@@ -16,6 +16,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F_
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -351,6 +352,46 @@ def _q22(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+def _scd2_customers(spark, sf_dir):
+    """SCD2 over the customer dim: every BUILDING-segment customer gets
+    a re-priced new version at a fixed ts; the result is the full
+    versioned dim (closed + open rows). Inputs derive deterministically
+    from the fixture so the DuckDB oracle can rebuild them."""
+    from mapreduce_golang_spark.operators.merge import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = (
+        customer.withColumn("valid_from", F_.lit("1995-01-01 00:00:00"))
+        .withColumn("valid_to", F_.lit("9999-12-31 00:00:00"))
+    )
+    updates = (
+        customer.where(F_.col("c_mktsegment") == "BUILDING")
+        # ×2, not ×1.1: doubling a double is exact binary math, while
+        # a 1.1 reprice lands 2-decimal balances on .005 round-ties
+        # where Spark and DuckDB break differently
+        .withColumn("c_acctbal", F_.col("c_acctbal") * 2)
+        .withColumn("_ts", F_.lit("2000-06-01 00:00:00").cast("timestamp"))
+    )
+    return scd2_apply(current, updates, key="c_custkey", ts_col="_ts").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F_.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment", "valid_from", "valid_to",
+    )
+
+
+def _salted_counts(spark, sf_dir):
+    """Salted two-phase aggregation — result must equal the plain
+    GROUP BY (the oracle computes the plain form), demonstrating the
+    hot-key mitigation is a pure exchange-layout change."""
+    from mapreduce_golang_spark.operators.skew import salted_count
+
+    return salted_count(load_table(spark, sf_dir, "events"), ["event_type"], out="n_events")
+
+
+def _stream_dedup(spark, sf_dir):
+    return events_stream.streaming_dedup_events(spark, sf_dir)
 
 
 def _tfidf(spark, sf_dir):
@@ -773,6 +814,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q16_supplier_part_counts": _q16,
         "q20_dominant_suppliers": _q20,
         "q21_suppliers_kept_waiting": _q21,
+        "streaming_dedup_events": _stream_dedup,
+        "scd2_customers": _scd2_customers,
+        "salted_event_counts": _salted_counts,
         "tfidf_top_terms": _tfidf,
         "contamination_check": _contamination,
         "stratified_sample": _stratified_sample,
@@ -2172,6 +2216,39 @@ _ORACLES["q21_suppliers_kept_waiting"] = """
     LIMIT 100
 """
 
+
+_ORACLES["scd2_customers"] = """
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal * 2 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment, '1995-01-01 00:00:00' AS valid_from,
+           '9999-12-31 00:00:00' AS valid_to
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment, '1995-01-01 00:00:00' AS valid_from,
+           '2000-06-01 00:00:00' AS valid_to
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '2000-06-01 00:00:00' AS valid_from,
+           '9999-12-31 00:00:00' AS valid_to
+    FROM upd
+"""
+
+_ORACLES["salted_event_counts"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+"""
+
+_ORACLES["streaming_dedup_events"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+    GROUP BY event_type
+"""
 
 _ORACLES["tfidf_top_terms"] = r"""
     WITH words AS (

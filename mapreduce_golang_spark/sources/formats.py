@@ -1,5 +1,5 @@
-"""Format connectors beyond parquet: CSV, JSON (lines), partitioned
-parquet layout, and bucketed tables.
+"""Format connectors beyond parquet: CSV, JSON (lines), ORC,
+partitioned parquet layout, and bucketed tables.
 
 The reference's only formats are whole text files in and "k v" text
 out (SURVEY.md §2.3 Scans/Sinks rows); everything here is the
@@ -43,6 +43,17 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native Spark format, no extra jars): columnar with
+    predicate-pushdown-capable stripe/row-group statistics — the
+    second lakehouse columnar format besides parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:

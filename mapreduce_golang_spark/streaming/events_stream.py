@@ -224,3 +224,24 @@ def streaming_user_counts_stateful(
     # With availableNow the fixture drains in one batch per group →
     # the memory sink holds each user's final count exactly once.
     return spark.table(query_name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def streaming_dedup_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark on a
+    content key (user_id, event_type, ts) — the ingestion-time guard
+    against at-least-once upstream delivery (the same event replayed
+    within the watermark horizon is emitted once). State is bounded by
+    the watermark: keys older than the horizon are evicted, so memory
+    does not grow with the stream.
+
+    Drained with availableNow and re-aggregated to per-type counts so
+    the result is small and stable; on finite input this equals batch
+    DISTINCT + count, which the DuckDB oracle computes directly.
+    """
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = events.dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name)

@@ -76,3 +76,25 @@ def test_q5_broadcasts_dims(spark, sf_dir):
 def test_q1_pushes_filter_to_scan(spark, sf_dir):
     plan = entrymod.queries()["q1_pricing_summary"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    # part and supplier⋈nation are bounded dims — a shuffled dim join
+    # here would exchange the lineitem fact for nothing
+    plan = entrymod.queries()["q9_product_type_profit"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    # (no shuffle-join assert: at fixture scale AQE legitimately
+    # broadcasts the orders side of lineitem⋈orders too)
+
+
+def test_q15_pushes_date_filter(spark, sf_dir):
+    plan = entrymod.queries()["q15_top_supplier"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q2_deterministic_limit(spark, sf_dir):
+    # ties on min cost keep ALL tied suppliers; the top-k must sort on
+    # a full unique key so reruns pick identical rows
+    df1 = entrymod.queries()["q2_min_cost_supplier"](spark, sf_dir).collect()
+    df2 = entrymod.queries()["q2_min_cost_supplier"](spark, sf_dir).collect()
+    assert df1 == df2

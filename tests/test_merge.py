@@ -50,3 +50,14 @@ def test_scd2_apply(spark):
     assert (2, "w1", "2024-01-01 00:00:00", "2024-06-01 00:00:00") in rows  # closed by update
     assert (2, "w2", "2024-06-01 00:00:00", OPEN) in rows          # new open version
     assert len(rows) == 4
+
+
+def test_scd2_and_salted_queries_match_oracle(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("scd2_customers", "salted_event_counts"):
+        n = assert_matches_oracle(
+            spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+        )
+        assert n > 0

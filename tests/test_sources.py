@@ -26,6 +26,20 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    df = _events_sample(spark, sf_dir)
+    path = str(tmp_path / "ev_orc")
+    formats.write_orc(df, path)
+    back = formats.read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # ORC scans must take pushed filters like parquet ones do
+    plan = (
+        back.where(F.col("event_type") == "purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+
+
 def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     df = _events_sample(spark, sf_dir)
     path = str(tmp_path / "ev_part")

@@ -12,6 +12,7 @@ from tests.oracle import assert_matches_oracle
         "streaming_sessionize",
         "streaming_stream_join",
         "streaming_user_counts",
+        "streaming_dedup_events",
         "media_features",
     ],
 )
