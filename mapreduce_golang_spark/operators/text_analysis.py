@@ -198,11 +198,23 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
         .crossJoin(F.broadcast(n_src))
         .withColumn("tfidf", F.col("tf") * F.col("n_sources") / F.col("df"))
     )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("tfidf"), F.asc("word")
+    # two-level tournament top-k: sources are a BOUNDED dimension, so a
+    # single window over source would sort each source's entire
+    # vocabulary in one task (a few fat partitions at corpus scale).
+    # Level 1 takes top-k within (source, word-hash bucket) — spreads
+    # the sort across n_buckets × sources tasks; level 2 sorts only the
+    # n_buckets × k survivors per source. Exact: every global top-k row
+    # is necessarily top-k within its own bucket.
+    n_buckets = 64
+    w1 = Window.partitionBy("source", "bkt").orderBy(F.desc("tfidf"), F.asc("word"))
+    survivors = (
+        scored.withColumn("bkt", F.pmod(F.xxhash64("word"), F.lit(n_buckets)))
+        .withColumn("brnk", F.row_number().over(w1))
+        .where(F.col("brnk") <= k)
     )
+    w2 = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= k)
         .select(
             "source",

@@ -57,14 +57,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming operators create one state store per shuffle
+    # partition PER OPERATOR; the batch session's partition count
+    # (sized for fact-table shuffles) buys nothing on the bounded
+    # per-micro-batch state here and multiplies store open/commit
+    # overhead. Pin a smaller count for the drain; the setting is read
+    # at start() and pinned into the query's checkpoint, so restoring
+    # it afterwards cannot affect this stream.
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str, query_name: str = "stream_hourly") -> DataFrame:
