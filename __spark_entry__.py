@@ -406,6 +406,16 @@ def _stratified_sample(spark, sf_dir):
     return corpus.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+def _semantic_dedup(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import semantic_dedup_survivors
+
+    return semantic_dedup_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _incremental_dedup(spark, sf_dir):
+    return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def _q2(spark, sf_dir):
     return joins.q2_min_cost_supplier(
         load_table(spark, sf_dir, "region"),
@@ -820,6 +830,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tfidf_top_terms": _tfidf,
         "contamination_check": _contamination,
         "stratified_sample": _stratified_sample,
+        "semantic_dedup_survivors": _semantic_dedup,
+        "incremental_dedup": _incremental_dedup,
     }
 
 
@@ -2315,6 +2327,72 @@ _ORACLES["stratified_sample"] = """
     SELECT source, doc_id, round(u, 10) AS sample_key
     FROM u
     WHERE u < 0.2
+"""
+
+
+# operators/similarity.py::semantic_dedup_survivors — embedding-space
+# near-dup with hyperplane-LSH bucketing; same HYPERPLANES constant as
+# the ann_lsh_topk oracle so buckets are bit-identical across engines.
+_ORACLES["semantic_dedup_survivors"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    planes(p, d, sgn) AS (VALUES {_hyperplane_values()}),
+    tv AS (SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS d FROM e),
+    pb AS (SELECT vec_id, p, sum(sgn * x) AS dot
+           FROM tv JOIN planes ON tv.d = planes.d GROUP BY vec_id, p),
+    bkt AS (SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+            FROM pb GROUP BY vec_id),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pe AS (SELECT p.va, p.vb, ea.emb AS ea, eb.emb AS eb
+           FROM pairs p JOIN e ea ON p.va = ea.vec_id JOIN e eb ON p.vb = eb.vec_id),
+    terms AS (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM pe),
+    sums AS (SELECT va, vb, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+             FROM terms GROUP BY va, vb),
+    dropped AS (SELECT DISTINCT vb FROM sums
+                WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vb FROM dropped)
+"""
+
+# operators/dedup.py::incremental_dedup — new-batch (doc_id %% 10 == 0)
+# vs existing-corpus dedup; guard/doc-freq semantics mirror
+# ngram_jaccard_pairs (cap candidates, verify over full shingle sets).
+_ORACLES["incremental_dedup"] = f"""
+    WITH {_SHINGLES_CTE},
+    hashes AS (SELECT doc_id, md5(lower(trim(text))) AS h,
+                      (doc_id % 10 = 0) AS is_new
+               FROM documents),
+    corpus_h AS (SELECT DISTINCT h FROM hashes WHERE NOT is_new),
+    batch_rn AS (SELECT doc_id, h,
+                        row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                 FROM hashes WHERE is_new),
+    exact AS (SELECT doc_id,
+                     (rn > 1 OR h IN (SELECT h FROM corpus_h)) AS is_exact
+              FROM batch_rn),
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    posting AS (SELECT s.doc_id, s.shingle
+                FROM shn s JOIN freq f ON s.shingle = f.shingle AND f.df_ <= 256),
+    cand AS (SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+             FROM posting o JOIN posting n ON o.shingle = n.shingle
+             WHERE o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0),
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c
+               JOIN shn x ON x.doc_id = c.doc_a
+               JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY c.doc_a, c.doc_b),
+    near AS (SELECT DISTINCT doc_b AS doc_id
+             FROM common
+             JOIN sizes sa ON doc_a = sa.doc_id
+             JOIN sizes sb ON doc_b = sb.doc_id
+             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5)
+    SELECT e.doc_id,
+           CASE WHEN e.is_exact THEN 'dup_exact'
+                WHEN e.doc_id IN (SELECT doc_id FROM near) THEN 'dup_near'
+                ELSE 'kept' END AS status
+    FROM exact e
 """
 
 

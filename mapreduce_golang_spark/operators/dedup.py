@@ -414,6 +414,88 @@ def near_dup_pipeline(
     )
 
 
+def incremental_dedup(
+    df: DataFrame,
+    batch_mod: int = 10,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedupe a NEW ingest batch against an EXISTING corpus — the shape
+    every continuously-fed training pipeline actually runs: the corpus
+    is already deduped; only new-vs-corpus and new-vs-new comparisons
+    are needed, never corpus-vs-corpus again.
+
+    The batch is ``doc_id % batch_mod == 0`` (a deterministic,
+    scale-invariant stand-in for an ingest date partition). Returns one
+    row per batch doc: (doc_id, status) with status ∈
+    'dup_exact' (normalized hash already in corpus, or a smaller batch
+    id has it) → 'dup_near' (shingle Jaccard ≥ threshold against some
+    corpus doc) → 'kept'. Exact wins over near.
+
+    Scale design: the exact stage is a hash semi-join (batch-side
+    build). The near stage joins the BATCH posting list against the
+    CORPUS posting list on shingle — cost ∝ batch × matched postings,
+    never corpus²; ``max_doc_freq`` (computed over the whole corpus,
+    same guard semantics as ngram_jaccard_pairs) caps the per-shingle
+    blow-up, and Jaccard is verified over FULL shingle sets so reported
+    similarity is never underestimated.
+    """
+    is_new = F.pmod(F.col(id_col), F.lit(batch_mod)) == 0
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("h"),
+        is_new.alias("is_new"),
+    )
+    corpus_h = hashed.where(~F.col("is_new")).select("h").distinct()
+    batch_h = hashed.where(F.col("is_new"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    exact = (
+        batch_h.withColumn("rn", F.row_number().over(w))
+        .join(corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            ((F.col("rn") > 1) | F.col("in_corpus").isNotNull()).alias("is_exact_dup"),
+        )
+    )
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        capped = shingles.join(
+            freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    else:
+        capped = shingles
+    new_ids = batch_h.select("doc_id")
+    old_ids = hashed.where(~F.col("is_new")).select("doc_id")
+    post_new = capped.join(new_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    post_old = capped.join(old_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    cand = post_old.join(post_new, "shingle").select("doc_a", "doc_b").distinct()
+    near = (
+        _jaccard_for_pairs(cand, shingles)
+        .where(F.col("jaccard_raw") >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact_dup"), F.lit("dup_exact"))
+            .when(F.col("is_near_dup").isNotNull(), F.lit("dup_near"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 #: hex digits whose high bit is set — used as the per-bit hash of a token.
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 

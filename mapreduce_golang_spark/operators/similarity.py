@@ -130,6 +130,50 @@ def lsh_bucket(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-space near-dup pairs: (vec_a, vec_b, cosine) for pairs
+    in the SAME hyperplane-LSH bucket with cosine ≥ threshold.
+
+    The semantic sibling of ngram_jaccard_pairs: lexical shingles miss
+    paraphrased duplicates; embedding cosine catches them. Comparisons
+    happen only within an LSH bucket (equality self-join on bucket id),
+    so the corpus is never all-pairs'd — shuffle ∝ corpus size, and the
+    quadratic term is bounded per bucket (at 100 TB raise N_PLANES so
+    buckets stay ~10⁴ vectors and union several plane sets to recover
+    recall; recall-vs-brute-force is measured in tests, not assumed).
+    """
+    buckets = lsh_bucket(embeddings)
+    base = _with_norm(embeddings).join(buckets, "vec_id")
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Greedy semantic dedup: drop every vector appearing as the larger
+    id of a qualifying same-bucket pair (keep-lowest-id, same policy as
+    near_dup_survivors). Returns the surviving (vec_id) set."""
+    dropped = semantic_dedup_pairs(embeddings, threshold).select(
+        F.col("vec_b").alias("vec_id")
+    ).distinct()
+    return embeddings.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """LSH-bucketed ANN: each query scores only vectors in its own
     hyperplane bucket. Candidate set via equality join on bucket —

@@ -95,3 +95,38 @@ def test_ngram_guard_default_matches_exact_on_fixture(spark, sf_dir):
     guarded = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
     exact = {tuple(r) for r in ngram_jaccard_pairs(docs, max_doc_freq=None).collect()}
     assert guarded == exact and len(guarded) > 0
+
+
+def test_incremental_dedup_statuses(spark):
+    # batch = doc_id % 10 == 0 → docs 0,10,20,30.
+    # 0: exact copy of corpus doc 1 → dup_exact
+    # 10: exact copy of batch doc 0 but 0 < 10 shares its hash → dup_exact
+    # 20: near-dup of corpus doc 3 (one word changed) → dup_near
+    # 30: unrelated → kept
+    from mapreduce_golang_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (0, "shared corpus text body here"),
+            (10, "  SHARED corpus TEXT body here "),
+            (20, base.replace("lazy", "sleepy")),
+            (30, "completely unrelated content with its own words entirely"),
+            (1, "shared corpus text body here"),
+            (3, base),
+            (7, "corpus filler document that matches nothing else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.status for r in incremental_dedup(df).collect()}
+    assert rows == {0: "dup_exact", 10: "dup_exact", 20: "dup_near", 30: "kept"}
+
+
+def test_incremental_dedup_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["incremental_dedup"],
+        entrymod.oracle_sql()["incremental_dedup"],
+        sf_dir,
+    )
+    assert n > 0

@@ -75,3 +75,35 @@ def test_bruteforce_topk_shape(spark, sf_dir):
         assert sorted(r.rnk for r in rs) == [1, 2, 3, 4, 5]
         ordered = sorted(rs, key=lambda r: r.rnk)
         assert all(ordered[i].cosine >= ordered[i + 1].cosine for i in range(4))
+
+
+def test_semantic_dedup_survivors_matches_oracle(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["semantic_dedup_survivors"],
+        entrymod.oracle_sql()["semantic_dedup_survivors"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_semantic_dedup_drops_only_bucket_pairs(spark, sf_dir):
+    # every dropped vector must appear as the LARGER id of a same-bucket
+    # pair with cosine >= threshold (keep-lowest-id policy), and
+    # survivors + dropped must partition the corpus
+    from mapreduce_golang_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    survivors = {r.vec_id for r in semantic_dedup_survivors(emb).collect()}
+    pairs = semantic_dedup_pairs(emb).collect()
+    dropped_expect = {r.vec_b for r in pairs}
+    assert survivors == all_ids - dropped_expect
+    assert all(r.vec_a < r.vec_b and r.cosine >= 0.4 for r in pairs)
