@@ -416,6 +416,10 @@ def _incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _corpus_funnel(spark, sf_dir):
+    return corpus.corpus_funnel_report(load_table(spark, sf_dir, "documents"))
+
+
 def _q2(spark, sf_dir):
     return joins.q2_min_cost_supplier(
         load_table(spark, sf_dir, "region"),
@@ -832,6 +836,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stratified_sample": _stratified_sample,
         "semantic_dedup_survivors": _semantic_dedup,
         "incremental_dedup": _incremental_dedup,
+        "corpus_funnel_report": _corpus_funnel,
     }
 
 
@@ -2394,6 +2399,74 @@ _ORACLES["incremental_dedup"] = f"""
                 ELSE 'kept' END AS status
     FROM exact e
 """
+
+
+# operators/corpus.py::corpus_funnel_report — cumulative retention
+# counts through the selection gates; near-dup / quality / lang CTEs
+# mirror the ngram_jaccard_pairs, text_quality, and lang_id oracles.
+_ORACLES["corpus_funnel_report"] = r"""
+    WITH {shingles},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    posting AS (SELECT s.doc_id, s.shingle
+                FROM shn s JOIN freq f ON s.shingle = f.shingle AND f.df_ <= 256),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c
+               JOIN shn x ON x.doc_id = c.doc_a
+               JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+               GROUP BY c.doc_a, c.doc_b),
+    dropped AS (SELECT DISTINCT doc_b FROM common
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+    lex(lex_lang, lex_word) AS (VALUES {lexicon}),
+    ltoks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{{L}}]+')) AS word
+              FROM documents),
+    lscores AS (SELECT doc_id, lex_lang, count(*) AS score
+                FROM ltoks JOIN lex ON word = lex_word
+                WHERE word <> '' GROUP BY doc_id, lex_lang),
+    lbest AS (SELECT doc_id, lex_lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lex_lang ASC) AS rn
+              FROM lscores),
+    lang AS (SELECT d.doc_id, coalesce(b.lex_lang, 'unknown') AS predicted_lang
+             FROM documents d
+             LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b ON d.doc_id = b.doc_id),
+    feats AS (SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                                     x -> x IN ({stopwords}))) AS n_stop,
+                     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS punct_chars
+              FROM documents),
+    qual AS (SELECT doc_id, n_tokens,
+                    round(0.4 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                          + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END))
+                          + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+             FROM feats),
+    keeper AS (SELECT doc_id,
+                      row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+               FROM documents),
+    conds AS (SELECT q.doc_id,
+                     (q.n_tokens >= 10) AS c_len,
+                     (q.n_tokens >= 10 AND q.quality_score >= 0.5) AS c_q,
+                     (q.n_tokens >= 10 AND q.quality_score >= 0.5
+                      AND l.predicted_lang <> 'unknown') AS c_lang,
+                     (q.n_tokens >= 10 AND q.quality_score >= 0.5
+                      AND l.predicted_lang <> 'unknown' AND k.rn = 1) AS c_exact,
+                     (q.n_tokens >= 10 AND q.quality_score >= 0.5
+                      AND l.predicted_lang <> 'unknown' AND k.rn = 1
+                      AND q.doc_id NOT IN (SELECT doc_b FROM dropped)) AS c_near
+              FROM qual q
+              JOIN lang l ON q.doc_id = l.doc_id
+              JOIN keeper k ON q.doc_id = k.doc_id)
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM conds
+    UNION ALL SELECT 1, 'length_ok', CAST(coalesce(sum(CASE WHEN c_len THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
+    UNION ALL SELECT 2, 'quality_ok', CAST(coalesce(sum(CASE WHEN c_q THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
+    UNION ALL SELECT 3, 'lang_known', CAST(coalesce(sum(CASE WHEN c_lang THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
+    UNION ALL SELECT 4, 'exact_unique', CAST(coalesce(sum(CASE WHEN c_exact THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
+    UNION ALL SELECT 5, 'near_dup_survivor', CAST(coalesce(sum(CASE WHEN c_near THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
+""".format(shingles=_SHINGLES_CTE, lexicon=_lexicon_values(), stopwords=_stopword_list())
 
 
 def oracle_sql() -> dict[str, str]:

@@ -91,6 +91,59 @@ def corpus_final_selection(
     )
 
 
+def corpus_funnel_report(
+    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
+) -> DataFrame:
+    """Per-stage retention funnel for the selection pipeline — the
+    observability query every corpus build runs after selection:
+    how many docs survive each cumulative gate, in order:
+
+      0 total → 1 length_ok (n_tokens ≥ min) → 2 quality_ok (+score ≥
+      min) → 3 lang_known (+lang != unknown) → 4 exact_unique (+doc is
+      its hash-group keeper) → 5 near_dup_survivor (+survives fuzzy
+      dedup).
+
+    Returns (stage_idx, stage, n_docs). One row per doc flows through a
+    single conditional aggregation (one pass, partial aggs map-side);
+    the only heavy input is the near-dup pair graph, shared semantics
+    with corpus_final_selection. Counting per stage costs nothing extra
+    at 100 TB — the flags ride the same scan.
+    """
+    from mapreduce_golang_spark.operators.dedup import near_dup_survivors
+    from mapreduce_golang_spark.operators.text_analysis import lang_id, text_quality
+
+    q = text_quality(df).select("doc_id", "quality_score", "n_tokens")
+    lang = lang_id(df.sparkSession, df).select("doc_id", "predicted_lang")
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    keeper = (
+        df.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("norm_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") == 1).alias("is_keeper"))
+    )
+    surv = near_dup_survivors(df).withColumn("is_surv", F.lit(1))
+    flags = q.join(lang, "doc_id").join(keeper, "doc_id").join(surv, "doc_id", "left")
+    c_len = F.col("n_tokens") >= min_tokens
+    c_q = c_len & (F.col("quality_score") >= min_quality)
+    c_lang = c_q & (F.col("predicted_lang") != "unknown")
+    c_exact = c_lang & F.col("is_keeper")
+    c_near = c_exact & F.col("is_surv").isNotNull()
+    agg = flags.agg(
+        F.count("*").alias("total"),
+        F.sum(c_len.cast("long")).alias("length_ok"),
+        F.sum(c_q.cast("long")).alias("quality_ok"),
+        F.sum(c_lang.cast("long")).alias("lang_known"),
+        F.sum(c_exact.cast("long")).alias("exact_unique"),
+        F.sum(c_near.cast("long")).alias("near_dup_survivor"),
+    )
+    stages = ["total", "length_ok", "quality_ok", "lang_known", "exact_unique", "near_dup_survivor"]
+    stack_args = ", ".join(f"{i}, '{s}', coalesce({s}, 0)" for i, s in enumerate(stages))
+    return agg.selectExpr(f"stack(6, {stack_args}) AS (stage_idx, stage, n_docs)").select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float = 0.2,

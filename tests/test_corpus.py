@@ -49,3 +49,31 @@ def test_redaction_counts(spark):
     rows = {r.event_id: (r.props_redacted, r.n_redacted) for r in redact_numbers(df).collect()}
     assert rows[1] == ('{"k": <NUM>, "v": <NUM>}', 2)
     assert rows[2] == ("{}", 0)
+
+
+def test_corpus_funnel_report_matches_oracle(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["corpus_funnel_report"],
+        entrymod.oracle_sql()["corpus_funnel_report"],
+        sf_dir,
+    )
+    assert n == 6
+
+
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    # each gate is cumulative, so counts must be non-increasing, and the
+    # last stage must equal the final-selection count intersected with
+    # the exact/lang gates' survivors
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["corpus_funnel_report"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].stage == "total" and rows[-1].stage == "near_dup_survivor"
