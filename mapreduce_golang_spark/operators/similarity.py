@@ -44,13 +44,34 @@ HYPERPLANES: list[list[int]] = [
 ]
 
 
-def _with_norm(embeddings: DataFrame) -> DataFrame:
+def _norm_expr(e):
+    return F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def _bucket_expr(e):
+    """Hyperplane-LSH bucket id as a single narrow expression."""
+    bits = []
+    for p, signs in enumerate(HYPERPLANES):
+        plane = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(F.zip_with(e, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("long")
+
+
+def _with_norm(embeddings: DataFrame, *extra_cols: str, bucket: bool = False) -> DataFrame:
+    """(vec_id, e, nrm [, bucket] [, extras]) in ONE projection — norm
+    and bucket are narrow per-row expressions, so deriving them must
+    never cost a second scan + self-join on vec_id (at 100 TB that is
+    a full extra read and an exchange for data already in the row)."""
     e = F.col("embedding").cast("array<double>")
-    return embeddings.select(
-        "vec_id",
-        e.alias("e"),
-        F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
-    )
+    cols = ["vec_id", e.alias("e"), _norm_expr(e).alias("nrm")]
+    if bucket:
+        cols.append(_bucket_expr(e).alias("bucket"))
+    cols.extend(extra_cols)
+    return embeddings.select(*cols)
 
 
 def _cosine(col_a, col_b, nrm_a, nrm_b):
@@ -91,7 +112,7 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> Data
     At scale the corpus is partitioned/bucketed by the coarse id, so a
     probe reads ~1/n_clusters of the data. Approximate by design.
     """
-    base = _with_norm(embeddings).join(embeddings.select("vec_id", "label"), "vec_id")
+    base = _with_norm(embeddings, "label")
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -119,15 +140,7 @@ def lsh_bucket(embeddings: DataFrame) -> DataFrame:
     plane_p · x ≥ 0; bucket = Σ 2^p · bit_p. Planes are the shared
     deterministic HYPERPLANES constant."""
     e = F.col("embedding").cast("array<double>")
-    bits = []
-    for p, signs in enumerate(HYPERPLANES):
-        plane = F.array(*[F.lit(float(s)) for s in signs])
-        dot = F.aggregate(F.zip_with(e, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bits.append(F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+    return embeddings.select("vec_id", _bucket_expr(e).alias("bucket"))
 
 
 def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -142,8 +155,7 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataF
     buckets stay ~10⁴ vectors and union several plane sets to recover
     recall; recall-vs-brute-force is measured in tests, not assumed).
     """
-    buckets = lsh_bucket(embeddings)
-    base = _with_norm(embeddings).join(buckets, "vec_id")
+    base = _with_norm(embeddings, bucket=True)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
         F.col("nrm").alias("na"), "bucket",
@@ -178,8 +190,7 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> Data
     """LSH-bucketed ANN: each query scores only vectors in its own
     hyperplane bucket. Candidate set via equality join on bucket —
     partition-prunable at scale. Approximate by design."""
-    buckets = lsh_bucket(embeddings)
-    base = _with_norm(embeddings).join(buckets, "vec_id")
+    base = _with_norm(embeddings, bucket=True)
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),

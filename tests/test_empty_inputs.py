@@ -107,3 +107,16 @@ def test_run_job_on_empty_corpus(spark):
     out = run_job(spark, mrapps.wc_map, mrapps.wc_reduce, [], n_reduce=3)
     assert out.count() == 0
     assert out.columns == ["key", "value"]
+
+
+def test_new_dedup_ops_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators import corpus, dedup, similarity
+
+    assert dedup.incremental_dedup(empty_docs).count() == 0
+    assert similarity.semantic_dedup_pairs(empty_emb).count() == 0
+    assert similarity.semantic_dedup_survivors(empty_emb).count() == 0
+    # the funnel on an empty corpus is still 6 rows — all zero
+    rows = sorted(
+        corpus.corpus_funnel_report(empty_docs).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.n_docs for r in rows] == [0] * 6

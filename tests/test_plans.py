@@ -89,3 +89,20 @@ def test_salted_join_equals_plain(spark, sf_dir):
         .groupBy("c_mktsegment").count().collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_ann_queries_derive_norm_and_bucket_without_self_join(spark, sf_dir):
+    # norm/bucket/label are narrow per-row expressions — deriving them
+    # must not scan embeddings a second time and join back on vec_id
+    # (a full extra read + exchange at scale). One scan per join SIDE
+    # is the floor: ann queries have (corpus, query-batch) = 2.
+    for name in ["ann_lsh_topk", "ann_ivf_topk", "ann_topk_bruteforce"]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("FileScan parquet") == 2, name
+
+
+def test_semantic_dedup_scan_floor(spark, sf_dir):
+    # sides: anti-join base + pair-join a/b = 3 scans, none extra for
+    # the bucket/norm derivation
+    plan = _plan(spark, sf_dir, "semantic_dedup_survivors")
+    assert plan.count("FileScan parquet") == 3
