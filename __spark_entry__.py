@@ -576,7 +576,7 @@ def _rollup_nation_year(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     joined = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", F.year("o_orderdate").cast("long").alias("yr"), "o_totalprice")
     )

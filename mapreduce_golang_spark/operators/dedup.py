@@ -313,6 +313,27 @@ def near_dup_survivors(
     return df.select(id_col).join(dropped, id_col, "left_anti")
 
 
+#: target rows per partition for iterated graph tables — small enough
+#: to stay comfortably in executor memory with join/agg overhead.
+GRAPH_ROWS_PER_PARTITION = 2_000_000
+
+
+def right_size_graph(df: DataFrame, key: str, min_parts: int = 4, max_parts: int = 2048) -> DataFrame:
+    """Materialize a graph-loop table and hash-partition it on ``key``
+    at a width derived from its MEASURED size — not the session's
+    corpus-sized shuffle width (waste: a tiny pair graph through 200
+    shuffle partitions per round) and not a fixture-sized constant (a
+    billion-edge graph through 4 partitions is a serial bottleneck).
+    The extra count is against checkpointed data and is amortized over
+    every loop iteration that follows."""
+    d = df.localCheckpoint(eager=True)
+    n = d.count()
+    k = int(max(min_parts, min(max_parts, n // GRAPH_ROWS_PER_PARTITION + 1)))
+    if k != d.rdd.getNumPartitions():
+        d = d.repartition(k, key).localCheckpoint(eager=True)
+    return d
+
+
 def near_dup_components(
     df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id", max_iter: int = 15
 ) -> DataFrame:
@@ -327,9 +348,9 @@ def near_dup_components(
     ``max_iter``. Each round ``localCheckpoint(eager=True)``s the new
     labels so the logical plan stays flat (lazy cache leaves the plan
     nesting once per round until driver planning cost explodes — same
-    pattern as operators/graph.py::near_dup_pagerank). The pair graph
-    is orders of magnitude smaller than the corpus, so edges/labels are
-    re-partitioned down before iterating. If the loop exits without
+    pattern as operators/graph.py::near_dup_pagerank). Edges/labels are
+    hash-partitioned at a width derived from their measured size
+    (``right_size_graph``) before iterating. If the loop exits without
     converging (graph diameter > max_iter) a RuntimeError is raised
     rather than silently returning non-fixpoint labels — the DuckDB
     oracle computes the full transitive closure, and the documented
@@ -337,17 +358,14 @@ def near_dup_components(
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .repartition(4, "v")
-        .localCheckpoint(eager=True)  # computed once, reused every round
-    )
-    labels = (
-        df.select(F.col(id_col).alias("u"))
-        .withColumn("label", F.col("u"))
-        .repartition(4, "u")
-        .localCheckpoint(eager=True)
+    edges = right_size_graph(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        ),
+        "v",
+    )  # computed once, reused every round
+    labels = right_size_graph(
+        df.select(F.col(id_col).alias("u")).withColumn("label", F.col("u")), "u"
     )
     changed = -1
     for _ in range(max_iter):

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs, right_size_graph
 
 PAGERANK_ITERATIONS = 10
 PAGERANK_DAMPING = 0.85
@@ -36,17 +36,18 @@ def near_dup_pagerank(
     Returns (doc_id, rank) with rank rounded to 6 decimals."""
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    # the near-dup graph is orders of magnitude smaller than the corpus
-    # — right-size its partitioning before iterating so each round runs
-    # a handful of tasks, not the session's corpus-sized shuffle width
-    edges = (
+    # partition width for the loop derives from the MEASURED graph
+    # size (right_size_graph): a near-dup graph is usually orders of
+    # magnitude smaller than the corpus (session shuffle width would
+    # waste a round-trip per iteration), but a fixed small constant
+    # would serialize a genuinely large graph.
+    edges = right_size_graph(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .repartition(4, "u")
-        .localCheckpoint(eager=True)  # computed once, reused every iteration
-    )
-    nodes = edges.select(F.col("u").alias("node")).distinct().repartition(4, "node").localCheckpoint(eager=True)
+        .distinct(),
+        "u",
+    )  # computed once, reused every iteration
+    nodes = right_size_graph(edges.select(F.col("u").alias("node")).distinct(), "node")
     n_nodes = nodes.count()
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")

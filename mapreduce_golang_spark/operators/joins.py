@@ -6,10 +6,15 @@ warehouse queries the fixture star schema exists for, adapted TPC-H
 shapes over the driver tables (FIXTURES.md §B).
 
 Scale design, applied uniformly:
-- **Broadcast the dims.** region/nation/supplier/part/customer are
-  bounded (fixed cardinality as SF grows — TESTDATA.md scales only
-  fact tables), so every dim side carries an explicit
-  ``F.broadcast`` hint: no shuffle of the fact table for those joins.
+- **Force-broadcast ONLY scale-invariant sides.** region (5 rows),
+  nation (25), single-row scalar aggregates, and filtered singletons
+  get an explicit ``F.broadcast`` hint — they are the same size at any
+  SF. customer/supplier/part SCALE LINEARLY with SF (TPC-H-style;
+  measured across the sf0.001/0.01/0.1 fixtures), so a forced
+  broadcast would OOM at SF1000 (customer ≈ 150M rows); those sides
+  carry NO hint — Spark's size stats auto-broadcast them while small
+  and AQE converts to broadcast at runtime when a filter shrinks them
+  below the threshold, which is the correct decision at every scale.
 - **Fact⋈fact (lineitem⋈orders) stays a shuffle join on the join
   key** — at 100 TB that exchange is unavoidable without bucketing;
   both sides hash on the same key so AQE can split skewed partitions.
@@ -63,7 +68,8 @@ def q3_shipping_priority(
     """TPC-H Q3 shape: top-k unshipped orders by revenue.
 
     lineitem pre-aggregates to per-orderkey revenue *before* the join
-    (fan-out collapse), the customer dim broadcasts, and top-k is
+    (fan-out collapse), the filtered customer side is left to stats/AQE (auto-broadcast
+    while small), and top-k is
     TakeOrderedAndProject — k rows per partition reach the driver.
     Deterministic tie-break on o_orderkey.
     """
@@ -76,7 +82,7 @@ def q3_shipping_priority(
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     return (
         orders.where(F.col("o_orderdate") < cut)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.col("o_orderkey"),
@@ -101,7 +107,8 @@ def q5_local_supplier_volume(
     date_to: str = "1997-01-01",
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue per nation where customer and supplier
-    share the nation. All dims broadcast; the only exchanges are the
+    share the nation. nation⋈region force-broadcasts (bounded); the
+    customer/supplier sides are stats/AQE-decided. Exchanges: the
     lineitem⋈orders join and the final small group-by.
     """
     nations = nation.join(
@@ -122,8 +129,8 @@ def q5_local_supplier_volume(
 
     return (
         lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("cn_key") == F.col("sn_key")))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("cn_key") == F.col("sn_key")))
         .groupBy(F.col("cn_name").alias("n_name"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -157,7 +164,8 @@ def q10_returned_items(
 ) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue lost to returns.
     Returned lines pre-aggregate per order, join orders (fact⋈fact on
-    the key), then per-customer agg with the dim broadcast last."""
+    the key), then per-customer agg joins the customer dim last (stats/AQE
+    pick the strategy — per_cust is one row per customer)."""
     returned = (
         lineitem.where(F.col("l_returnflag") == "R")
         .groupBy("l_orderkey")
@@ -169,7 +177,7 @@ def q10_returned_items(
         .agg(F.sum("rev").alias("rev"))
     )
     return (
-        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "c_mktsegment", F.round("rev", 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
@@ -202,14 +210,15 @@ def q14_promo_revenue_share(
     date_to: str = "1996-07-01",
 ) -> DataFrame:
     """TPC-H Q14 shape: % of revenue from PROMO parts in a window.
-    Part dim broadcasts; one conditional-sum aggregate."""
+    Join strategy for the part side is stats/AQE-decided; one
+    conditional-sum aggregate."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
         )
-        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev),
@@ -232,7 +241,7 @@ def q18_large_orders(
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -279,8 +288,9 @@ def q7_volume_shipping(
     nation_b: str = "NATION_2",
 ) -> DataFrame:
     """TPC-H Q7 shape: cross-border revenue between two nations by
-    (supplier nation, customer nation, ship year). Both nation-tagged
-    dims broadcast; the only big exchange is lineitem⋈orders."""
+    (supplier nation, customer nation, ship year). The 2-row nation
+    filter force-broadcasts into both dim joins; the only big exchange
+    is lineitem⋈orders."""
     two = nation.where(F.col("n_name").isin(nation_a, nation_b))
     supp = supplier.join(
         F.broadcast(two), F.col("s_nationkey") == F.col("n_nationkey")
@@ -296,8 +306,8 @@ def q7_volume_shipping(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("rev"), 2).alias("revenue"))
@@ -315,8 +325,9 @@ def q8_market_share(
     target_nation: str = "NATION_1",
 ) -> DataFrame:
     """TPC-H Q8 shape: the target nation's share of supply revenue into
-    one region's customers, per order year. Conditional-sum ratio after
-    all-broadcast dim joins; one fact⋈fact exchange."""
+    one region's customers, per order year. Conditional-sum ratio;
+    bounded nation/region sides force-broadcast, the rest is
+    stats/AQE-decided; one fact⋈fact exchange."""
     rnations = nation.join(
         F.broadcast(region.where(F.col("r_name") == region_name)),
         F.col("n_regionkey") == F.col("r_regionkey"),
@@ -334,8 +345,8 @@ def q8_market_share(
             orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
         .agg(
             F.round(
@@ -372,13 +383,14 @@ def q17_small_quantity_revenue(
     """TPC-H Q17 shape: revenue locked in small-quantity lines of one
     brand (yearly average). The correlated scalar subquery
     (0.2 * per-part avg quantity) decorrelates into a pre-aggregated
-    per-part average joined back — broadcastable because it is one row
-    per part, bounded by the dim."""
+    per-part average joined back — one row per qualifying part, so the
+    join stays key-partitioned and AQE broadcasts it when small (it
+    scales with the part table, so no forced hint)."""
     parts = part.where(F.col("p_brand") == brand).select("p_partkey")
-    li = lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    li = lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
     avgs = li.groupBy("p_partkey").agg((fraction * F.avg("l_quantity")).alias("qty_cut"))
     return (
-        li.join(F.broadcast(avgs.withColumnRenamed("p_partkey", "a_partkey")),
+        li.join(avgs.withColumnRenamed("p_partkey", "a_partkey"),
                 F.col("p_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -387,8 +399,9 @@ def q17_small_quantity_revenue(
 
 def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q19 shape: disjunctive (brand, size, quantity-band)
-    predicate — the classic OR-of-ANDs join filter. The part dim
-    broadcasts; the OR predicate evaluates inside the join's codegen
+    predicate — the classic OR-of-ANDs join filter. The part-side
+    strategy is stats/AQE-decided; the OR predicate evaluates inside
+    the join's codegen
     (no per-branch scans)."""
     qty = F.col("l_quantity")
     size = F.col("p_size")
@@ -399,7 +412,7 @@ def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .where(cond)
@@ -467,7 +480,7 @@ def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 10
         F.count("*").alias("n_orders"),
     )
     return (
-        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spent", "n_orders")
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(k)
@@ -506,7 +519,7 @@ def revenue_rank_in_nation(
     """
     per_cust = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     joined = per_cust.join(
-        F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+        customer.select("c_custkey", "c_name", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -534,10 +547,9 @@ def q2_min_cost_supplier(
     ``min(l_extendedprice / l_quantity)``).
 
     The correlated min-cost subquery decorrelates into a per-part min
-    joined back; both the min table and the dims are bounded by the
-    part/supplier dims, so every join after the one lineitem hash-agg
-    is a broadcast. Top-k orders on a full unique key so the LIMIT is
-    deterministic.
+    joined back. Only nation⋈region force-broadcasts; the part/
+    supplier-derived sides scale with SF and are stats/AQE-decided.
+    Top-k orders on a full unique key so the LIMIT is deterministic.
     """
     rsupp = supplier.join(
         F.broadcast(
@@ -554,15 +566,15 @@ def q2_min_cost_supplier(
     supply = (
         lineitem.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     min_cost = supply.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )
     return (
         supply.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("p_partkey") == F.col("m_partkey"))
             & (F.col("supply_cost") == F.col("min_cost")),
         )
@@ -595,8 +607,9 @@ def q9_product_type_profit(
     proxied as ``cost_factor * p_retailprice``). Profit by (supplier
     nation, order year) over parts whose name contains the fragment.
 
-    part and supplier⋈nation broadcast; the only big exchange is
-    lineitem⋈orders, then one hash agg. The profit terms are cast to
+    The nation side force-broadcasts; part/supplier sides are
+    stats/AQE-decided. The only big exchange is lineitem⋈orders, then
+    one hash agg. The profit terms are cast to
     decimal(18,4) before SUM so the aggregate is exact and
     summation-order independent (double sums are not).
     """
@@ -612,8 +625,8 @@ def q9_product_type_profit(
         - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -647,7 +660,7 @@ def q11_important_stock(
     ).select("s_suppkey")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     per_part = (
-        lineitem.join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        lineitem.join(nsupp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("value"))
     )
@@ -686,7 +699,7 @@ def q15_top_supplier(
     return (
         per_supp.crossJoin(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -706,8 +719,8 @@ def q16_supplier_part_counts(
     from lineitem; "customer complaints" — the NOT IN supplier
     exclusion — is proxied by negative account balance). Distinct
     supplier count per (brand, type, size): the distinct pairs shrink
-    first (hash-agg on the pair), the excluded-supplier set ships as a
-    broadcast anti join, then one count-distinct agg.
+    first (hash-agg on the pair), the excluded-supplier set anti-joins
+    (strategy stats/AQE-decided), then one count-distinct agg.
     """
     parts = part.where(
         (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(list(sizes))
@@ -716,8 +729,8 @@ def q16_supplier_part_counts(
     pairs = (
         lineitem.select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
     )
     return (
         pairs.groupBy("p_brand", "p_type", "p_size")
@@ -740,25 +753,26 @@ def q20_dominant_suppliers(
     that part's total quantity in the year — the dominant supplier).
 
     Two-level aggregation: per (part, supplier) quantity, then per
-    part total joined back (bounded by the part dim → broadcast); the
-    qualifying supplier set reaches the supplier dim as a left-semi.
+    part total joined back (key-partitioned; AQE broadcasts it when
+    small); the qualifying supplier set reaches the supplier dim as a
+    left-semi.
     """
     parts = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
     li = lineitem.where(F.year("l_shipdate") == year).join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
     per_part = per_ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("supp_qty").alias("part_qty")
     )
     dominant = (
-        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        per_ps.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
     )
     return (
-        supplier.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(
             F.broadcast(nation.where(F.col("n_name") == nation_name)),
             F.col("s_nationkey") == F.col("n_nationkey"),

@@ -25,9 +25,11 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at any realistic scale —
-#: join code uses this to pick `F.broadcast` sides.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+#: Tables that are the SAME size at every SF (region 5 rows, nation 25)
+#: — the only ones a forced `F.broadcast` hint is safe on. customer/
+#: supplier/part scale linearly with SF (measured across the fixtures),
+#: so their join strategy is left to size stats + AQE.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

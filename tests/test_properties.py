@@ -123,3 +123,45 @@ def test_tokenizer_known_unicode_edges(spark):
     assert spark_tokens == _tokens(cases)
     assert "a" in spark_tokens and "_" not in "".join(spark_tokens)
     assert "漢字" in spark_tokens
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+DOC_TEXTS = st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join)
+
+
+@given(st.lists(DOC_TEXTS, min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_dedup_matches_bruteforce(spark, texts):
+    # Spark incremental_dedup == a direct Python reference on arbitrary
+    # tiny corpora: exact via normalized-text hash precedence, near via
+    # full-set 3-shingle Jaccard >= 0.5 against the corpus partition.
+    from mapreduce_golang_spark.operators.dedup import incremental_dedup
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.status for r in incremental_dedup(df, max_doc_freq=None).collect()}
+
+    def shingles(t):
+        toks = [w for w in t.split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def norm(t):
+        return t.strip().lower()
+
+    batch = [(i, t) for i, t in docs if i % 10 == 0]
+    corpus = [(i, t) for i, t in docs if i % 10 != 0]
+    corpus_norms = {norm(t) for _, t in corpus}
+    want = {}
+    seen_batch_norms = set()
+    for i, t in sorted(batch):
+        if norm(t) in corpus_norms or norm(t) in seen_batch_norms:
+            want[i] = "dup_exact"
+            continue
+        seen_batch_norms.add(norm(t))
+        sb = shingles(t)
+        near = any(
+            sb and sa and len(sb & sa) / len(sb | sa) >= 0.5
+            for sa in (shingles(tc) for _, tc in corpus)
+        )
+        want[i] = "dup_near" if near else "kept"
+    assert got == want
