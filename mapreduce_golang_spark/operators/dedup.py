@@ -343,9 +343,9 @@ def near_dup_components(
     component_id) for every doc; singletons map to themselves.
 
     Iterative DataFrame algorithm (not SQL-expressible in one query):
-    each round joins labels to edges and takes the min over the
-    neighborhood; converges in O(graph diameter) rounds, bounded by
-    ``max_iter``. Each round ``localCheckpoint(eager=True)``s the new
+    each round joins labels to edges, takes the min over the
+    neighborhood, then POINTER-JUMPS (label <- label of label) so long
+    chains collapse in O(log diameter) rounds, bounded by ``max_iter``. Each round ``localCheckpoint(eager=True)``s the new
     labels so the logical plan stays flat (lazy cache leaves the plan
     nesting once per round until driver planning cost explodes — same
     pattern as operators/graph.py::near_dup_pagerank). Edges/labels are
@@ -374,9 +374,19 @@ def near_dup_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(neighbor_min, "u", "left").select(
+            "u", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        # pointer jump: label(u) <- label(label(u)). label(u) is always
+        # a node id inside u's component (starts as u; neighborhood
+        # mins preserve it), so the shortcut stays in-component and is
+        # monotone non-increasing — combined with the propagation step,
+        # convergence is O(log diameter) rounds instead of O(diameter)
+        # (a 10^6-long near-dup chain converges in ~20 rounds, not 10^6).
+        lookup = prop.select(F.col("u").alias("label"), F.col("label").alias("ll"))
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select("u", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            prop.join(lookup, "label", "left")
+            .select("u", F.least("label", F.coalesce("ll", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -391,8 +401,8 @@ def near_dup_components(
     if changed != 0:
         raise RuntimeError(
             f"near_dup_components did not converge within max_iter={max_iter} "
-            f"({changed} labels still changing); raise max_iter — convergence "
-            "needs O(component diameter) rounds"
+            f"({changed} labels still changing); raise max_iter — with "
+            "pointer jumping convergence needs O(log component diameter) rounds"
         )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
 

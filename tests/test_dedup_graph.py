@@ -54,3 +54,18 @@ def test_pipeline_consistent_with_parts(spark, sf_dir):
     for r in pipe:
         sizes[r.component_id] = sizes.get(r.component_id, 0) + 1
     assert all(r.component_size == sizes[r.component_id] for r in pipe)
+
+
+def test_components_pointer_jumping_collapses_long_chain(spark):
+    # a 64-node path graph has diameter 63 — naive min-label needs 63
+    # rounds; pointer jumping must finish within max_iter=10 (O(log d))
+    from mapreduce_golang_spark.operators.dedup import near_dup_components
+
+    n = 64
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], ["doc_a", "doc_b", "jaccard"]
+    )
+    comp = near_dup_components(docs, pairs=pairs, max_iter=10).collect()
+    assert {r.component_id for r in comp} == {0}
+    assert len(comp) == n
