@@ -159,27 +159,31 @@ def ngram_jaccard_pairs(
         # guarded path: candidates from the capped (cold) inverted
         # index; Jaccard stays exact over the FULL shingle sets via
         #   n_common = cold_common + hot_common
-        # cold_common aggregates straight out of the capped self-join
-        # (counts, no arrays); hot_common intersects per-doc arrays of
-        # HOT shingles only — hot shingles are few by definition (the
-        # cap marks boilerplate), so those arrays stay small even when
-        # the cold join is large. This avoids shipping each doc's full
-        # shingle set per candidate pair, which is quadratic bytes.
-        # one inverted-index aggregation (the ONLY exchange of the
-        # full shingle stream), checkpointed because three consumers
-        # read it: pair generation, hot per-doc sets, and doc sizes.
-        # Pairs then come narrowly out of each posting array — no
-        # co-occurrence self-join shuffle at all; the cap bounds the
-        # per-array expansion at max_doc_freq²/2.
-        post = (
+        # cold_common aggregates straight out of capped posting arrays
+        # (counts, no per-pair set shipping); hot_common intersects
+        # per-doc arrays of HOT shingles only — hot shingles are few by
+        # definition (the cap marks boilerplate), so those arrays stay
+        # small even on boilerplate-heavy corpora.
+        # BOUNDED-ROW INVARIANT: posting ARRAYS are built ONLY for
+        # shingles already known to have ≤ max_doc_freq docs (doc-freq
+        # computed first, counts only) — a hot shingle shared by 100M
+        # docs must never become one 100M-element aggregation buffer.
+        # Every collected array here is ≤ max_doc_freq (cold postings)
+        # or ≤ the doc's own hot-shingle count (per-doc hot sets).
+        # The shingle stream is checkpointed once; doc-freq, cold
+        # postings, per-doc hot sets, and doc sizes all read the
+        # materialized stream instead of re-deriving it.
+        shingles = shingles.localCheckpoint(eager=False)
+        freq = (
             shingles.groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-            .localCheckpoint(eager=False)
+            .agg(F.count("*").alias("df_"))
+            .localCheckpoint(eager=False)  # read by cold AND hot branches
         )
-        sizes = (
-            post.select(F.explode("docs").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_sh"))
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        cold_post = (
+            shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         )
         pair_expr = F.expr(
             "flatten(transform(docs, (x, i) -> "
@@ -187,14 +191,12 @@ def ngram_jaccard_pairs(
             "            y -> named_struct('doc_a', x, 'doc_b', y))))"
         )
         cold_common = (
-            post.where(F.size("docs") <= max_doc_freq)
-            .select(F.explode(pair_expr).alias("p"))
+            cold_post.select(F.explode(pair_expr).alias("p"))
             .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
             .agg(F.count("*").alias("n_cold"))
         )
         hot_sets = (
-            post.where(F.size("docs") > max_doc_freq)
-            .select("shingle", F.explode("docs").alias("doc_id"))
+            shingles.join(freq.where(F.col("df_") > max_doc_freq).select("shingle"), "shingle")
             .groupBy("doc_id")
             .agg(F.collect_list("shingle").alias("hot_set"))
         )
