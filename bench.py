@@ -11,6 +11,14 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query is forced end-to-end with the noop sink (full execution,
 no driver-side collect). A short warmup query absorbs JVM/codegen
 startup so per-query numbers measure the plan, not the JIT.
+
+The printed line must survive the driver's tail capture (observed:
+BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
+that, so a 96-entry per-query dict made ``parsed: null`` every round).
+The line therefore carries the total plus a fixed HEADLINE subset of
+per-query timings and is kept under 1800 chars; the full 96-query
+timing table is written to ``BENCH_DETAIL.json`` at the repo root and
+committed each round.
 """
 
 from __future__ import annotations
@@ -55,7 +63,7 @@ def main() -> None:
     except ValueError:
         sf = sf_token
 
-    result = {
+    detail = {
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -66,8 +74,46 @@ def main() -> None:
         "spark_version": spark.version,
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        detail["failures"] = failures
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q9_product_type_profit",
+        "q18_large_orders",
+        "q21_suppliers_kept_waiting",
+        "wc",
+        "mr_wc",
+        "sessionize",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_pairs",
+        "embedding_cosine_pairs",
+        "ann_ivf_topk",
+        "near_dup_pipeline",
+        "corpus_final_selection",
+        "corpus_funnel_report",
+        "incremental_dedup",
+        "semantic_dedup_survivors",
+        "streaming_stream_join",
+        "tfidf_top_terms",
+        "bucketed_join_revenue",
+    ]
+    result = dict(detail)
+    result["queries"] = {n: timings[n] for n in headline if n in timings}
+    result["detail_file"] = "BENCH_DETAIL.json"
+    if failures:
+        result["n_failures"] = len(failures)
+        result.pop("failures", None)
+    line = json.dumps(result)
+    # hard guarantee: fit inside the driver's ~2000-char tail window
+    while len(line) > 1800 and result["queries"]:
+        result["queries"].popitem()
+        line = json.dumps(result)
+    print(line)
     spark.stop()
 
 

@@ -35,19 +35,26 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning apply.
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]); read it as
-    raw int64 nanos and integer-divide to microseconds — the same
-    ns→us truncation DuckDB applies, so oracle comparisons agree.
+    The driver regenerates the fixtures between rounds and the physical
+    timestamp layout has varied: events.ts has been parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader refuses,
+    [PARQUET_TYPE_ILLEGAL] — read as int64 nanos and truncate to micros,
+    matching DuckDB's ns→us truncation) and is now naive timestamp[us],
+    which Spark reads as TIMESTAMP_NTZ. Normalize every layout to the
+    session-TZ TIMESTAMP type (session TZ is pinned UTC, so the rendered
+    instants are identical) so operators can rely on one ts type —
+    `unix_micros` & friends reject NTZ inputs.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -27,33 +27,52 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: events.parquet physical schema — ts is INT64 nanos on disk (see
-#: sources/tables.py); streaming sources need the schema up front.
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events fixture with proper event-time ts."""
+    """Streaming scan of the events fixture with proper event-time ts.
+
+    Streaming sources need the schema up front, but the fixture's
+    physical ts layout has varied between driver rounds (INT64 nanos,
+    naive timestamp[us]/NTZ — see sources/tables.py). Sniff the layout
+    with a zero-cost batch schema read, declare the matching streaming
+    schema, and normalize to session-TZ TIMESTAMP so every downstream
+    event-time operator sees one type.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_type = {
+        "bigint": LongType(),
+        "timestamp_ntz": TimestampNTZType(),
+    }.get(physical, TimestampType())
     # The file stream source requires a directory basePath; select just
     # the events file out of the fixture dir with a glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if physical == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if physical == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> None:

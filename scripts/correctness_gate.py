@@ -31,7 +31,6 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
-    from tests.oracle import duckdb_connect, _rowset
 
     from pyspark.sql import SparkSession
 
@@ -51,6 +50,49 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     t_start = time.time()
+    try:
+        _run_all(spark, sf_dir, qs, oracles, results)
+    finally:
+        spark.stop()
+
+    out = os.path.join(REPO, "CORRECTNESS_FULL.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(qs),
+                "n_green": sum(1 for r in results.values() if _green(r)),
+                "n_rows_only": sum(
+                    1 for r in results.values() if r["err"] == "no_oracle" and r["spark_rows"] is not None
+                ),
+                "wall_s": round(time.time() - t_start, 1),
+                "queries": results,
+            },
+            f,
+            indent=2,
+        )
+    print(f"wrote {out}")
+    bad = [n for n, r in results.items() if not _green(r) and not _rows_only(r)]
+    if bad:
+        print("FAILING:", bad)
+        return 1
+    print("all green")
+    return 0
+
+
+def _green(row: dict) -> bool:
+    # The driver gate requires column-name equality as well as value hash —
+    # mirror both (ADVICE round 3).
+    return bool(row["hash_match"] and row["schema_match"])
+
+
+def _rows_only(row: dict) -> bool:
+    return row["err"] == "no_oracle" and row["spark_rows"] is not None
+
+
+def _run_all(spark, sf_dir, qs, oracles, results) -> None:
+    from tests.oracle import duckdb_connect, _rowset
+
     for i, (name, fn) in enumerate(qs.items()):
         row = {
             "rows_match": None,
@@ -82,40 +124,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — gate must record, not die
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
         results[name] = row
-        ok = row["hash_match"] or (row["err"] == "no_oracle" and row["spark_rows"] is not None)
+        ok = _green(row) or _rows_only(row)
         print(
             f"[{i + 1}/{len(qs)}] {name}: "
             f"{'OK' if ok else 'FAIL ' + str(row)} ({time.time() - t0:.1f}s)",
             flush=True,
         )
-
-    out = os.path.join(REPO, "CORRECTNESS_FULL.json")
-    with open(out, "w") as f:
-        json.dump(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": len(qs),
-                "n_green": sum(1 for r in results.values() if r["hash_match"]),
-                "n_rows_only": sum(
-                    1 for r in results.values() if r["err"] == "no_oracle" and r["spark_rows"] is not None
-                ),
-                "wall_s": round(time.time() - t_start, 1),
-                "queries": results,
-            },
-            f,
-            indent=2,
-        )
-    print(f"wrote {out}")
-    bad = [
-        n
-        for n, r in results.items()
-        if not r["hash_match"] and not (r["err"] == "no_oracle" and r["spark_rows"] is not None)
-    ]
-    if bad:
-        print("FAILING:", bad)
-        return 1
-    print("all green")
-    return 0
 
 
 if __name__ == "__main__":
