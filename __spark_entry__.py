@@ -197,6 +197,18 @@ def _fingerprints(spark, sf_dir):
     return text_analysis.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _repetition(spark, sf_dir):
+    return text_analysis.repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def _source_overlap(spark, sf_dir):
+    return text_analysis.cross_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _mixing_sample(spark, sf_dir):
+    return corpus.balanced_mixing_sample(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -849,6 +861,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lineitem_price_stats": _price_stats,
         "data_quality_report": _dq_report,
         "events_range_join": _range_join,
+        # --- new in round 4 (full oracle rows in CORRECTNESS_FULL.json;
+        # rotate into the driver window next round) ---
+        "repetition_ratio": _repetition,
+        "cross_source_overlap": _source_overlap,
+        "balanced_mixing_sample": _mixing_sample,
     }
 
 
@@ -2479,6 +2496,88 @@ _ORACLES["corpus_funnel_report"] = r"""
     UNION ALL SELECT 4, 'exact_unique', CAST(coalesce(sum(CASE WHEN c_exact THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
     UNION ALL SELECT 5, 'near_dup_survivor', CAST(coalesce(sum(CASE WHEN c_near THEN 1 ELSE 0 END), 0) AS BIGINT) FROM conds
 """.format(shingles=_SHINGLES_CTE, lexicon=_lexicon_values(), stopwords=_stopword_list())
+
+# operators/text_analysis.py::repetition_ratio — word/bigram duplicate
+# fractions; DuckDB builds bigrams with a 1-based range lambda, Spark
+# with transform(sequence(...)) — identical adjacency semantics.
+_ORACLES["repetition_ratio"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+           round(CASE WHEN len(toks) > 0
+                      THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END, 6) AS word_rep_ratio,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           round(CASE WHEN len(bigrams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                      ELSE 0.0 END, 6) AS bigram_rep_ratio
+    FROM b
+"""
+
+# operators/text_analysis.py::cross_source_overlap — source-pair
+# Jaccard over DISTINCT per-source 3-shingle vocabularies.
+_ORACLES["cross_source_overlap"] = r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) AS pos,
+               doc_id
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT source,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shn AS (SELECT DISTINCT source, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    sizes AS (SELECT source, count(*) AS n_sh FROM shn GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+"""
+
+# operators/corpus.py::balanced_mixing_sample — ceil(sqrt(n)) docs per
+# source, exact-k selection by md5(doc_id) rank.
+_ORACLES["balanced_mixing_sample"] = """
+    WITH quotas AS (
+        SELECT source, count(*) AS n_source_docs,
+               CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.source, r.doc_id, q.n_source_docs, q.quota
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -144,6 +144,41 @@ def corpus_funnel_report(
     )
 
 
+def balanced_mixing_sample(
+    df: DataFrame, id_col: str = "doc_id", stratify_col: str = "source"
+) -> DataFrame:
+    """Square-root source mixing: keep ceil(sqrt(n)) docs per source —
+    the deterministic data-mixing strategy that damps dominant sources
+    (a source 100× larger contributes only 10× the docs), the standard
+    alternative to temperature-weighted sampling when the mixture must
+    be reproducible and engine-portable: sqrt is IEEE-correctly-rounded
+    everywhere, while pow/exp temperature weights differ in the last
+    ulp across libm implementations (same reasoning as tfidf's rational
+    IDF).
+
+    Selection within a source is exact-k by md5(doc_id) rank — stable
+    under re-runs, resumes, and the DuckDB oracle. Quotas are a
+    per-source aggregate broadcast back (bounded dimension); the rank
+    window partitions by source. For sources of unbounded size, a
+    hash-prefix pre-filter in front of the window bounds the sort input
+    to ~quota rows; at fixture scale the direct window is the simpler
+    exact plan.
+    """
+    quotas = df.groupBy(stratify_col).agg(F.count("*").alias("n_source_docs"))
+    quotas = quotas.withColumn(
+        "quota", F.ceil(F.sqrt(F.col("n_source_docs"))).cast("long")
+    )
+    w = Window.partitionBy(stratify_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(stratify_col, id_col).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), stratify_col)
+        .where(F.col("rk") <= F.col("quota"))
+        .select(stratify_col, id_col, "n_source_docs", "quota")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float = 0.2,

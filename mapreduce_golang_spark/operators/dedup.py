@@ -490,7 +490,13 @@ def incremental_dedup(
             ((F.col("rn") > 1) | F.col("in_corpus").isNotNull()).alias("is_exact_dup"),
         )
     )
-    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # One materialization feeds the doc-freq guard, BOTH posting-list
+    # sides, and the full-set Jaccard verify — without it the
+    # tokenize+explode subplan executes four times per run (measured
+    # 8-9 s → ~5 s at sf0.1). Same pattern as ngram_jaccard_pairs.
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     if max_doc_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
         capped = shingles.join(

@@ -168,6 +168,94 @@ def doc_fingerprints(df: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     )
 
 
+def repetition_ratio(df: DataFrame) -> DataFrame:
+    """Intra-document repetition features — the standard "is this doc
+    degenerate boilerplate/spam" quality signal run before training:
+    word- and bigram-level duplicate fractions per doc.
+
+    rep_ratio = 1 - distinct/total (0 for empty docs); high word
+    repetition with near-zero bigram repetition ≈ natural prose, high
+    bigram repetition ≈ template/looping text. Pure narrow map (token
+    array sliced/deduped inside one codegen stage) — ZERO shuffles,
+    scales with the scan like text_quality.
+    """
+    toks = _clean_tokens(F.lower(F.col("text")))
+    base = df.select("doc_id", toks.alias("toks"))
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+        "ELSE array() END"
+    )
+    n_w = F.size("toks")
+    n_dw = F.size(F.array_distinct("toks"))
+    n_b = F.size("bigrams")
+    n_db = F.size(F.array_distinct("bigrams"))
+    return (
+        base.withColumn("bigrams", bigrams)
+        .select(
+            "doc_id",
+            n_w.cast("long").alias("n_words"),
+            n_dw.cast("long").alias("n_distinct_words"),
+            F.round(
+                F.when(n_w > 0, 1.0 - n_dw / n_w).otherwise(F.lit(0.0)), 6
+            ).alias("word_rep_ratio"),
+            n_b.cast("long").alias("n_bigrams"),
+            n_db.cast("long").alias("n_distinct_bigrams"),
+            F.round(
+                F.when(n_b > 0, 1.0 - n_db / n_b).otherwise(F.lit(0.0)), 6
+            ).alias("bigram_rep_ratio"),
+        )
+    )
+
+
+def cross_source_overlap(df: DataFrame, k: int = 3) -> DataFrame:
+    """Source-pair shingle overlap matrix — corpus-level contamination
+    analytics: Jaccard similarity of the DISTINCT k-word-shingle
+    vocabularies of every source pair (which crawls/dumps duplicate
+    each other, which are independent).
+
+    Scale shape: shingles collapse to DISTINCT (source, shingle) first
+    (shuffle ∝ source vocabularies, not corpus tokens); the self-join's
+    per-shingle posting list is bounded by the SOURCE dimension (≤
+    n_sources rows), so the quadratic step is n_sources²-bounded per
+    shingle — safe at any corpus size for a bounded source set.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, k=k, id_col="source").withColumnRenamed("doc_id", "source")
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """Top-k distinctive terms per source by TF-IDF.
 

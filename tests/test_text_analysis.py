@@ -15,6 +15,9 @@ from tests.oracle import assert_matches_oracle
         "tfidf_top_terms",
         "contamination_check",
         "stratified_sample",
+        "repetition_ratio",
+        "cross_source_overlap",
+        "balanced_mixing_sample",
     ],
 )
 def test_matches_oracle(spark, sf_dir, name):
@@ -92,6 +95,58 @@ def test_contamination_detects_planted_overlap(spark):
     # doc 2 is fully contained in train doc 1 → every shingle contaminated
     assert rows[2][0] == rows[2][1] and rows[2][2] == 1.0
     assert rows[3][0] == 0 and rows[3][2] == 0.0
+
+
+def test_repetition_ratio_degenerate_doc_flagged(spark):
+    from mapreduce_golang_spark.operators.text_analysis import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one word looped
+            (2, "each word appears exactly once here"),  # no repetition
+            (3, ""),  # empty doc must not divide by zero
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_ratio(df).collect()}
+    assert rows[1].word_rep_ratio > 0.8 and rows[1].bigram_rep_ratio > 0.7
+    assert rows[2].word_rep_ratio == 0.0 and rows[2].bigram_rep_ratio == 0.0
+    assert rows[3].n_words == 0 and rows[3].word_rep_ratio == 0.0
+
+
+def test_cross_source_overlap_detects_shared_text(spark):
+    from mapreduce_golang_spark.operators.text_analysis import cross_source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, shared, "srcA"),
+            (2, shared + " tail words", "srcB"),
+            (3, "completely different vocabulary in this one", "srcC"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {(r.source_a, r.source_b): r.jaccard for r in cross_source_overlap(df).collect()}
+    assert rows[("srcA", "srcB")] > 0.5  # near-identical vocabularies
+    assert ("srcA", "srcC") not in rows  # zero-overlap pairs don't appear
+
+
+def test_balanced_mixing_sample_quota_exact(spark, sf_dir):
+    from mapreduce_golang_spark.operators.corpus import balanced_mixing_sample
+    from mapreduce_golang_spark.sources.tables import load_table
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = balanced_mixing_sample(docs).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    totals = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    for src, rows in per_src.items():
+        assert len(rows) == math.ceil(math.sqrt(totals[src]))
+    # deterministic: second run picks the same docs
+    again = sorted((r.source, r.doc_id) for r in balanced_mixing_sample(docs).collect())
+    assert again == sorted((r.source, r.doc_id) for r in out)
 
 
 def test_stratified_sample_deterministic(spark, sf_dir):
