@@ -120,3 +120,11 @@ def test_new_dedup_ops_on_empty(spark, empty_docs, empty_emb):
         corpus.corpus_funnel_report(empty_docs).collect(), key=lambda r: r.stage_idx
     )
     assert [r.n_docs for r in rows] == [0] * 6
+
+
+def test_corpus_analytics_on_empty(spark, empty_docs):
+    from mapreduce_golang_spark.operators import corpus, text_analysis
+
+    assert text_analysis.repetition_ratio(empty_docs).count() == 0
+    assert text_analysis.cross_source_overlap(empty_docs).count() == 0
+    assert corpus.balanced_mixing_sample(empty_docs).count() == 0
