@@ -538,6 +538,59 @@ _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 SIMHASH_BITS = 16
 
 
+def _simhash_narrow(df: DataFrame, n_bits: int, contrib_expr: str, text_col: str, id_col: str, out_col: str) -> DataFrame:
+    """Shared zero-shuffle SimHash kernel: the whole signature is ONE
+    projection over the scan — md5 each token once, then a single
+    ``aggregate`` traversal accumulates all ``n_bits`` weighted bit
+    sums in an array accumulator (``zip_with`` add), and a second
+    array fold turns sign bits into the integer signature.
+
+    Summing ±1 PER OCCURRENCE is arithmetically identical to the
+    textbook per-distinct-token cnt×sgn weighting, so this narrow form
+    replaces an earlier explode → groupBy(doc,tok) → groupBy(doc,bit)
+    → groupBy(doc) pipeline (three exchanges per signature) with ZERO
+    exchanges — at 100 TB the signature stage becomes a pure map that
+    rides the parquet scan.
+
+    ``contrib_expr`` is a Spark-SQL fragment over the placeholder
+    ``{H}`` (an md5-hex string) evaluating to the length-``n_bits``
+    array of ±1 bit contributions of that token.
+
+    Duplicate tokens are collapsed in-array first (sort + run-length
+    boundaries) so each DISTINCT token is hashed and bit-decoded once
+    and its run length becomes the weight — word-soup docs would
+    otherwise pay the md5+decode per occurrence. Docs with zero tokens
+    produce no row (same semantics as the explode-based oracle).
+    """
+    # double the backslashes: the regex rides inside a SQL string
+    # literal, where \p would otherwise be eaten as an escape
+    re_sql = LETTERS_ONLY_RE.replace("\\", "\\\\")
+    toks = f"array_sort(array_remove(split({text_col}, '{re_sql}'), ''))"
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(toks).alias("st")
+    ).where(F.size("st") > 0)
+    # run boundaries over the sorted array: starts[j]..ends[j] is the
+    # j-th distinct token's run; run length = weight
+    starts = "filter(sequence(1, size(st)), i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"
+    ends = "filter(sequence(1, size(st)), i -> i = size(st) OR element_at(st, i) != element_at(st, i + 1))"
+    entries = (
+        f"zip_with({starts}, {ends}, (s, e) -> "
+        f"named_struct('h', md5(element_at(st, s)), 'c', CAST(e - s + 1 AS BIGINT)))"
+    )
+    contrib = contrib_expr.replace("{H}", "p.h")
+    sums = (
+        f"aggregate({entries}, "
+        f"  array_repeat(CAST(0 AS BIGINT), {n_bits}), "
+        f"  (acc, p) -> zip_with(acc, {contrib}, (x, y) -> x + p.c * CAST(y AS BIGINT)))"
+    )
+    value = (
+        f"aggregate(zip_with({sums}, sequence(0, {n_bits - 1}), "
+        f"  (s, i) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        f"  CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return base.select("doc_id", F.expr(value).alias(out_col))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit weighted SimHash per doc: (doc_id, simhash).
 
@@ -545,36 +598,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     deterministic and identical in any engine with md5. Weight =
     token count in the doc. Bit set iff weighted sum ≥ 0.
     """
-    # md5 hoisted ABOVE the per-bit explosion: hash once per (doc,tok),
-    # not once per (doc,tok,bit) — 16× less hashing, same values
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("tok"))
-    )
-    bits = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i")
-    # substr with a column-valued position needs the SQL form (expr).
+    hi = ", ".join(f"'{d}'" for d in _HI_HEX)
     contrib = (
-        toks.select("doc_id", "h", "cnt", bits)
-        .withColumn(
-            "sgn",
-            F.when(F.expr("substr(h, i + 1, 1)").isin(*_HI_HEX), F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"i -> IF(substr({{H}}, i + 1, 1) IN ({hi}), 1, -1))"
     )
-    return (
-        contrib.withColumn(
-            "bit_val",
-            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit_val").cast("long").alias("simhash"))
-    )
+    return _simhash_narrow(df, SIMHASH_BITS, contrib, text_col, id_col, "simhash")
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -586,35 +615,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     positive (top bit unused) so the value fits a BIGINT unsigned-free.
     """
     n_bits = 63  # stay within non-negative BIGINT range
-    # md5 hoisted above the per-bit explosion (63× less hashing)
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "")).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("tok"))
-    )
-    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
     # hex digit value without engine-specific conv(): position in the
-    # hex alphabet, identical in DuckDB
-    digit_val = F.expr("position(substr(h, i DIV 4 + 1, 1) IN '0123456789abcdef') - 1")
+    # hex alphabet, identical in DuckDB. Decode each of the 16 hex
+    # digits ONCE and fan its 4 bits out (bit i = bit i%4 of digit
+    # i DIV 4), instead of 63 independent position() probes per token.
     contrib = (
-        toks.select("doc_id", "h", "cnt", bits)
-        .withColumn("dv", digit_val)
-        .withColumn("sgn", F.when(F.expr("(dv DIV CAST(power(2, i % 4) AS INT)) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)))
-        .groupBy("doc_id", "i")
-        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
+        "slice(flatten(transform("
+        "  transform(sequence(0, 15), d -> position(substr({H}, d + 1, 1) IN '0123456789abcdef') - 1), "
+        "  dv -> array(IF(dv % 2 = 1, 1, -1), IF((dv DIV 2) % 2 = 1, 1, -1), "
+        "              IF((dv DIV 4) % 2 = 1, 1, -1), IF((dv DIV 8) % 2 = 1, 1, -1)))), "
+        f"1, {n_bits})"
     )
-    return (
-        contrib.withColumn(
-            "bit_val",
-            F.when(F.col("s") >= 0, F.expr("CAST(power(2, i) AS BIGINT)")).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit_val").cast("long").alias("simhash64"))
-    )
+    return _simhash_narrow(df, n_bits, contrib, text_col, id_col, "simhash64")
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -625,7 +637,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", i
     (pigeonhole), so banding loses nothing while avoiding the global
     self-join. Verification computes the exact hamming distance.
     """
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    # the signature is now a zero-exchange narrow map, so the band
+    # self-join would otherwise recompute it (and re-parse the corpus)
+    # on BOTH sides — materialize the tiny (doc_id, long) signature
+    # table once and join against that
+    sh = simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
     n_bands = 4
     width = SIMHASH_BITS // n_bands  # 4 bits per band
     banded = sh.select(
