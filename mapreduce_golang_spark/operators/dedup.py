@@ -50,12 +50,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct k-word shingles per doc: (doc_id, shingle).
 
-    A pure narrow map: the shingle array is sliced out of the token
-    array inside one codegen stage (no explode→window sort — an
-    earlier formulation paid a per-doc sort here, and every caller
-    recomputes this subplan several times). The only exchange is the
-    per-doc distinct, which callers' joins need hash-partitioned
-    anyway.
+    A pure narrow map END TO END: the shingle array is sliced out of
+    the token array inside one codegen stage (no explode→window sort),
+    and the per-doc dedup happens IN-ARRAY (``array_distinct``) before
+    the explode — rows leave this operator already distinct, so there
+    is ZERO exchange here at any corpus size (an earlier formulation
+    paid a full shuffle for ``.distinct()`` after the explode; callers'
+    joins repartition the stream anyway).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -65,14 +66,11 @@ def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     # sequence, not an empty one — short docs must yield array()
     shingle_arr = F.expr(
         f"CASE WHEN size(toks) >= {k} "
-        f"THEN transform(sequence(1, size(toks) - {k - 1}), "
-        f"     i -> array_join(slice(toks, i, {k}), ' ')) "
+        f"THEN array_distinct(transform(sequence(1, size(toks) - {k - 1}), "
+        f"     i -> array_join(slice(toks, i, {k}), ' '))) "
         f"ELSE array() END"
     )
-    return (
-        toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 def _jaccard_for_pairs(cand: DataFrame, shingles: DataFrame) -> DataFrame:

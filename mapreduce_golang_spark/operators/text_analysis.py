@@ -222,7 +222,13 @@ def cross_source_overlap(df: DataFrame, k: int = 3) -> DataFrame:
     """
     from mapreduce_golang_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(df, k=k, id_col="source").withColumnRenamed("doc_id", "source")
+    # word_shingles dedupes per ROW (per doc, in-array); the source
+    # vocabulary needs the cross-doc distinct on top
+    sh = (
+        word_shingles(df, k=k, id_col="source")
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
