@@ -106,3 +106,36 @@ def test_semantic_dedup_scan_floor(spark, sf_dir):
     # the bucket/norm derivation
     plan = _plan(spark, sf_dir, "semantic_dedup_survivors")
     assert plan.count("FileScan parquet") == 3
+
+
+def test_simhash_signature_is_narrow(spark, sf_dir):
+    # both SimHash signatures are ONE projection over the scan — any
+    # Exchange here means the explode→groupBy pipeline regressed back
+    for name in ["simhash", "simhash64"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
+
+
+def test_repetition_ratio_is_narrow(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "repetition_ratio")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_word_shingles_explode_has_no_exchange(spark, sf_dir):
+    # per-doc dedup rides in-array (array_distinct before the explode);
+    # the stream must leave the operator without a shuffle
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = word_shingles(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "array_distinct" in plan
+
+
+def test_balanced_mixing_broadcasts_quotas(spark, sf_dir):
+    # the per-source quota table is a bounded dimension — it must come
+    # back as a broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "balanced_mixing_sample")
