@@ -209,6 +209,20 @@ def _mixing_sample(spark, sf_dir):
     return corpus.balanced_mixing_sample(load_table(spark, sf_dir, "documents"))
 
 
+def _vocab_growth(spark, sf_dir):
+    return text_analysis.vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+def _source_doc_stats(spark, sf_dir):
+    return text_analysis.source_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _triangles(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_triangles
+
+    return near_dup_triangles(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -866,6 +880,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_ratio": _repetition,
         "cross_source_overlap": _source_overlap,
         "balanced_mixing_sample": _mixing_sample,
+        "vocab_growth": _vocab_growth,
+        "source_doc_stats": _source_doc_stats,
+        "near_dup_triangles": _triangles,
     }
 
 
@@ -2577,6 +2594,50 @@ _ORACLES["balanced_mixing_sample"] = """
     SELECT r.source, r.doc_id, q.n_source_docs, q.quota
     FROM ranked r JOIN quotas q USING (source)
     WHERE r.rk <= q.quota
+"""
+
+
+# operators/text_analysis.py::vocab_growth — per-source type/token curve.
+_ORACLES["vocab_growth"] = r"""
+    WITH words AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           round(CAST(count(DISTINCT word) AS DOUBLE) / count(*), 6) AS type_token_ratio
+    FROM words
+    GROUP BY source
+"""
+
+# operators/text_analysis.py::source_doc_stats — per-source length
+# profile; quantile_cont == Spark's interpolated percentile().
+_ORACLES["source_doc_stats"] = r"""
+    WITH sized AS (
+        SELECT source, n_chars,
+               len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS n_toks
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(n_toks), 6) AS avg_tokens,
+           round(quantile_cont(n_toks, 0.5), 6) AS median_tokens
+    FROM sized
+    GROUP BY source
+"""
+
+# operators/graph.py::near_dup_triangles — exactly-once triangle
+# enumeration over the canonical (doc_a < doc_b) near-dup edges; the
+# edge set is the ngram_jaccard_pairs oracle re-used as a CTE.
+_ORACLES["near_dup_triangles"] = f"""
+    WITH edges AS ({_ORACLES["ngram_jaccard_pairs"]})
+    SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+    FROM edges ab
+    JOIN edges bc ON ab.doc_b = bc.doc_a
+    JOIN edges ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
 """
 
 

@@ -75,3 +75,34 @@ def near_dup_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))
+
+
+def near_dup_triangles(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Triangles in the near-dup pair graph: (doc_a, doc_b, doc_c) with
+    doc_a < doc_b < doc_c and all three edges present — the standard
+    graph-quality probe for a dedup pass (triangles are tight clusters
+    whose members an aggressive keep-one policy would over-drop).
+
+    Edges arrive canonically ordered (doc_a < doc_b from the pair
+    join), so each triangle is enumerated exactly once: wedge join on
+    the shared middle vertex, then a closing-edge semi-check. Both
+    joins hash-partition on a vertex key — shuffle ∝ edges + wedges,
+    the standard distributed triangle topology (wedge count is the
+    quadratic term; the near-dup graph's degree is bounded by the
+    ngram guard's posting-list cap).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    wedges = ab.join(bc, "b")
+    return (
+        wedges.join(ac, ["a", "c"], "left_semi")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
+    )

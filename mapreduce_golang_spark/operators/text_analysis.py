@@ -262,6 +262,44 @@ def cross_source_overlap(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def vocab_growth(df: DataFrame) -> DataFrame:
+    """Per-source type/token curve (Heaps'-law observability): total
+    token occurrences, distinct vocabulary size, and the type-token
+    ratio — the standard "is this source repetitive boilerplate or
+    diverse text" corpus diagnostic.
+
+    Scale shape: one explode collapsed by a single hash aggregate on
+    (source) with partial counts map-side; count(distinct) rewrites to
+    a two-phase expand-aggregate — shuffle ∝ per-source vocabularies.
+    """
+    words = df.select("source", F.explode(_clean_tokens(F.lower(F.col("text")))).alias("word"))
+    return words.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("word").cast("long").alias("n_types"),
+        F.round(F.countDistinct("word") / F.count("*"), 6).alias("type_token_ratio"),
+    )
+
+
+def source_doc_stats(df: DataFrame) -> DataFrame:
+    """Per-source document-length profile: doc count, mean chars,
+    mean/median token counts. Exact interpolated median via
+    ``percentile`` (same continuous-quantile semantics as the DuckDB
+    oracle's ``quantile_cont``). One narrow projection computes the
+    per-doc token count; one hash aggregate per source collapses it.
+    """
+    sized = df.select(
+        "source",
+        F.col("n_chars"),
+        F.size(_clean_tokens(F.col("text"))).alias("n_toks"),
+    )
+    return sized.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("median_tokens"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """Top-k distinctive terms per source by TF-IDF.
 

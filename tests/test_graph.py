@@ -27,3 +27,30 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     # the hub outranks every leaf; leaves are symmetric
     assert ranks[1] > ranks[2] == ranks[3] == ranks[4]
+
+
+def test_triangles_match_oracle(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["near_dup_triangles"],
+        entrymod.oracle_sql()["near_dup_triangles"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_triangles_enumerated_exactly_once(spark):
+    from mapreduce_golang_spark.operators.graph import near_dup_triangles
+
+    # K4 on {1,2,3,4} has exactly 4 triangles; the extra 4-5 edge adds
+    # none. Edges are canonical (a < b).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = sorted(
+        (r.doc_a, r.doc_b, r.doc_c)
+        for r in near_dup_triangles(None, pairs=pairs).collect()
+    )
+    assert rows == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]

@@ -18,6 +18,8 @@ from tests.oracle import assert_matches_oracle
         "repetition_ratio",
         "cross_source_overlap",
         "balanced_mixing_sample",
+        "vocab_growth",
+        "source_doc_stats",
     ],
 )
 def test_matches_oracle(spark, sf_dir, name):
