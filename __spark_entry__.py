@@ -162,6 +162,10 @@ def _rolling(spark, sf_dir):
     return windows.rolling_user_value(load_table(spark, sf_dir, "events"))
 
 
+def _trailing(spark, sf_dir):
+    return windows.trailing_hour_value(load_table(spark, sf_dir, "events"))
+
+
 def _props(spark, sf_dir):
     return windows.props_key_stats(load_table(spark, sf_dir, "events"))
 
@@ -883,6 +887,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "vocab_growth": _vocab_growth,
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
+        "trailing_hour_value": _trailing,
     }
 
 
@@ -2638,6 +2643,23 @@ _ORACLES["near_dup_triangles"] = f"""
     FROM edges ab
     JOIN edges bc ON ab.doc_b = bc.doc_a
     JOIN edges ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+"""
+
+
+# operators/windows.py::trailing_hour_value — event-time RANGE frame
+# over integer epoch seconds (identical inclusive-bound semantics in
+# both engines; floor(epoch) == Spark unix_timestamp's truncation).
+_ORACLES["trailing_hour_value"] = """
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           round(sum(value) OVER w, 6) AS trailing_sum,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
 """
 
 

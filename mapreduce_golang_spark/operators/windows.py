@@ -93,6 +93,32 @@ def rolling_user_value(events: DataFrame, n_preceding: int = 3) -> DataFrame:
     )
 
 
+def trailing_hour_value(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
+    """Per-user trailing event-time window sum: for every event, the
+    sum and count of that user's values in the preceding
+    ``window_seconds`` (inclusive RANGE frame over epoch seconds) —
+    the time-based sibling of ``rolling_user_value``'s ROWS frame.
+
+    Exactly one exchange on user_id; the RANGE frame is evaluated in
+    one per-partition ordered pass. Epoch seconds (not an interval
+    literal) keep the frame arithmetic integer-exact and identical to
+    the DuckDB oracle's numeric RANGE frame.
+    """
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-window_seconds, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        sec.alias("epoch_s"),
+        F.round(F.sum("value").over(w), 6).alias("trailing_sum"),
+        F.count("*").over(w).cast("long").alias("trailing_n"),
+    )
+
+
 def props_key_stats(events: DataFrame) -> DataFrame:
     """JSON prop extraction: props is a JSON string ('{"k": N}');
     per event_type stats of k. get_json_object stays in codegen."""

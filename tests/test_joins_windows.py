@@ -32,6 +32,7 @@ WINDOW_QUERIES = [
     "sessionize",
     "top_users_per_event_type",
     "rolling_user_value",
+    "trailing_hour_value",
     "props_key_stats",
     "event_type_cube",
 ]
