@@ -502,12 +502,14 @@ def incremental_dedup(
         )
     else:
         capped = shingles
-    new_ids = batch_h.select("doc_id")
-    old_ids = hashed.where(~F.col("is_new")).select("doc_id")
-    post_new = capped.join(new_ids, "doc_id").select(
+    # batch membership is a pure function of doc_id — split the capped
+    # posting stream with narrow filters, not id-list joins (an earlier
+    # form paid two joins of the full posting stream here)
+    is_new_post = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == 0
+    post_new = capped.where(is_new_post).select(
         F.col("doc_id").alias("doc_b"), "shingle"
     )
-    post_old = capped.join(old_ids, "doc_id").select(
+    post_old = capped.where(~is_new_post).select(
         F.col("doc_id").alias("doc_a"), "shingle"
     )
     cand = post_old.join(post_new, "shingle").select("doc_a", "doc_b").distinct()
