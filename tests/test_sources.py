@@ -113,3 +113,39 @@ def test_bucketed_query_entry_plan(spark, sf_dir):
         sf_dir,
     )
     assert n > 0
+
+def test_kvtext_datasource_roundtrip(spark, tmp_path):
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    df = spark.createDataFrame(
+        [("apple", "3"), ("banana", "7"), ("cherry", "1")], ["key", "value"]
+    )
+    out = str(tmp_path / "kvout")
+    df.write.format("kvtext").mode("append").save(out)
+    back = spark.read.format("kvtext").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kvtext_datasource_drops_malformed_lines(spark, tmp_path):
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "mr-out-0").write_text("good 1\nmalformed\nalso good but three\nok 2\n")
+    rows = sorted(map(tuple, spark.read.format("kvtext").load(str(p)).collect()))
+    assert rows == [("good", "1"), ("ok", "2")]
+
+
+def test_kvtext_datasource_reads_write_kv_text_output(spark, tmp_path):
+    # the two kvtext implementations share one on-disk contract
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+    from mapreduce_golang_spark.sources.text import write_kv_text
+
+    spark.dataSource.register(KvTextDataSource)
+    df = spark.createDataFrame([("k1", "10"), ("k2", "20")], ["key", "value"])
+    out = str(tmp_path / "jvmout")
+    write_kv_text(df, out, n_files=2)
+    back = spark.read.format("kvtext").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
