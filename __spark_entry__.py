@@ -166,6 +166,10 @@ def _trailing(spark, sf_dir):
     return windows.trailing_hour_value(load_table(spark, sf_dir, "events"))
 
 
+def _hmean_query(spark, sf_dir):
+    return analytics.event_value_hmean(load_table(spark, sf_dir, "events"))
+
+
 def _props(spark, sf_dir):
     return windows.props_key_stats(load_table(spark, sf_dir, "events"))
 
@@ -891,6 +895,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
         "trailing_hour_value": _trailing,
+        "event_value_hmean": _hmean_query,
     }
 
 
@@ -2663,6 +2668,17 @@ _ORACLES["trailing_hour_value"] = """
         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
+"""
+
+
+# operators/analytics.py::event_value_hmean — GROUPED_AGG pandas UDAF;
+# round(6) absorbs float fold-order differences between engines.
+_ORACLES["event_value_hmean"] = """
+    SELECT event_type,
+           round(count(*) / sum(1.0 / value), 6) AS harmonic_mean_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
 """
 
 

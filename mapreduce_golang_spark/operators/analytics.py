@@ -226,3 +226,38 @@ def last_click_before_purchase(events: DataFrame) -> DataFrame:
             F.coalesce("last_click_id", F.lit(-1)).alias("last_click_event_id"),
         )
     )
+
+
+def event_value_hmean(events: DataFrame) -> DataFrame:
+    """Per-type harmonic mean of `value` via a GROUPED_AGG pandas UDF —
+    the vectorized custom-aggregate surface (Arrow-batched Series in,
+    scalar out), complementing `weighted_median_value`'s applyInPandas
+    form. The reciprocal sum is sorted before summing so the float
+    fold order is deterministic under any shuffle order; rounding to 6
+    decimals absorbs the remaining last-ulp difference vs the oracle's
+    own sum order.
+
+    Scale shape: a hash aggregate on event_type; the UDF runs once per
+    group partition with Arrow transfer — the standard pandas-UDAF
+    topology (no per-row Python).
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringizes the Series->float type hints the
+    # inference path needs
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _hmean(v):
+        import numpy as np
+
+        inv = np.sort(1.0 / v.to_numpy())
+        return float(len(inv) / inv.sum())
+
+    # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg
+    # ([INVALID_PANDAS_UDF_PLACEMENT]) — run the two aggregations
+    # separately and join on the bounded group key
+    hm = events.groupBy("event_type").agg(
+        F.round(_hmean("value"), 6).alias("harmonic_mean_value")
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    return hm.join(F.broadcast(counts), "event_type")

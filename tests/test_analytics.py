@@ -12,6 +12,7 @@ ORACLE_CHECKED = [
     "event_counts_pivot",
     "last_click_before_purchase",
     "mr_wc",
+    "event_value_hmean",
 ]
 
 
