@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
@@ -94,6 +95,56 @@ class KvTextWriter(DataSourceWriter):
         return WriterCommitMessage()
 
 
+class KvTextStreamReader(SimpleDataSourceStreamReader):
+    """File-arrival streaming read of a kvtext directory: the offset is
+    the sorted list of files already processed; each microbatch reads
+    files that appeared since. Mirrors the file-stream source contract
+    (files are immutable once written — the reference's mr-out-N files
+    are atomically renamed exactly like that,
+    /root/reference/src/mr/worker.go:136-140)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext: path required (use .load(path))")
+
+    def _files(self):
+        if not os.path.isdir(self.path):
+            return [self.path] if os.path.exists(self.path) else []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def read(self, start):
+        seen = set(start.get("seen", []))
+        now = self._files()
+        new = [f for f in now if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return (self._rows(new), end)
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start.get("seen", []))
+        target = [f for f in end.get("seen", []) if f not in seen]
+        return self._rows(target)
+
+    def _rows(self, files):
+        # a LIST, not a generator: the prefetched batch is pickled into
+        # the offset log by the simple stream reader runtime
+        rows = []
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    parts = line.rstrip("\n").split(" ")
+                    if len(parts) == 2:
+                        rows.append((parts[0], parts[1]))
+        return rows
+
+
 class KvTextDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -107,3 +158,6 @@ class KvTextDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return KvTextWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return KvTextStreamReader(self.options)

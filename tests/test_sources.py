@@ -149,3 +149,25 @@ def test_kvtext_datasource_reads_write_kv_text_output(spark, tmp_path):
     write_kv_text(df, out, n_files=2)
     back = spark.read.format("kvtext").load(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kvtext_stream_reader_drains_directory(spark, tmp_path):
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "mr-out-0").write_text("a 1\nb 2\n")
+    (src / "mr-out-1").write_text("c 3\nbad-line\n")
+    q = (
+        spark.readStream.format("kvtext")
+        .load(str(src))
+        .writeStream.format("memory")
+        .queryName("kvstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(map(tuple, spark.sql("SELECT * FROM kvstream").collect()))
+    assert rows == [("a", "1"), ("b", "2"), ("c", "3")]
