@@ -165,3 +165,52 @@ def test_incremental_dedup_matches_bruteforce(spark, texts):
         )
         want[i] = "dup_near" if near else "kept"
     assert got == want
+
+
+@given(st.lists(DOC_TEXTS, min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_ratio_matches_bruteforce(spark, texts):
+    # Spark repetition_ratio == a direct Python reference on arbitrary
+    # tiny corpora; ratios stay in [0, 1] and empty docs yield zeros.
+    from mapreduce_golang_spark.operators.text_analysis import repetition_ratio
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        toks = [w.lower() for w in t.split() if w]
+        bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        row = got[i]
+        assert row.n_words == len(toks)
+        assert row.n_distinct_words == len(set(toks))
+        assert row.n_bigrams == len(bigrams)
+        assert row.n_distinct_bigrams == len(set(bigrams))
+        want_wr = round(1 - len(set(toks)) / len(toks), 6) if toks else 0.0
+        want_br = round(1 - len(set(bigrams)) / len(bigrams), 6) if bigrams else 0.0
+        assert abs(row.word_rep_ratio - want_wr) < 1e-9
+        assert abs(row.bigram_rep_ratio - want_br) < 1e-9
+        assert 0.0 <= row.word_rep_ratio <= 1.0 and 0.0 <= row.bigram_rep_ratio <= 1.0
+
+
+@given(st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_balanced_mixing_quota_invariants(spark, sources):
+    # exactly ceil(sqrt(n_s)) docs per source, quota <= n, and the
+    # selection is a function of doc_id hashes only (stable under rerun)
+    import math
+
+    from mapreduce_golang_spark.operators.corpus import balanced_mixing_sample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sources)], ["doc_id", "source"]
+    )
+    rows = balanced_mixing_sample(df).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    counts = {}
+    for s in sources:
+        counts[s] = counts.get(s, 0) + 1
+    for s, n in counts.items():
+        assert len(per[s]) == math.ceil(math.sqrt(n))
+        assert all(r.n_source_docs == n for r in per[s])
+        assert all(r.quota <= n for r in per[s])
