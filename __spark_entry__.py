@@ -231,6 +231,12 @@ def _triangles(spark, sf_dir):
     return near_dup_triangles(load_table(spark, sf_dir, "documents"))
 
 
+def _reachability(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_reachability
+
+    return near_dup_reachability(spark, load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -896,6 +902,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "near_dup_triangles": _triangles,
         "trailing_hour_value": _trailing,
         "event_value_hmean": _hmean_query,
+        "near_dup_reachability": _reachability,
     }
 
 
@@ -2679,6 +2686,26 @@ _ORACLES["event_value_hmean"] = """
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
+"""
+
+
+# operators/graph.py::near_dup_reachability — identical RECURSIVE CTE
+# over the ngram-pairs edge set (DuckDB shares the WITH RECURSIVE
+# semantics: UNION ALL recursion, depth-bounded).
+_ORACLES["near_dup_reachability"] = f"""
+    WITH RECURSIVE edges AS ({_ORACLES["ngram_jaccard_pairs"]}),
+    reach(doc, depth) AS (
+      SELECT (SELECT min(doc_a) FROM edges) AS doc, 0 AS depth
+      UNION ALL
+      SELECT CASE WHEN e.doc_a = r.doc THEN e.doc_b ELSE e.doc_a END AS doc,
+             r.depth + 1 AS depth
+      FROM reach r
+      JOIN edges e ON r.doc = e.doc_a OR r.doc = e.doc_b
+      WHERE r.depth < 3
+    )
+    SELECT doc AS doc_id, CAST(min(depth) AS BIGINT) AS min_depth
+    FROM reach
+    GROUP BY doc
 """
 
 

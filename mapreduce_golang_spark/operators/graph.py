@@ -106,3 +106,39 @@ def near_dup_triangles(df: DataFrame, pairs: DataFrame | None = None) -> DataFra
             F.col("c").alias("doc_c"),
         )
     )
+
+
+def near_dup_reachability(
+    spark, df: DataFrame, pairs: DataFrame | None = None, max_depth: int = 3
+) -> DataFrame:
+    """Bounded-depth reachability from the graph's lowest doc id via a
+    RECURSIVE CTE (Spark 4 `WITH RECURSIVE`) — the pure-SQL form of the
+    iterative DataFrame loops in this module: (doc_id, min_depth) for
+    every doc within ``max_depth`` hops of the seed.
+
+    The recursive step joins the frontier to the edge list with an OR
+    on the two canonical endpoints — fine for a guarded near-dup graph
+    (degree is bounded by the ngram posting-list cap); on an unguarded
+    billion-edge graph split it into two equi-join branches or use the
+    DataFrame loop (`near_dup_components`) instead, which checkpoints
+    per round.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("near_dup_edges_tmp")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(doc, depth) AS (
+          SELECT (SELECT min(doc_a) FROM near_dup_edges_tmp) AS doc, 0 AS depth
+          UNION ALL
+          SELECT CASE WHEN e.doc_a = r.doc THEN e.doc_b ELSE e.doc_a END AS doc,
+                 r.depth + 1 AS depth
+          FROM reach r
+          JOIN near_dup_edges_tmp e ON r.doc = e.doc_a OR r.doc = e.doc_b
+          WHERE r.depth < {max_depth}
+        )
+        SELECT doc AS doc_id, CAST(min(depth) AS BIGINT) AS min_depth
+        FROM reach
+        GROUP BY doc
+        """
+    )

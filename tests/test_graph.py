@@ -54,3 +54,31 @@ def test_triangles_enumerated_exactly_once(spark):
         for r in near_dup_triangles(None, pairs=pairs).collect()
     )
     assert rows == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_reachability_matches_oracle(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tests.oracle import assert_matches_oracle
+
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["near_dup_reachability"],
+        entrymod.oracle_sql()["near_dup_reachability"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_reachability_depth_bound(spark):
+    from mapreduce_golang_spark.operators.graph import near_dup_reachability
+
+    # chain 1-2-3-4-5-6: seed is 1, depth bound 3 -> reach {1,2,3,4}
+    # with min_depth = distance from the seed
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["doc_a", "doc_b"]
+    )
+    rows = {
+        r.doc_id: r.min_depth
+        for r in near_dup_reachability(spark, None, pairs=pairs, max_depth=3).collect()
+    }
+    assert rows == {1: 0, 2: 1, 3: 2, 4: 3}
