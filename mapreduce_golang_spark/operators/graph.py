@@ -116,29 +116,38 @@ def near_dup_reachability(
     iterative DataFrame loops in this module: (doc_id, min_depth) for
     every doc within ``max_depth`` hops of the seed.
 
-    The recursive step joins the frontier to the edge list with an OR
-    on the two canonical endpoints — fine for a guarded near-dup graph
-    (degree is bounded by the ngram posting-list cap); on an unguarded
-    billion-edge graph split it into two equi-join branches or use the
-    DataFrame loop (`near_dup_components`) instead, which checkpoints
-    per round.
+    Scale shape: the undirected edge list is symmetrized once
+    DataFrame-side and eagerly localCheckpoint'ed, so (a) the recursion
+    joins pre-materialized blocks instead of re-deriving the whole
+    ngram-Jaccard pair pipeline every step, and (b) the recursive step
+    is a single EQUI-join on `src` — a hash join per iteration, never
+    the BroadcastNestedLoopJoin an OR-on-two-endpoints predicate plans
+    as. The edge DataFrame is passed to ``spark.sql`` as a parameter
+    (no session-global named view, so concurrent calls with different
+    edge sets cannot clobber each other).
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    pairs.select("doc_a", "doc_b").createOrReplaceTempView("near_dup_edges_tmp")
+    # symmetrize (u→v and v→u) so frontier-expansion is one equi-join;
+    # min(src) over the symmetric list is the global min endpoint
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     return spark.sql(
         f"""
         WITH RECURSIVE reach(doc, depth) AS (
-          SELECT (SELECT min(doc_a) FROM near_dup_edges_tmp) AS doc, 0 AS depth
+          SELECT (SELECT min(src) FROM {{edges}}) AS doc, 0 AS depth
           UNION ALL
-          SELECT CASE WHEN e.doc_a = r.doc THEN e.doc_b ELSE e.doc_a END AS doc,
-                 r.depth + 1 AS depth
+          SELECT e.dst AS doc, r.depth + 1 AS depth
           FROM reach r
-          JOIN near_dup_edges_tmp e ON r.doc = e.doc_a OR r.doc = e.doc_b
+          JOIN {{edges}} e ON r.doc = e.src
           WHERE r.depth < {max_depth}
         )
         SELECT doc AS doc_id, CAST(min(depth) AS BIGINT) AS min_depth
         FROM reach
         GROUP BY doc
-        """
+        """,
+        edges=sym,
     )

@@ -139,3 +139,50 @@ def test_balanced_mixing_broadcasts_quotas(spark, sf_dir):
     # the per-source quota table is a bounded dimension — it must come
     # back as a broadcast, not a shuffled join
     assert "BroadcastHashJoin" in _plan(spark, sf_dir, "balanced_mixing_sample")
+
+
+#: Queries whose plans legitimately contain ONE BroadcastNestedLoopJoin,
+#: each a bounded-broadcast by construction (safe at any corpus scale):
+#: scalar-subquery thresholds broadcast a single row (q11, q22, tfidf's
+#: corpus-size scalar); the brute-force ANN baseline broadcasts its
+#: bounded query batch by design (the IVF/LSH variants are the scale
+#: path and stay NLJ-free).
+_BOUNDED_NLJ_OK = {
+    "q11_important_stock",
+    "q22_sales_opportunity",
+    "tfidf_top_terms",
+    "ann_topk_bruteforce",
+}
+
+
+def test_no_unbounded_nested_loop_joins_anywhere(spark, sf_dir):
+    # The whole-surface scale audit: a CartesianProduct anywhere, or a
+    # BroadcastNestedLoopJoin outside the bounded whitelist, is a plan
+    # that dies at 100 TB. This caught near_dup_reachability's OR-join
+    # (round 4: frontier ⋈ edges on doc_a OR doc_b planned as a per-
+    # iteration nested loop) — now a symmetric-edge equi-join.
+    # Streaming queries are excluded: their sinks return memory-table
+    # results whose batch plan is a LocalTableScan (nothing to audit);
+    # their stateful plans are covered in tests/test_streaming_*.
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        if name in _BOUNDED_NLJ_OK:
+            assert nlj <= 1, name
+        else:
+            assert nlj == 0, name
+
+
+def test_reachability_recursion_is_equi_join(spark, sf_dir):
+    # the recursive step must stay a hash join on the symmetrized edge
+    # list; the pair graph itself is materialized once (localCheckpoint)
+    # so the expensive ngram pipeline cannot re-run per recursion step
+    plan = _plan(spark, sf_dir, "near_dup_reachability")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "UnionLoop" in plan
+    # no parquet scan inside the loop: edges come from the checkpoint
+    assert "FileScan parquet" not in plan
