@@ -21,16 +21,21 @@ the format participates in the standard reader/writer surface
 
 Scale shape: one InputPartition per file — reads parallelize across
 the file set exactly like the reference's one-task-per-mr-out-N
-layout. The writer emits one file per Spark partition.
+layout. Writers (batch and streaming) emit one file per Spark
+partition via stage-then-atomic-rename: tasks write hidden dot-files,
+the driver-side commit renames them into place (and, for
+mode("overwrite"), clears stale parts from prior writes first).
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -76,6 +81,37 @@ class KvTextReader(DataSourceReader):
                     yield (parts[0], parts[1])
 
 
+class _KvCommit(WriterCommitMessage):
+    """Carries the task's staged file name to the driver-side commit."""
+
+    def __init__(self, staged: str, pid: int):
+        self.staged = staged
+        self.pid = pid
+
+
+def _write_staged(path: str, iterator, pid: int) -> _KvCommit:
+    """Task-side write to a hidden staged name (dot-prefixed, so
+    concurrent readers never see a half-written file — the reader skips
+    '.'/'_' prefixes). The driver's commit() renames it into place,
+    mirroring the reference's tmpfile + atomic os.Rename publish
+    (/root/reference/src/mr/worker.go:136-140)."""
+    os.makedirs(path, exist_ok=True)
+    staged = os.path.join(path, f".staged-{uuid.uuid4().hex}-{pid:05d}.txt")
+    with open(staged, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(f"{row[0]} {row[1]}\n")
+    return _KvCommit(staged, pid)
+
+
+def _abort_staged(messages) -> None:
+    for m in messages:
+        if m is not None:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
+
+
 class KvTextWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -86,13 +122,61 @@ class KvTextWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.txt")
-        with open(out, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(f"{row[0]} {row[1]}\n")
-        return WriterCommitMessage()
+        return _write_staged(self.path, iterator, TaskContext.get().partitionId())
+
+    def commit(self, messages):
+        # All tasks succeeded. Overwrite clears EVERY pre-existing part
+        # file first — a prior write with more partitions must not leave
+        # stale parts that a later read would mix with the new ones.
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if not f.startswith(("_", ".")):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{m.pid:05d}.txt")
+            # append mode must never clobber an existing part file from
+            # an earlier job — pick the first free suffixed name
+            n = 0
+            while os.path.exists(final):
+                n += 1
+                final = os.path.join(self.path, f"part-{m.pid:05d}-{n}.txt")
+            os.replace(m.staged, final)
+
+    def abort(self, messages):
+        _abort_staged(messages)
+
+
+class KvTextStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with the same "k v" line contract: per microbatch,
+    tasks stage hidden files and commit(batchId) renames them to
+    ``part-<batchId>-<pid>.txt``. A retried batch re-commits the SAME
+    deterministic names (os.replace is atomic), so the directory holds
+    exactly one file set per (batch, partition) — the idempotent-rename
+    exactly-once discipline of the reference's mr-out-N publish
+    (/root/reference/src/mr/worker.go:136-140) lifted to microbatches.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext: path required (use .start(path))")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        return _write_staged(self.path, iterator, TaskContext.get().partitionId())
+
+    def commit(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{batchId:05d}-{m.pid:05d}.txt")
+            os.replace(m.staged, final)
+
+    def abort(self, messages, batchId):
+        _abort_staged(messages)
 
 
 class KvTextStreamReader(SimpleDataSourceStreamReader):
@@ -161,3 +245,6 @@ class KvTextDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return KvTextStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return KvTextStreamWriter(self.options)

@@ -171,3 +171,64 @@ def test_kvtext_stream_reader_drains_directory(spark, tmp_path):
     q.awaitTermination()
     rows = sorted(map(tuple, spark.sql("SELECT * FROM kvstream").collect()))
     assert rows == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_kvtext_overwrite_clears_stale_parts(spark, tmp_path):
+    # a prior write with MORE partitions must not leave stale part
+    # files behind an overwrite (mixed old+new rows on read)
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    out = str(tmp_path / "kvow")
+    wide = spark.createDataFrame(
+        [(f"old{i}", str(i)) for i in range(8)], ["key", "value"]
+    ).repartition(8)
+    wide.write.format("kvtext").mode("append").save(out)
+    narrow = spark.createDataFrame([("new", "1")], ["key", "value"]).coalesce(1)
+    narrow.write.format("kvtext").mode("overwrite").save(out)
+    rows = sorted(map(tuple, spark.read.format("kvtext").load(out).collect()))
+    assert rows == [("new", "1")]
+    # no hidden staged files left behind either
+    import os
+
+    assert [f for f in os.listdir(out) if f.startswith(".staged")] == []
+
+
+def test_kvtext_append_never_clobbers_prior_parts(spark, tmp_path):
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    out = str(tmp_path / "kvap")
+    a = spark.createDataFrame([("a", "1")], ["key", "value"]).coalesce(1)
+    b = spark.createDataFrame([("b", "2")], ["key", "value"]).coalesce(1)
+    a.write.format("kvtext").mode("append").save(out)
+    b.write.format("kvtext").mode("append").save(out)  # same partition id 0
+    rows = sorted(map(tuple, spark.read.format("kvtext").load(out).collect()))
+    assert rows == [("a", "1"), ("b", "2")]
+
+
+def test_kvtext_stream_writer_roundtrip(spark, tmp_path):
+    # streaming write: parquet-backed stream -> kvtext sink, availableNow
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    src = tmp_path / "swin"
+    src.mkdir()
+    (src / "mr-out-0").write_text("x 1\ny 2\n")
+    out = str(tmp_path / "swout")
+    q = (
+        spark.readStream.format("kvtext")
+        .load(str(src))
+        .writeStream.format("kvtext")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    rows = sorted(map(tuple, spark.read.format("kvtext").load(out).collect()))
+    assert rows == [("x", "1"), ("y", "2")]
+    import os
+
+    names = sorted(f for f in os.listdir(out) if not f.startswith("."))
+    assert all(n.startswith("part-") and n.endswith(".txt") for n in names)
