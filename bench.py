@@ -101,6 +101,7 @@ def main() -> None:
         "streaming_stream_join",
         "tfidf_top_terms",
         "bucketed_join_revenue",
+        "near_dup_reachability",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}

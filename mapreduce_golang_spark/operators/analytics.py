@@ -253,11 +253,38 @@ def event_value_hmean(events: DataFrame) -> DataFrame:
         inv = np.sort(1.0 / v.to_numpy())
         return float(len(inv) / inv.sum())
 
+    # Harmonic mean is defined on a strictly positive domain: a zero
+    # value makes the reciprocal sum infinite and a negative one can
+    # cancel it to a divide-by-zero, with engine-specific inf/NULL
+    # semantics that diverge from the oracle — restrict to value > 0
+    # (the oracle applies the identical predicate).
+    pos = events.where(F.col("value") > 0)
+
     # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg
     # ([INVALID_PANDAS_UDF_PLACEMENT]) — run the two aggregations
     # separately and join on the bounded group key
-    hm = events.groupBy("event_type").agg(
+    hm = pos.groupBy("event_type").agg(
         F.round(_hmean("value"), 6).alias("harmonic_mean_value")
     )
-    counts = events.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    counts = pos.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     return hm.join(F.broadcast(counts), "event_type")
+
+
+def cumulative_active_users(events: DataFrame) -> DataFrame:
+    """User-acquisition curve: per day, how many users had their FIRST
+    event that day, and the running total of users seen so far.
+
+    Two hash aggregations (per-user min-day, then per-day count) with
+    map-side partials, then a running sum over the per-day rollup. The
+    unpartitioned window is safe at any scale: it runs AFTER the
+    rollup, on one row per calendar day — bounded cardinality, not
+    data-proportional.
+    """
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first.groupBy("first_day").agg(F.count("*").cast("long").alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

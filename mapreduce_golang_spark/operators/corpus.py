@@ -207,3 +207,35 @@ def stratified_sample(
         .where(F.col("u") < fraction)
         .select(stratify_col, id_col, F.round("u", 10).alias("sample_key"))
     )
+
+
+#: Knuth multiplicative-hash constant (2^32 / golden ratio) — public
+#: domain mixing constant; chosen because both engines evaluate the
+#: arithmetic in exact 64-bit integers, giving a cross-engine-stable
+#: pseudo-random bucket (engine hash() builtins differ and would not
+#: oracle-check).
+KNUTH_HASH_CONST = 2654435761
+
+
+def deterministic_doc_sample(df: DataFrame, rate_permille: int = 100, modulus: int = 1000) -> DataFrame:
+    """Deterministic, engine-portable corpus sampling: keep a doc iff
+    ``((doc_id mod 2^31) * KNUTH) mod modulus < rate_permille`` — the
+    standard hash-threshold sample for reproducible train/eval splits
+    (same membership on every run, every engine, any partitioning,
+    unlike ``df.sample`` whose membership is seed- and split-dependent).
+
+    The reduction mod 2^31 before the multiply keeps the product
+    inside int64 for ANY doc_id, so the expression never overflows and
+    stays a narrow codegen filter on the scan — at 100 TB this is a
+    full-scan predicate with zero exchanges. At that scale prefer
+    ``F.xxhash64`` for better mixing if cross-engine reproducibility
+    is not required (engine-specific hash ⇒ no DuckDB oracle).
+    """
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(KNUTH_HASH_CONST),
+        F.lit(modulus),
+    ).cast("long")
+    return (
+        df.select("doc_id", "source", "lang", "n_chars", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate_permille)
+    )

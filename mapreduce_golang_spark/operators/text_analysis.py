@@ -399,3 +399,33 @@ def contamination_check(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def bigram_counts(df: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k corpus bigrams (adjacent letters-only token pairs) — the
+    n>1 sibling of W1's unigram wordcount
+    (/root/reference/src/mrapps/wc.go:21-27 tokenizer, reused verbatim).
+
+    The bigram array is built with a narrow ``zip_with`` over two
+    shifted slices of the token array and exploded INLINE in the same
+    Generate (an intermediate projection between an array expr and its
+    explode measurably regresses — see PLANS.md), so the only exchange
+    is the count aggregation's, with map-side partials. Ties at the
+    limit boundary are broken by the bigram text for a fully
+    deterministic top-k.
+    """
+    toks = _clean_tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.where(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(k)
+    )

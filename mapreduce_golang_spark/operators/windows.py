@@ -102,9 +102,12 @@ def trailing_hour_value(events: DataFrame, window_seconds: int = 3600) -> DataFr
     Exactly one exchange on user_id; the RANGE frame is evaluated in
     one per-partition ordered pass. Epoch seconds (not an interval
     literal) keep the frame arithmetic integer-exact and identical to
-    the DuckDB oracle's numeric RANGE frame.
+    the DuckDB oracle's numeric RANGE frame. Seconds are derived as
+    floor(micros/1e6) — explicit floor semantics, matching the oracle's
+    floor(epoch(ts)) even for pre-1970 fractional timestamps, where
+    unix_timestamp()'s truncate-toward-zero would differ.
     """
-    sec = F.unix_timestamp("ts")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy(sec)
@@ -221,4 +224,27 @@ def event_type_share_cube(events: DataFrame) -> DataFrame:
             F.coalesce("hod", F.lit(-1)).alias("hod"),
             "n",
         )
+    )
+
+
+def event_gap_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event-gap profile: count of gaps, mean gap and
+    max gap in seconds between consecutive events (lag over a per-user
+    event-time window) — the cadence metric behind bot/burst detection
+    and sessionization tuning.
+
+    One exchange on user_id, one per-partition ordered pass. Gaps are
+    computed in exact integer MICROseconds and divided once at the
+    end (sum is a BIGINT, so the mean is one float division on both
+    engines — no float fold-order drift). Ordering ties on ts are
+    broken by event_id so lag() is deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = (us - F.lag(us).over(w)).alias("gap_us")
+    gaps = events.select("user_id", gap_us).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("*") / F.lit(1_000_000.0), 6).alias("avg_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
     )

@@ -77,3 +77,30 @@ def test_corpus_funnel_is_monotone(spark, sf_dir):
     counts = [r.n_docs for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert rows[0].stage == "total" and rows[-1].stage == "near_dup_survivor"
+
+
+def test_deterministic_doc_sample_stable_under_partitioning(spark, sf_dir):
+    # hash-threshold membership must be a pure function of doc_id —
+    # identical under any repartitioning, unlike df.sample
+    from mapreduce_golang_spark.operators.corpus import deterministic_doc_sample
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in deterministic_doc_sample(docs).collect())
+    b = sorted(
+        r.doc_id for r in deterministic_doc_sample(docs.repartition(13)).collect()
+    )
+    assert a == b and len(a) > 0
+    # rate lands in a loose band around 10% (multiplicative hash mixes)
+    n_total = docs.count()
+    assert 0.02 <= len(a) / n_total <= 0.25
+
+
+def test_deterministic_doc_sample_rate_monotone(spark, sf_dir):
+    from mapreduce_golang_spark.operators.corpus import deterministic_doc_sample
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in deterministic_doc_sample(docs, rate_permille=50).collect()}
+    big = {r.doc_id for r in deterministic_doc_sample(docs, rate_permille=500).collect()}
+    assert small <= big  # threshold samples nest

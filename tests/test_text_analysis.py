@@ -20,6 +20,7 @@ from tests.oracle import assert_matches_oracle
         "balanced_mixing_sample",
         "vocab_growth",
         "source_doc_stats",
+        "bigram_counts",
     ],
 )
 def test_matches_oracle(spark, sf_dir, name):
@@ -162,3 +163,20 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     # smaller fraction is a strict subset (same hash, lower threshold)
     c = set(r.doc_id for r in stratified_sample(docs, fraction=0.1).collect())
     assert c < set(a)
+
+
+def test_bigram_counts_tiny_corpus_exact(spark):
+    from mapreduce_golang_spark.operators.text_analysis import bigram_counts
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b"),      # "a b" ×2, "b a" ×1
+            (1, "a b"),          # "a b" ×1
+            (2, "solo"),         # no bigrams (single token)
+            (3, ""),             # no bigrams (empty)
+            (4, "x, y! x y"),    # punctuation splits: "x y" ×2, "y x" ×1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.bigram, r.cnt) for r in bigram_counts(df, k=10).collect()}
+    assert got == {("a b", 3), ("b a", 1), ("x y", 2), ("y x", 1)}
