@@ -253,6 +253,18 @@ def _event_gaps(spark, sf_dir):
     return windows.event_gap_stats(load_table(spark, sf_dir, "events"))
 
 
+def _props_variant(spark, sf_dir):
+    return windows.props_variant_stats(load_table(spark, sf_dir, "events"))
+
+
+def _stream_segments(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_segment_counts(
+        spark, sf_dir, f"sseg_{uuid.uuid4().hex[:8]}"
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -818,6 +830,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "deterministic_doc_sample": _det_sample,
         "cumulative_active_users": _cumulative_users,
         "event_gap_stats": _event_gaps,
+        "streaming_segment_counts": _stream_segments,
+        "props_variant_stats": _props_variant,
         # --- driver-green in round 4 (CORRECTNESS_r04) ---
         "multi_granularity_rollup": _rollup,
         "sql_revenue_by_nation_year": _sql_interface,
@@ -2801,6 +2815,35 @@ _ORACLES["event_gap_stats"] = """
     FROM gaps
     WHERE gap_us IS NOT NULL
     GROUP BY user_id
+"""
+
+
+# operators/windows.py::props_variant_stats — VariantType extraction;
+# DuckDB's native JSON path probe computes the same typed values.
+_ORACLES["props_variant_stats"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+# streaming/events_stream.py::streaming_segment_counts — stream-static
+# broadcast enrichment; availableNow drain of finite input equals the
+# batch join + aggregate.
+_ORACLES["streaming_segment_counts"] = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
 """
 
 

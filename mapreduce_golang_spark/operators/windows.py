@@ -248,3 +248,28 @@ def event_gap_stats(events: DataFrame) -> DataFrame:
         F.round(F.sum("gap_us") / F.count("*") / F.lit(1_000_000.0), 6).alias("avg_gap_s"),
         F.round(F.max("gap_us") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
     )
+
+
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): `props` is parsed
+    ONCE into a binary variant and fields come out via `variant_get` —
+    the open-schema ingestion surface, complementing
+    ``props_key_stats``'s per-path `get_json_object`. At 100 TB the
+    difference matters: a variant column is decoded at ingest and each
+    downstream extraction is a cheap typed binary probe, while
+    get_json_object re-parses the JSON string per path per row.
+
+    Per event_type: rows with a k field, distinct k values, sum.
+    """
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -277,3 +277,35 @@ def streaming_dedup_events(
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     _run_to_memory(agg, query_name, "complete")
     return spark.table(query_name)
+
+
+def streaming_segment_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_segments"
+) -> DataFrame:
+    """Stream-static join — the dimension-enrichment topology the
+    streaming pack was missing: the event stream joins the STATIC
+    customer dimension (user_id == c_custkey) and aggregates per
+    market segment.
+
+    The static side is a plain batch DataFrame broadcast into every
+    micro-batch (re-planned per batch, so a slowly-changing dimension
+    re-read from the table picks up updates between batches); no state
+    store is involved in the join itself — only the downstream
+    aggregate keeps (bounded, per-segment) state. This is the standard
+    enrich-then-aggregate shape for clickstream × user-profile at
+    scale. Drained with availableNow; on finite input equals the batch
+    join, which the DuckDB oracle computes directly.
+    """
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = events.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name)

@@ -128,3 +128,13 @@ def test_corpus_analytics_on_empty(spark, empty_docs):
     assert text_analysis.repetition_ratio(empty_docs).count() == 0
     assert text_analysis.cross_source_overlap(empty_docs).count() == 0
     assert corpus.balanced_mixing_sample(empty_docs).count() == 0
+
+
+def test_round5_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators import analytics, corpus, text_analysis, windows
+
+    assert text_analysis.bigram_counts(empty_docs).count() == 0
+    assert corpus.deterministic_doc_sample(empty_docs).count() == 0
+    assert analytics.cumulative_active_users(empty_events).count() == 0
+    assert windows.event_gap_stats(empty_events).count() == 0
+    assert analytics.event_value_hmean(empty_events).count() == 0

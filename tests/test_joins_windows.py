@@ -34,6 +34,7 @@ WINDOW_QUERIES = [
     "rolling_user_value",
     "trailing_hour_value",
     "props_key_stats",
+    "props_variant_stats",
     "event_type_cube",
 ]
 

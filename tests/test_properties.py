@@ -214,3 +214,43 @@ def test_balanced_mixing_quota_invariants(spark, sources):
         assert len(per[s]) == math.ceil(math.sqrt(n))
         assert all(r.n_source_docs == n for r in per[s])
         assert all(r.quota <= n for r in per[s])
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_counts_match_bruteforce(spark, texts):
+    # Spark's shifted-slice zip_with bigrams == a Python reference over
+    # the same letters-only token streams, for arbitrary unicode text
+    from collections import Counter
+
+    from mapreduce_golang_spark.operators.text_analysis import bigram_counts
+
+    expected = Counter()
+    for t in texts:
+        toks = _tokens(t)
+        expected.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.bigram: r.cnt for r in bigram_counts(df, k=10**6).collect()}
+    assert got == dict(expected)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=40, unique=True))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_deterministic_sample_matches_python_arithmetic(spark, ids):
+    # the engine-portable hash must equal plain Python int arithmetic
+    # for any doc_id (the int64-overflow guard is part of the contract)
+    from mapreduce_golang_spark.operators.corpus import (
+        KNUTH_HASH_CONST,
+        deterministic_doc_sample,
+    )
+
+    expected = {
+        i for i in ids if ((i % 2**31) * KNUTH_HASH_CONST) % 1000 < 100
+    }
+    df = spark.createDataFrame(
+        [(i, "s", "en", 1) for i in ids], ["doc_id", "source", "lang", "n_chars"]
+    )
+    got = {r.doc_id for r in deterministic_doc_sample(df).collect()}
+    assert got == expected

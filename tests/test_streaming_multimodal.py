@@ -13,6 +13,7 @@ from tests.oracle import assert_matches_oracle
         "streaming_stream_join",
         "streaming_user_counts",
         "streaming_dedup_events",
+        "streaming_segment_counts",
         "media_features",
     ],
 )
