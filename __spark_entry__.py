@@ -228,13 +228,17 @@ def _source_doc_stats(spark, sf_dir):
 def _triangles(spark, sf_dir):
     from mapreduce_golang_spark.operators.graph import near_dup_triangles
 
-    return near_dup_triangles(load_table(spark, sf_dir, "documents"))
+    return near_dup_triangles(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _reachability(spark, sf_dir):
     from mapreduce_golang_spark.operators.graph import near_dup_reachability
 
-    return near_dup_reachability(spark, load_table(spark, sf_dir, "documents"))
+    return near_dup_reachability(
+        spark, load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _bigrams(spark, sf_dir):
@@ -265,6 +269,14 @@ def _stream_segments(spark, sf_dir):
     )
 
 
+def _stream_hopping(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_hopping_counts(
+        spark, sf_dir, f"shop_{uuid.uuid4().hex[:8]}"
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -272,8 +284,37 @@ def _exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+#: materialize-once near-dup pair graph, keyed by (Spark application,
+#: data directory). Seven registered queries consume the same
+#: ngram-Jaccard pair graph (survivors / components / pagerank /
+#: triangles / reachability / pipeline / corpus funnel+selection); in a
+#: production deployment that graph is a maintained intermediate table
+#: (`near_dup_pairs`) written once per corpus snapshot, not re-derived
+#: by every reader — re-deriving it per query multiplies the dominant
+#: shuffle (shingle explode + posting-list join) by the consumer count.
+#: The cache holds the localCheckpoint'ed pairs DataFrame, the
+#: in-session analogue of that parquet table (same pattern
+#: near_dup_pipeline documents internally; VERDICT r4 plan-audit
+#: recommended exactly this pre-materialized path for the wiring).
+#: Keyed by applicationId so a new SparkSession never sees a stale
+#: checkpoint, and by sf_dir so scales never mix. Each query remains
+#: independently correct — the first consumer derives the graph.
+_PAIR_GRAPH_CACHE: dict = {}
+
+
+def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.realpath(str(sf_dir)))
+    cached = _PAIR_GRAPH_CACHE.get(key)
+    if cached is None:
+        cached = dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _PAIR_GRAPH_CACHE[key] = cached
+    return cached
+
+
 def _ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return _pair_graph(spark, sf_dir)
 
 
 def _minhash_lsh(spark, sf_dir):
@@ -351,7 +392,9 @@ def _redact(spark, sf_dir):
 
 
 def _final_selection(spark, sf_dir):
-    return corpus.corpus_final_selection(load_table(spark, sf_dir, "documents"))
+    return corpus.corpus_final_selection(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _q18(spark, sf_dir):
@@ -485,7 +528,9 @@ def _incremental_dedup(spark, sf_dir):
 
 
 def _corpus_funnel(spark, sf_dir):
-    return corpus.corpus_funnel_report(load_table(spark, sf_dir, "documents"))
+    return corpus.corpus_funnel_report(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _q2(spark, sf_dir):
@@ -550,21 +595,29 @@ def _q21(spark, sf_dir):
 
 
 def _survivors(spark, sf_dir):
-    return dedup.near_dup_survivors(load_table(spark, sf_dir, "documents"))
+    return dedup.near_dup_survivors(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _components(spark, sf_dir):
-    return dedup.near_dup_components(load_table(spark, sf_dir, "documents"))
+    return dedup.near_dup_components(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _pagerank(spark, sf_dir):
     from mapreduce_golang_spark.operators.graph import near_dup_pagerank
 
-    return near_dup_pagerank(load_table(spark, sf_dir, "documents"))
+    return near_dup_pagerank(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _near_dup_pipeline(spark, sf_dir):
-    return dedup.near_dup_pipeline(load_table(spark, sf_dir, "documents"))
+    return dedup.near_dup_pipeline(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
 
 
 def _bucketed_join(spark, sf_dir):
@@ -801,6 +854,26 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _hopping_windows(spark, sf_dir):
+    return windows.hopping_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def _gap_fill(spark, sf_dir):
+    return windows.gap_fill_locf(load_table(spark, sf_dir, "events"))
+
+
+def _moment_stats(spark, sf_dir):
+    return analytics.value_moment_stats(load_table(spark, sf_dir, "events"))
+
+
+def _retention_cohorts(spark, sf_dir):
+    return analytics.user_retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def _sentence_stats(spark, sf_dir):
+    return text_analysis.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -832,6 +905,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_gap_stats": _event_gaps,
         "streaming_segment_counts": _stream_segments,
         "props_variant_stats": _props_variant,
+        "hopping_window_counts": _hopping_windows,
+        "gap_fill_locf": _gap_fill,
+        "value_moment_stats": _moment_stats,
+        "user_retention_cohorts": _retention_cohorts,
+        "sentence_stats": _sentence_stats,
+        "streaming_hopping_counts": _stream_hopping,
         # --- driver-green in round 4 (CORRECTNESS_r04) ---
         "multi_granularity_rollup": _rollup,
         "sql_revenue_by_nation_year": _sql_interface,
@@ -2845,6 +2924,127 @@ _ORACLES["streaming_segment_counts"] = """
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
 """
+
+
+# operators/windows.py::hopping_window_counts — width 10 min, slide
+# 5 min: every event lands in exactly the two windows whose starts are
+# the two 5-minute boundaries in (ts - 10 min, ts].
+_ORACLES["hopping_window_counts"] = """
+    WITH assigned AS (
+        -- integer micros, floor-divided: epoch(ts)::BIGINT would ROUND
+        -- fractional seconds and misassign boundary events
+        SELECT strftime(to_timestamp((epoch_us(ts) // 300000000) * 300 - o.off * 300),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, value
+        FROM events
+        CROSS JOIN (VALUES (0), (1)) AS o(off)
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM assigned
+    GROUP BY window_start, event_type
+"""
+
+
+# operators/windows.py::gap_fill_locf — dense daily grid per user,
+# last-observation-carried-forward, summarized per user.
+_ORACLES["gap_fill_locf"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               max(value) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id
+    ),
+    filled AS (
+        SELECT g.user_id, d.day_value,
+               last_value(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+               ) AS locf_value
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(day_value) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(day_value) AS BIGINT) AS n_filled,
+           round(sum(locf_value), 4) AS sum_locf
+    FROM filled
+    GROUP BY user_id
+"""
+
+
+# operators/analytics.py::value_moment_stats — population skewness and
+# excess kurtosis computed two-pass from per-group means (DuckDB's own
+# skewness/kurtosis built-ins are sample-bias-corrected and would not
+# match Spark's population definition).
+_ORACLES["value_moment_stats"] = """
+    WITH mu AS (
+        SELECT event_type, avg(value) AS m FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(pow(e.value - mu.m, 3))
+                 / pow(avg(pow(e.value - mu.m, 2)), 1.5), 6) AS skew,
+           round(avg(pow(e.value - mu.m, 4))
+                 / pow(avg(pow(e.value - mu.m, 2)), 2) - 3, 6) AS kurt
+    FROM events e JOIN mu USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
+# operators/analytics.py::user_retention_cohorts — first-active-week
+# cohorts × weekly activity (date_trunc('week') is Monday-start in
+# both engines).
+_ORACLES["user_retention_cohorts"] = """
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((w.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM weekly w JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+# operators/text_analysis.py::sentence_stats — segmentation on runs of
+# [.!?], trimmed, empties dropped; words = \s+ tokens per sentence.
+_ORACLES["sentence_stats"] = r"""
+    WITH sents AS (
+        SELECT doc_id,
+               list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                          x -> trim(x)),
+                           x -> x != '') AS sents
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id,
+               list_transform(sents, s -> len(regexp_split_to_array(s, '\s+'))) AS wc
+        FROM sents
+        WHERE len(sents) > 0
+    )
+    SELECT doc_id,
+           CAST(len(wc) AS BIGINT) AS n_sentences,
+           round(list_sum(wc) / CAST(len(wc) AS DOUBLE), 6) AS avg_sentence_words,
+           CAST(list_max(wc) AS BIGINT) AS max_sentence_words
+    FROM wc
+"""
+
+
+# streaming/events_stream.py::streaming_hopping_counts — availableNow
+# drain of the finite fixture equals the batch hopping aggregation, so
+# the oracle is the batch twin's SQL verbatim.
+_ORACLES["streaming_hopping_counts"] = _ORACLES["hopping_window_counts"]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,50 @@
+"""Python user-defined table functions (Spark 4 `@udtf`).
+
+The reference's map stage is a user function emitting 0..N records
+per input record (/root/reference/src/mr/worker.go:55-71 applies
+mapf and scatters the emitted list); a Python UDTF is the
+DataFrame-native expression of exactly that contract — one input
+row in, a yielded batch of rows out, usable from SQL via LATERAL.
+
+This is deliberately the DEMO surface for the API, not a hot-path
+operator: row-at-a-time Python is the slow path, so every registered
+query that needs sentence segmentation uses the pure array-expression
+form (operators/text_analysis.py::sentence_stats) and the per-record
+fan-out form uses generator columns (posexplode). The UDTF exists for
+the case the array form can't cover — opaque Python logic per record
+— and is arrow-optimized (`useArrow=True`) so batches cross the
+Python boundary as Arrow, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+#: mirrors operators/text_analysis.py::SENTENCE_SPLIT_RE
+_SENT_RE = re.compile(r"[.!?]+")
+_WS_RE = re.compile(r"\s+")
+
+
+@udtf(returnType="sent_idx: int, sentence: string, n_words: int", useArrow=True)
+class SentenceSplitter:
+    """Yield (sent_idx, sentence, n_words) per sentence of `text` —
+    segmentation identical to sentence_stats' array expression."""
+
+    def eval(self, text: str):  # noqa: D102 — contract is the class doc
+        if text is None:
+            return
+        idx = 0
+        for raw in _SENT_RE.split(text):
+            sent = raw.strip()
+            if not sent:
+                continue
+            yield idx, sent, len(_WS_RE.split(sent))
+            idx += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface on a session (SQL name:
+    `split_sentences`, used as `... , LATERAL split_sentences(text)`)."""
+    spark.udtf.register("split_sentences", SentenceSplitter)

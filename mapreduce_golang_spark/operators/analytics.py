@@ -288,3 +288,50 @@ def cumulative_active_users(events: DataFrame) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+def value_moment_stats(events: DataFrame) -> DataFrame:
+    """Higher central moments of value per event_type: population
+    skewness (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) — Spark's
+    built-in `skewness`/`kurtosis` semantics, computed JVM-side as
+    streaming central moments (one pass, partial-aggregable, one
+    exchange on the group key; the same shape as any hash aggregate,
+    so it scales with the scan).
+
+    The DuckDB oracle computes the identical population definition
+    two-pass from per-group means (its built-ins apply sample bias
+    correction — a documented cross-engine difference).
+    Returns (event_type, n, skew, kurt).
+    """
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.skewness("value"), 6).alias("skew"),
+        F.round(F.kurtosis("value"), 6).alias("kurt"),
+    )
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active week,
+    counted distinct in each later week. Two exchanges total — min(ts)
+    per user (partial-aggregable), then a countDistinct on the
+    (cohort_week, week_offset) pair after a broadcast-sized join of
+    per-user cohorts back onto per-user-week activity (both sides are
+    ≤ one row per user(-week), already collapsed before the join, so
+    the join input is users × active-weeks, not raw events).
+
+    Returns (cohort_week string, week_offset, n_users).
+    """
+    cohorts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    weekly = events.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

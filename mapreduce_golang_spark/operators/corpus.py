@@ -74,15 +74,17 @@ def redact_numbers(events: DataFrame) -> DataFrame:
 
 
 def corpus_final_selection(
-    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
+    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The composed pipeline: near-dup survivors ∩ quality floor ∩
     length floor — the "what actually ships to training" query.
-    Returns (doc_id, quality_score, n_tokens)."""
+    Returns (doc_id, quality_score, n_tokens). Pass ``pairs`` to reuse
+    a materialized near-dup pair graph instead of re-deriving it."""
     from mapreduce_golang_spark.operators.dedup import near_dup_survivors
     from mapreduce_golang_spark.operators.text_analysis import text_quality
 
-    survivors = near_dup_survivors(df)
+    survivors = near_dup_survivors(df, pairs=pairs)
     quality = text_quality(df).select("doc_id", "quality_score", "n_tokens")
     return (
         quality.join(survivors, "doc_id")
@@ -92,7 +94,8 @@ def corpus_final_selection(
 
 
 def corpus_funnel_report(
-    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
+    df: DataFrame, min_quality: float = 0.5, min_tokens: int = 10,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-stage retention funnel for the selection pipeline — the
     observability query every corpus build runs after selection:
@@ -120,7 +123,7 @@ def corpus_funnel_report(
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", (F.col("rn") == 1).alias("is_keeper"))
     )
-    surv = near_dup_survivors(df).withColumn("is_surv", F.lit(1))
+    surv = near_dup_survivors(df, pairs=pairs).withColumn("is_surv", F.lit(1))
     flags = q.join(lang, "doc_id").join(keeper, "doc_id").join(surv, "doc_id", "left")
     c_len = F.col("n_tokens") >= min_tokens
     c_q = c_len & (F.col("quality_score") >= min_quality)

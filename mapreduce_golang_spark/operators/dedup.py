@@ -408,7 +408,8 @@ def near_dup_components(
 
 
 def near_dup_pipeline(
-    df: DataFrame, id_col: str = "doc_id", max_iter: int = 15
+    df: DataFrame, id_col: str = "doc_id", max_iter: int = 15,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize-once near-dup pipeline: the pair graph is computed
     ONCE (``localCheckpoint(eager=True)`` — the in-session analogue of
@@ -422,7 +423,8 @@ def near_dup_pipeline(
     result. Returns one row per doc:
     (doc_id, component_id, component_size, is_survivor).
     """
-    pairs = ngram_jaccard_pairs(df, id_col=id_col).localCheckpoint(eager=True)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, id_col=id_col).localCheckpoint(eager=True)
     comp = near_dup_components(df, pairs=pairs, id_col=id_col, max_iter=max_iter)
     surv = near_dup_survivors(df, pairs=pairs, id_col=id_col).withColumn(
         "is_survivor", F.lit(1)

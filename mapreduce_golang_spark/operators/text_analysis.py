@@ -429,3 +429,39 @@ def bigram_counts(df: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(k)
     )
+
+
+#: sentence boundary — runs of terminal punctuation. Shared with the
+#: DuckDB oracle and the UDTF demo (functions/udtf.py) so all three
+#: agree on segmentation.
+SENTENCE_SPLIT_RE = "[.!?]+"
+
+
+def sentence_stats(df: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats — the readability /
+    structure probe of a corpus-quality pass. Entirely array
+    expressions (split → trim → filter → per-element word counts via
+    transform), so segmentation never leaves codegen and never
+    explodes rows: one narrow map per doc, zero exchanges. The
+    arrow-UDTF twin in functions/udtf.py materializes the same
+    segmentation row-per-sentence for consumers that need the text.
+
+    Returns (doc_id, n_sentences, avg_sentence_words, max_sentence_words).
+    """
+    sents = F.expr(
+        f"filter(transform(split(text, '{SENTENCE_SPLIT_RE}'), x -> trim(x)), x -> x != '')"
+    )
+    wc = F.expr("transform(sents, s -> size(split(s, '\\\\s+')))")
+    return (
+        df.select("doc_id", sents.alias("sents"))
+        .where(F.size("sents") > 0)
+        .select("doc_id", wc.alias("wc"))
+        .select(
+            "doc_id",
+            F.size("wc").cast("long").alias("n_sentences"),
+            F.round(
+                F.aggregate("wc", F.lit(0), lambda a, x: a + x) / F.size("wc"), 6
+            ).alias("avg_sentence_words"),
+            F.array_max("wc").cast("long").alias("max_sentence_words"),
+        )
+    )

@@ -273,3 +273,72 @@ def props_variant_stats(events: DataFrame) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+def hopping_window_counts(
+    events: DataFrame, width_minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Hopping (sliding) event-time windows in batch: `F.window(ts,
+    width, slide)` assigns each event to width/slide overlapping
+    windows (here 2), then a plain group-by per (window, event_type).
+
+    The batch twin of the streaming hopping aggregation: Spark expands
+    the window assignment as a generator expression (narrow — no
+    Python, no extra scan) and the aggregate is one exchange on the
+    (window_start, event_type) key with map-side partials. Output size
+    is bounded by (time range / slide) × types, independent of input
+    rows, so the result stays tiny at 100 TB.
+
+    Returns (window_start string, event_type, n_events, sum_value).
+    """
+    w = F.window("ts", f"{width_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def gap_fill_locf(events: DataFrame) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    build each user's dense daily grid (first..last active day via
+    `sequence()` — a narrow generator, no driver loop), left-join the
+    observed per-day peak value, and carry the last non-null forward
+    with `last(value, ignorenulls=True)` over an ordered window.
+
+    The standard resample topology: one exchange keyed on user_id
+    covers both the grid join and the LOCF window sort; grid size is
+    users × days, independent of event volume. Summarized per user so
+    the result is one row per user:
+    (user_id, n_days, n_observed, n_filled, sum_locf).
+    """
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.max("value").alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    locf = F.last("day_value", ignorenulls=True).over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", "day_value", locf.alias("locf_value")
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.count("day_value").cast("long").alias("n_observed"),
+        (F.count("*") - F.count("day_value")).cast("long").alias("n_filled"),
+        F.round(F.sum("locf_value"), 4).alias("sum_locf"),
+    )

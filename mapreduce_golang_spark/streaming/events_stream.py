@@ -309,3 +309,33 @@ def streaming_segment_counts(
     )
     _run_to_memory(agg, query_name, "complete")
     return spark.table(query_name)
+
+
+def streaming_hopping_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_hopping"
+) -> DataFrame:
+    """Hopping (sliding) windows computed BY THE STREAMING ENGINE —
+    `window(ts, 10 min, 5 min)` assigns each event to its two
+    overlapping windows before the keyed aggregate; the watermark
+    closes windows 1 hour past their end so state stays bounded by
+    (watermark horizon / slide) × types regardless of stream length.
+    The streaming twin of operators/windows.py::hopping_window_counts;
+    on finite availableNow input it equals the batch answer, which is
+    what the shared oracle checks.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

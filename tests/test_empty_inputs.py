@@ -138,3 +138,8 @@ def test_round5_ops_on_empty(spark, empty_docs, empty_events):
     assert analytics.cumulative_active_users(empty_events).count() == 0
     assert windows.event_gap_stats(empty_events).count() == 0
     assert analytics.event_value_hmean(empty_events).count() == 0
+    assert windows.hopping_window_counts(empty_events).count() == 0
+    assert windows.gap_fill_locf(empty_events).count() == 0
+    assert analytics.value_moment_stats(empty_events).count() == 0
+    assert analytics.user_retention_cohorts(empty_events).count() == 0
+    assert text_analysis.sentence_stats(empty_docs).count() == 0

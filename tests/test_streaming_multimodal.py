@@ -14,6 +14,7 @@ from tests.oracle import assert_matches_oracle
         "streaming_user_counts",
         "streaming_dedup_events",
         "streaming_segment_counts",
+        "streaming_hopping_counts",
         "media_features",
     ],
 )

@@ -1,0 +1,103 @@
+"""Round-5 additions: batch hopping windows, LOCF gap-fill, central
+moments, cohort retention, sentence segmentation — plus the arrow-UDTF
+twin of the sentence splitter and the wiring-level pair-graph cache.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+import pytest
+from pyspark.sql import functions as F
+from tests.oracle import assert_matches_oracle
+
+NEW_QUERIES = [
+    "hopping_window_counts",
+    "gap_fill_locf",
+    "value_moment_stats",
+    "user_retention_cohorts",
+    "sentence_stats",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+    )
+    assert n > 0
+
+
+def test_hopping_assigns_two_windows_per_event(spark, sf_dir):
+    from mapreduce_golang_spark.operators.windows import hopping_window_counts
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = hopping_window_counts(events)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    # width/slide = 2 overlapping windows per event, exactly
+    assert total == 2 * events.count()
+
+
+def test_gap_fill_grid_is_dense(spark, sf_dir):
+    from mapreduce_golang_spark.operators.windows import gap_fill_locf
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    out = gap_fill_locf(load_table(spark, sf_dir, "events"))
+    rows = out.collect()
+    assert all(r.n_days == r.n_observed + r.n_filled for r in rows)
+    # LOCF starts from an observed day, so every grid day has a value
+    assert all(r.n_days >= 1 for r in rows)
+
+
+def test_retention_week_zero_counts_every_user(spark, sf_dir):
+    from mapreduce_golang_spark.operators.analytics import user_retention_cohorts
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = user_retention_cohorts(events)
+    week0 = (
+        out.where(F.col("week_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    )
+    # every user is active in their own cohort week by construction
+    assert week0 == events.select("user_id").distinct().count()
+
+
+def test_udtf_matches_native_sentence_stats(spark, sf_dir):
+    """The row-at-a-time arrow UDTF and the codegen array expression
+    must agree on segmentation — same sentence count and word counts
+    per document."""
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+    from mapreduce_golang_spark.operators.text_analysis import sentence_stats
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    via_udtf = spark.sql(
+        """
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               round(avg(n_words), 6) AS avg_sentence_words,
+               CAST(max(n_words) AS BIGINT) AS max_sentence_words
+        FROM docs_for_udtf, LATERAL split_sentences(text)
+        GROUP BY doc_id
+        """
+    )
+    native = sentence_stats(docs)
+    assert via_udtf.exceptAll(native).count() == 0
+    assert native.exceptAll(via_udtf).count() == 0
+
+
+def test_pair_graph_cache_returns_one_materialization(spark, sf_dir):
+    """The wiring's pair-graph cache must hand every consumer the SAME
+    checkpointed DataFrame (materialize-once contract) and still match
+    a fresh derivation."""
+    from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    a = entrymod._pair_graph(spark, sf_dir)
+    b = entrymod._pair_graph(spark, sf_dir)
+    assert a is b
+    fresh = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    assert a.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(a).count() == 0
