@@ -312,21 +312,21 @@ def value_moment_stats(events: DataFrame) -> DataFrame:
 
 def user_retention_cohorts(events: DataFrame) -> DataFrame:
     """Classic cohort retention: users grouped by first-active week,
-    counted distinct in each later week. Two exchanges total — min(ts)
-    per user (partial-aggregable), then a countDistinct on the
-    (cohort_week, week_offset) pair after a broadcast-sized join of
-    per-user cohorts back onto per-user-week activity (both sides are
-    ≤ one row per user(-week), already collapsed before the join, so
-    the join input is users × active-weeks, not raw events).
+    counted distinct in each later week. The raw event table is
+    scanned ONCE and collapsed immediately to distinct (user, week) —
+    every exchange after that carries users × active-weeks rows, not
+    events; cohorts (min week per user) derive from the same collapsed
+    set and join back on user_id before the countDistinct on the
+    bounded cohort grid.
 
     Returns (cohort_week string, week_offset, n_users).
     """
-    cohorts = events.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
-    )
     weekly = events.select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
     ).distinct()
+    # cohort = a user's min week — computed FROM the collapsed weekly
+    # set, so the raw event table is scanned exactly once
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         weekly.join(cohorts, "user_id")
         .groupBy(

@@ -314,10 +314,11 @@ def gap_fill_locf(events: DataFrame) -> DataFrame:
     observed per-day peak value, and carry the last non-null forward
     with `last(value, ignorenulls=True)` over an ordered window.
 
-    The standard resample topology: one exchange keyed on user_id
-    covers both the grid join and the LOCF window sort; grid size is
-    users × days, independent of event volume. Summarized per user so
-    the result is one row per user:
+    The standard resample topology: the raw event table collapses to
+    per-(user, day) rows in the FIRST aggregate, so every exchange
+    after that (span agg, grid join, LOCF window sort) carries
+    users × days rows, independent of event volume. Summarized per
+    user so the result is one row per user:
     (user_id, n_days, n_observed, n_filled, sum_locf).
     """
     daily = events.groupBy(

@@ -339,3 +339,103 @@ def streaming_hopping_counts(
         "n_events",
         "sum_value",
     )
+
+
+def streaming_user_stats_tws(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_user_tws"
+) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas — the
+    Spark 4 arbitrary-stateful API that supersedes
+    applyInPandasWithState (typed state variables on a handle, timer
+    support, state TTL; state lives in the state store keyed by the
+    group, exchange on user_id). Kept alongside the older operator so
+    both stateful surfaces stay covered.
+
+    State is one ValueState holding (count, sum, max); each batch
+    emits the running totals, so with availableNow the last emission
+    per user is the final answer — reduced by max() over the sink,
+    valid because all three quantities are monotone (values are
+    positive). Returns (user_id, n_events, sum_value, max_value).
+
+    ENVIRONMENT GATE: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server; containers without
+    `google.protobuf` cannot run it (raises RuntimeError here rather
+    than crashing the streaming query mid-flight). The older
+    applyInPandasWithState operator above has no such dependency and
+    remains the always-available stateful surface.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's state-server protocol); not installed in this "
+            "environment — use streaming_user_counts_stateful instead"
+        ) from exc
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mx = 0, 0.0, float("-inf")
+            if self._agg.exists():
+                n, s, mx = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    result = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_memory(result, query_name, "update")
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("sum_value"), 6).alias("sum_value"),
+            F.round(F.max("max_value"), 6).alias("max_value"),
+        )
+    )

@@ -74,3 +74,33 @@ def test_streaming_equals_batch_hourly(spark, sf_dir):
         for r in entrymod.queries()["streaming_hourly_counts"](spark, sf_dir).collect()
     }
     assert stream == {k: v for k, v in batch.items()}
+
+
+def test_transform_with_state_gate(spark, sf_dir):
+    """transformWithStateInPandas needs protobuf (pyspark's state
+    protocol). With it absent the operator must fail fast with the
+    documented RuntimeError; with it present it must match the batch
+    per-user aggregate."""
+    from mapreduce_golang_spark.streaming.events_stream import streaming_user_stats_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_user_stats_tws(spark, sf_dir)
+        return
+    from mapreduce_golang_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = streaming_user_stats_tws(spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
