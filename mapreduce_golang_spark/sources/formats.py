@@ -56,6 +56,21 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink — built into Spark 4 (the former spark-xml package,
+    no extra jars). Row-per-element under ``row_tag``; the interchange
+    format for feeds/catalogs that still speak XML."""
+    df.write.mode("overwrite").option("rowTag", row_tag).format("xml").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: StructType, row_tag: str = "row") -> DataFrame:
+    """XML source with an explicit schema (schema inference on XML
+    costs a full extra scan at 100 TB — always declare)."""
+    return (
+        spark.read.schema(schema).option("rowTag", row_tag).format("xml").load(path)
+    )
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Hive-style partitioned layout: one directory per partition-col
     value; reads filtered on those columns prune at planning time."""

@@ -186,3 +186,41 @@ def test_reachability_recursion_is_equi_join(spark, sf_dir):
     assert "UnionLoop" in plan
     # no parquet scan inside the loop: edges come from the checkpoint
     assert "FileScan parquet" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """All three join-strategy knobs must reach the physical plan: the
+    skew/memory escape hatches a 100 TB operator needs when the
+    optimizer's default pick is wrong (e.g. forcing shuffle-hash to
+    avoid a sort on a huge skewed probe side, or forcing merge when
+    the build side would OOM)."""
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cond = events.user_id == dim.c_custkey
+
+    def plan_of(joined):
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of(events.join(dim.hint("broadcast"), cond))
+    assert "ShuffledHashJoin" in plan_of(events.join(dim.hint("shuffle_hash"), cond))
+    assert "SortMergeJoin" in plan_of(events.join(dim.hint("merge"), cond))
+
+
+def test_new_round5_queries_have_no_python_eval(spark, sf_dir):
+    """The round's batch additions must stay inside whole-stage
+    codegen — no row-at-a-time or arrow Python eval in any plan."""
+    for name in [
+        "hopping_window_counts",
+        "gap_fill_locf",
+        "value_moment_stats",
+        "user_retention_cohorts",
+        "sentence_stats",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan

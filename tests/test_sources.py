@@ -26,6 +26,14 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    df = _events_sample(spark, sf_dir)
+    path = str(tmp_path / "ev_xml")
+    formats.write_xml(df, path)
+    back = formats.read_xml(spark, path, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     df = _events_sample(spark, sf_dir)
     path = str(tmp_path / "ev_orc")
