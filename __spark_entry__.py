@@ -874,6 +874,16 @@ def _sentence_stats(spark, sf_dir):
     return text_analysis.sentence_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _ntile_deciles(spark, sf_dir):
+    return analytics.value_ntile_deciles(load_table(spark, sf_dir, "events"))
+
+
+def _orphan_events(spark, sf_dir):
+    return analytics.orphan_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -911,6 +921,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_retention_cohorts": _retention_cohorts,
         "sentence_stats": _sentence_stats,
         "streaming_hopping_counts": _stream_hopping,
+        "value_ntile_deciles": _ntile_deciles,
+        "orphan_events": _orphan_events,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3051,6 +3063,39 @@ _ORACLES["sentence_stats"] = r"""
 _ORACLES["streaming_hopping_counts"] = _ORACLES["hopping_window_counts"]
 
 
+
+
+# operators/analytics.py::value_ntile_deciles — NTILE(10) with the
+# same deterministic tie-break ordering (value, event_id).
+_ORACLES["value_ntile_deciles"] = """
+    WITH bucketed AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+                   AS decile
+        FROM events
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM bucketed
+    GROUP BY event_type, decile
+"""
+
+
+# operators/analytics.py::orphan_events — FK referential-integrity
+# audit: per type, total events and events whose user_id matches no
+# customer key (one row per type even when the FK holds).
+_ORACLES["orphan_events"] = """
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON c.c_custkey = e.user_id
+    GROUP BY e.event_type
+"""
 
 
 def oracle_sql() -> dict[str, str]:

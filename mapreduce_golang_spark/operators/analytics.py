@@ -335,3 +335,50 @@ def user_retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def value_ntile_deciles(events: DataFrame) -> DataFrame:
+    """NTILE decile bucketing of value within each event_type — the
+    quantile-bucket assignment used for score binning / percentile
+    features. Deterministic under ties (order by value, event_id), so
+    the result is engine-portable. One exchange on event_type, then a
+    per-partition sort; decile summary keeps the output bounded at
+    types × 10 rows regardless of input size.
+
+    Returns (event_type, decile, n, lo, hi).
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def orphan_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Referential-integrity audit: per event_type, how many events
+    reference a user_id with no matching customer row — the FK check
+    every warehouse publish gate runs. LEFT join against the
+    (distinct, broadcastable) key side with a marker column, counted
+    conditionally in the same aggregate as the total, so the report
+    always has one row per type (orphan count 0 when the FK holds)
+    and output stays bounded by the type dimension."""
+    keys = (
+        customer.select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+        .withColumn("_present", F.lit(1))
+    )
+    return (
+        events.join(F.broadcast(keys), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("_present").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+    )

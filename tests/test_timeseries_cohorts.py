@@ -16,6 +16,8 @@ NEW_QUERIES = [
     "value_moment_stats",
     "user_retention_cohorts",
     "sentence_stats",
+    "value_ntile_deciles",
+    "orphan_events",
 ]
 
 
@@ -101,3 +103,19 @@ def test_pair_graph_cache_returns_one_materialization(spark, sf_dir):
     fresh = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
     assert a.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(a).count() == 0
+
+
+def test_orphan_events_counts_injected_orphans(spark, sf_dir):
+    """Seeding events with user_ids outside the customer key space
+    must surface exactly those rows as orphans."""
+    from mapreduce_golang_spark.operators.analytics import orphan_events
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    bad = events.limit(7).withColumn("user_id", F.col("user_id") + F.lit(10**12))
+    report = orphan_events(events.unionByName(bad), customer)
+    assert report.agg(F.sum("n_orphans")).collect()[0][0] == 7
+    clean = orphan_events(events, customer)
+    assert clean.agg(F.sum("n_orphans")).collect()[0][0] == 0
+    assert clean.count() > 0
