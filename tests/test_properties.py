@@ -254,3 +254,73 @@ def test_deterministic_sample_matches_python_arithmetic(spark, ids):
     )
     got = {r.doc_id for r in deterministic_doc_sample(df).collect()}
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=20),     # day offset
+            st.floats(min_value=0.1, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gap_fill_locf_matches_bruteforce(spark, rows):
+    """The distributed LOCF gap-fill must equal a per-user Python
+    brute force (dense day grid, carry last observed max forward) for
+    arbitrary sparse inputs."""
+    import datetime as dt
+
+    from mapreduce_golang_spark.operators.windows import gap_fill_locf
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    data = [
+        (i, base + dt.timedelta(days=d), u, "click", v, "{}")
+        for i, (u, d, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r.user_id: (r.n_days, r.n_observed, r.n_filled, r.sum_locf)
+        for r in gap_fill_locf(df).collect()
+    }
+    by_user: dict = {}
+    for u, d, v in rows:
+        day_vals = by_user.setdefault(u, {})
+        day_vals[d] = max(day_vals.get(d, float("-inf")), v)
+    for u, day_vals in by_user.items():
+        d0, d1 = min(day_vals), max(day_vals)
+        last, total = None, 0.0
+        for d in range(d0, d1 + 1):
+            if d in day_vals:
+                last = day_vals[d]
+            total += last
+        n_days = d1 - d0 + 1
+        n_obs = len(day_vals)
+        want = (n_days, n_obs, n_days - n_obs, round(total, 4))
+        assert got[u][:3] == want[:3]
+        assert abs(got[u][3] - want[3]) < 1e-6
+
+
+@given(st.integers(min_value=1, max_value=200))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ntile_bucket_sizes_differ_by_at_most_one(spark, n):
+    """NTILE(10)'s defining property: within a group, bucket sizes
+    differ by at most 1 and larger buckets come first."""
+    from mapreduce_golang_spark.operators.analytics import value_ntile_deciles
+
+    df = spark.createDataFrame(
+        [(i, None, 0, "t", float(i % 17), "{}") for i in range(n)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sizes = {r.decile: r.n for r in value_ntile_deciles(df).collect()}
+    counts = [sizes.get(d, 0) for d in range(1, 11)]
+    present = [c for c in counts if c > 0]
+    assert sum(counts) == n
+    assert max(present) - min(present) <= 1
+    # non-increasing: ntile front-loads the remainder
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
