@@ -874,6 +874,12 @@ def _sentence_stats(spark, sf_dir):
     return text_analysis.sentence_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _lang_confusion(spark, sf_dir):
+    return text_analysis.lang_confusion_matrix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+
+
 def _ntile_deciles(spark, sf_dir):
     return analytics.value_ntile_deciles(load_table(spark, sf_dir, "events"))
 
@@ -923,6 +929,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_hopping_counts": _stream_hopping,
         "value_ntile_deciles": _ntile_deciles,
         "orphan_events": _orphan_events,
+        "lang_confusion_matrix": _lang_confusion,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3095,6 +3102,19 @@ _ORACLES["orphan_events"] = """
     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         ON c.c_custkey = e.user_id
     GROUP BY e.event_type
+"""
+
+
+# operators/text_analysis.py::lang_confusion_matrix — wraps the
+# lang_id oracle verbatim as a subquery (one source of truth for the
+# prediction semantics) and joins it back to the labeled column.
+_ORACLES["lang_confusion_matrix"] = f"""
+    SELECT d.lang AS true_lang,
+           p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN ({_ORACLES["lang_id"]}) p USING (doc_id)
+    GROUP BY 1, 2
 """
 
 

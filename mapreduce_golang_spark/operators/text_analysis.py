@@ -45,20 +45,11 @@ def _clean_tokens(text_col):
     return F.array_remove(F.split(text_col, LETTERS_ONLY_RE), "")
 
 
-def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Heuristic language ID: argmax of lexicon-marker hits per doc.
-
-    Returns (doc_id, predicted_lang, score); docs with zero marker
-    hits get ('unknown', 0). Deterministic tie-break: score desc,
-    lang asc.
-
-    Zero-shuffle formulation: the lexicons are tiny compile-time
-    constants, so each language's score is a JVM array filter over the
-    doc's tokens and the argmax is a 5-element array sort — the whole
-    operator is a narrow map over the scan (a lexicon JOIN would add
-    an explode + exchange for nothing). ``spark`` is unused but kept
-    for signature stability.
-    """
+def _lang_best_struct():
+    """The argmax-over-lexicons struct shared by lang_id and the
+    confusion matrix: each language's score is a JVM array filter over
+    the doc's tokens, the argmax a 5-element array sort — one narrow
+    codegen'd expression, no join, no shuffle."""
     toks = _clean_tokens(F.lower(F.col("text")))
 
     def _member_of(ws):  # single-arg lambda: F.filter treats 2-arg fns as (elem, idx)
@@ -69,7 +60,22 @@ def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
         score = F.size(F.filter(toks, _member_of(LANG_LEXICONS[lang])))
         # sort key: ascending on (-score, lang) == score desc, lang asc
         entries.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang"), score.alias("score")))
-    best = F.element_at(F.array_sort(F.array(*entries)), 1)
+    return F.element_at(F.array_sort(F.array(*entries)), 1)
+
+
+def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of lexicon-marker hits per doc.
+
+    Returns (doc_id, predicted_lang, score); docs with zero marker
+    hits get ('unknown', 0). Deterministic tie-break: score desc,
+    lang asc.
+
+    Zero-shuffle formulation: the lexicons are tiny compile-time
+    constants, so the whole operator is a narrow map over the scan (a
+    lexicon JOIN would add an explode + exchange for nothing).
+    ``spark`` is unused but kept for signature stability.
+    """
+    best = _lang_best_struct()
     return df.select(
         "doc_id",
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("predicted_lang"),
@@ -464,4 +470,23 @@ def sentence_stats(df: DataFrame) -> DataFrame:
             ).alias("avg_sentence_words"),
             F.array_max("wc").cast("long").alias("max_sentence_words"),
         )
+    )
+
+
+def lang_confusion_matrix(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Classifier-evaluation query: the confusion matrix of the
+    heuristic language ID against the corpus's labeled `lang` column —
+    the accuracy report a pipeline publishes whenever a heuristic
+    gates data. The label and the prediction ride the SAME projection
+    (no self-join — the prediction is a narrow expression), so the
+    whole query is one scan plus one exchange on the (label,
+    prediction) pair; output bounded by n_langs².
+    Returns (true_lang, predicted_lang, n_docs).
+    """
+    best = _lang_best_struct()
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return (
+        df.select(F.col("lang").alias("true_lang"), pred.alias("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
     )

@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "sentence_stats",
     "value_ntile_deciles",
     "orphan_events",
+    "lang_confusion_matrix",
 ]
 
 
