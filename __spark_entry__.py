@@ -908,6 +908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # sketch stays rows-only by design). Queries rotated out of the window remain
 # covered every round by scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # ngram_jaccard_pairs leads so the materialize-once pair graph's
+        # one-time derivation cost lands on the derivation query in the
+        # bench table, not on whichever consumer happens to run first
+        # (r1-green; re-graded in this round's window at no cost).
+        "ngram_jaccard_pairs": _ngram_jaccard,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -1011,7 +1016,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_stats": _token_stats,
         "doc_fingerprints": _fingerprints,
         "exact_dedup": _exact_dedup,
-        "ngram_jaccard_pairs": _ngram_jaccard,
         "simhash": _simhash,
         "simhash64": _simhash64,
         "simhash_pairs": _simhash_pairs,
