@@ -902,11 +902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # exactly the first 50 registrations). Rounds 1–3 hard-confirmed the original
 # first 50 (CORRECTNESS_r01–r03, all green); round 4 rotated the 46 queries
 # without a driver row into the window plus 4 of the 7 round-4 additions
-# (CORRECTNESS_r04: 50/50 green). Round 5 puts the 5 queries still without a
-# driver row first, then the 4 new round-5 queries — after this round every
-# registered query has had at least one driver-confirmed green row (the HLL
-# sketch stays rows-only by design). Queries rotated out of the window remain
-# covered every round by scripts/correctness_gate.py (CORRECTNESS_FULL.json).
+# (CORRECTNESS_r04: 50/50 green). Round 5's window head: the pair-graph
+# derivation query (bench attribution, r1-green), the 5 queries that lacked a
+# driver row after r4, and every round-5 addition (15 new queries) — after
+# this round every registered query has had at least one driver-confirmed
+# green row (the HLL sketch stays rows-only by design). Queries rotated out
+# of the window remain covered every round by scripts/correctness_gate.py
+# (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_pairs leads so the materialize-once pair graph's
         # one-time derivation cost lands on the derivation query in the
