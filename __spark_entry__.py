@@ -875,9 +875,7 @@ def _sentence_stats(spark, sf_dir):
 
 
 def _lang_confusion(spark, sf_dir):
-    return text_analysis.lang_confusion_matrix(
-        spark, load_table(spark, sf_dir, "documents")
-    )
+    return text_analysis.lang_confusion_matrix(load_table(spark, sf_dir, "documents"))
 
 
 def _ntile_deciles(spark, sf_dir):
@@ -2876,11 +2874,17 @@ _ORACLES["bigram_counts"] = r"""
 # operators/corpus.py::deterministic_doc_sample — exact 64-bit integer
 # arithmetic (Knuth multiplicative hash mod 1000) is engine-portable;
 # both sides reduce mod 2^31 first so the product can never overflow.
+# Spark's pmod is always non-negative while DuckDB's % follows the
+# dividend's sign, so the inner mod is wrapped ((x % m + m) % m) to
+# match pmod for negative doc_id; the product is then non-negative and
+# the outer % needs no wrap.
 _ORACLES["deterministic_doc_sample"] = """
     SELECT doc_id, source, lang, n_chars,
-           ((doc_id % 2147483648) * 2654435761) % 1000 AS sample_bucket
+           (((doc_id % 2147483648 + 2147483648) % 2147483648)
+            * 2654435761) % 1000 AS sample_bucket
     FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761) % 1000 < 100
+    WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648)
+           * 2654435761) % 1000 < 100
 """
 
 

@@ -22,23 +22,32 @@ import re
 
 from pyspark.sql.functions import udtf
 
-#: mirrors operators/text_analysis.py::SENTENCE_SPLIT_RE
-_SENT_RE = re.compile(r"[.!?]+")
+from mapreduce_golang_spark.operators.text_analysis import SENTENCE_SPLIT_RE
+
+_SENT_RE = re.compile(SENTENCE_SPLIT_RE)
 _WS_RE = re.compile(r"\s+")
 
 
 @udtf(returnType="sent_idx: int, sentence: string, n_words: int", useArrow=True)
 class SentenceSplitter:
     """Yield (sent_idx, sentence, n_words) per sentence of `text` —
-    segmentation identical to sentence_stats' array expression."""
+    segmentation identical to sentence_stats' array expression.
+
+    Parity requires matching SQL semantics exactly: SQL ``trim()``
+    strips SPACES only (not tabs/newlines), so this strips ``' '``
+    rather than Python's all-whitespace ``strip()``; and Java's
+    ``split("\\s+")`` keeps the leading empty token on a string that
+    starts with whitespace, which ``re.split`` also does — both count
+    it. A fragment of only tabs/newlines therefore IS a sentence on
+    both paths."""
 
     def eval(self, text: str):  # noqa: D102 — contract is the class doc
         if text is None:
             return
         idx = 0
         for raw in _SENT_RE.split(text):
-            sent = raw.strip()
-            if not sent:
+            sent = raw.strip(" ")
+            if sent == "":
                 continue
             yield idx, sent, len(_WS_RE.split(sent))
             idx += 1

@@ -138,7 +138,10 @@ def near_dup_reachability(
     return spark.sql(
         f"""
         WITH RECURSIVE reach(doc, depth) AS (
-          SELECT (SELECT min(src) FROM {{edges}}) AS doc, 0 AS depth
+          -- empty pair graph => min(src) is NULL; the WHERE keeps the
+          -- anchor empty so the result is empty, not one (NULL, 0) row
+          SELECT * FROM (SELECT (SELECT min(src) FROM {{edges}}) AS doc, 0 AS depth)
+          WHERE doc IS NOT NULL
           UNION ALL
           SELECT e.dst AS doc, r.depth + 1 AS depth
           FROM reach r

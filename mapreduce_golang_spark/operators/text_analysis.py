@@ -473,7 +473,7 @@ def sentence_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def lang_confusion_matrix(spark: SparkSession, df: DataFrame) -> DataFrame:
+def lang_confusion_matrix(df: DataFrame) -> DataFrame:
     """Classifier-evaluation query: the confusion matrix of the
     heuristic language ID against the corpus's labeled `lang` column —
     the accuracy report a pipeline publishes whenever a heuristic

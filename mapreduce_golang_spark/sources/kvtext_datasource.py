@@ -65,9 +65,10 @@ class KvTextReader(DataSourceReader):
     def partitions(self):
         if os.path.isdir(self.path):
             files = sorted(
-                os.path.join(self.path, f)
+                p
                 for f in os.listdir(self.path)
                 if not f.startswith(("_", "."))
+                and os.path.isfile(p := os.path.join(self.path, f))
             )
         else:
             files = [self.path]
@@ -112,6 +113,30 @@ def _abort_staged(messages) -> None:
                 pass
 
 
+def _sweep_orphaned_staged(path: str) -> None:
+    """Remove leftover ``.staged-*`` files after a successful commit.
+
+    A task attempt that crashed or lost a speculative race staged a
+    file whose name never reached the driver's commit messages — so
+    neither commit's rename nor abort ever touches it, and without a
+    sweep every retry leaks one hidden file forever. commit() runs
+    only after all of this job/batch's winners were renamed into
+    place, so anything still dot-staged is garbage. (Two concurrent
+    writers in one directory could sweep each other's in-flight
+    stages — but concurrent same-directory writers are already
+    unsupported: overwrite deletes the other job's parts.)"""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for f in names:
+        if f.startswith(".staged-"):
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+
+
 class KvTextWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -125,13 +150,18 @@ class KvTextWriter(DataSourceWriter):
         return _write_staged(self.path, iterator, TaskContext.get().partitionId())
 
     def commit(self, messages):
-        # All tasks succeeded. Overwrite clears EVERY pre-existing part
-        # file first — a prior write with more partitions must not leave
-        # stale parts that a later read would mix with the new ones.
+        # All tasks succeeded. The directory may not exist yet (a
+        # zero-partition DataFrame runs no write task), and overwrite
+        # clears EVERY pre-existing part FILE first — a prior write
+        # with more partitions must not leave stale parts that a later
+        # read would mix with the new ones (subdirectories are left
+        # alone: they are another format's output, not our parts).
+        os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             for f in os.listdir(self.path):
-                if not f.startswith(("_", ".")):
-                    os.remove(os.path.join(self.path, f))
+                p = os.path.join(self.path, f)
+                if not f.startswith(("_", ".")) and os.path.isfile(p):
+                    os.remove(p)
         for m in messages:
             if m is None:
                 continue
@@ -143,6 +173,7 @@ class KvTextWriter(DataSourceWriter):
                 n += 1
                 final = os.path.join(self.path, f"part-{m.pid:05d}-{n}.txt")
             os.replace(m.staged, final)
+        _sweep_orphaned_staged(self.path)
 
     def abort(self, messages):
         _abort_staged(messages)
@@ -156,12 +187,19 @@ class KvTextStreamWriter(DataSourceStreamWriter):
     exactly one file set per (batch, partition) — the idempotent-rename
     exactly-once discipline of the reference's mr-out-N publish
     (/root/reference/src/mr/worker.go:136-140) lifted to microbatches.
+
+    ``truncate`` (Spark passes overwrite=True for complete output mode)
+    makes each commit replace the directory's contents: complete mode
+    re-emits the FULL result every batch, so earlier batches' parts
+    are stale snapshots that a reader must not union with the new one.
+    Append/update modes keep all batches' parts.
     """
 
-    def __init__(self, options):
+    def __init__(self, options, truncate: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kvtext: path required (use .start(path))")
+        self.truncate = truncate
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -169,11 +207,26 @@ class KvTextStreamWriter(DataSourceStreamWriter):
         return _write_staged(self.path, iterator, TaskContext.get().partitionId())
 
     def commit(self, messages, batchId):
+        os.makedirs(self.path, exist_ok=True)
+        if self.truncate:
+            # complete mode: this batch's snapshot REPLACES the sink.
+            # Parts are batchId-prefixed, so prior batches' names never
+            # collide with this batch's renames — clear them explicitly.
+            prefix = f"part-{batchId:05d}-"
+            for f in os.listdir(self.path):
+                p = os.path.join(self.path, f)
+                if (
+                    not f.startswith(("_", "."))
+                    and os.path.isfile(p)
+                    and not f.startswith(prefix)
+                ):
+                    os.remove(p)
         for m in messages:
             if m is None:
                 continue
             final = os.path.join(self.path, f"part-{batchId:05d}-{m.pid:05d}.txt")
             os.replace(m.staged, final)
+        _sweep_orphaned_staged(self.path)
 
     def abort(self, messages, batchId):
         _abort_staged(messages)
@@ -196,9 +249,10 @@ class KvTextStreamReader(SimpleDataSourceStreamReader):
         if not os.path.isdir(self.path):
             return [self.path] if os.path.exists(self.path) else []
         return sorted(
-            os.path.join(self.path, f)
+            p
             for f in os.listdir(self.path)
             if not f.startswith(("_", "."))
+            and os.path.isfile(p := os.path.join(self.path, f))
         )
 
     def initialOffset(self):
@@ -247,4 +301,4 @@ class KvTextDataSource(DataSource):
         return KvTextStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool):
-        return KvTextStreamWriter(self.options)
+        return KvTextStreamWriter(self.options, truncate=overwrite)

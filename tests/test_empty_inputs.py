@@ -143,5 +143,10 @@ def test_round5_ops_on_empty(spark, empty_docs, empty_events):
     assert analytics.value_moment_stats(empty_events).count() == 0
     assert analytics.user_retention_cohorts(empty_events).count() == 0
     assert text_analysis.sentence_stats(empty_docs).count() == 0
-    assert text_analysis.lang_confusion_matrix(spark, empty_docs).count() == 0
+    assert text_analysis.lang_confusion_matrix(empty_docs).count() == 0
     assert analytics.value_ntile_deciles(empty_events).count() == 0
+
+    from mapreduce_golang_spark.operators.graph import near_dup_reachability
+
+    # empty pair graph: empty result, not a bogus (NULL, 0) anchor row
+    assert near_dup_reachability(spark, empty_docs).count() == 0

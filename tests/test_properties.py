@@ -236,11 +236,12 @@ def test_bigram_counts_match_bruteforce(spark, texts):
     assert got == dict(expected)
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=40, unique=True))
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40, unique=True))
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_deterministic_sample_matches_python_arithmetic(spark, ids):
     # the engine-portable hash must equal plain Python int arithmetic
-    # for any doc_id (the int64-overflow guard is part of the contract)
+    # for any doc_id, negative included — Python's % and Spark's pmod
+    # are both non-negative-mod (the DuckDB oracle wraps its % to match)
     from mapreduce_golang_spark.operators.corpus import (
         KNUTH_HASH_CONST,
         deterministic_doc_sample,

@@ -240,3 +240,70 @@ def test_kvtext_stream_writer_roundtrip(spark, tmp_path):
 
     names = sorted(f for f in os.listdir(out) if not f.startswith("."))
     assert all(n.startswith("part-") and n.endswith(".txt") for n in names)
+
+
+def test_kvtext_stream_writer_complete_mode_truncates(spark, tmp_path):
+    """Complete output mode re-emits the FULL aggregate every batch —
+    the sink must hold only the latest batch's snapshot, not the union
+    of every batch's parts — and orphaned staged files are swept."""
+    import os
+
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    src = tmp_path / "cwin"
+    src.mkdir()
+    out = str(tmp_path / "cwout")
+    ckpt = str(tmp_path / "cckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("kvtext")
+            .load(str(src))
+            .groupBy("key")
+            .count()
+            .selectExpr("key", "CAST(count AS STRING) AS value")
+            .writeStream.format("kvtext")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+
+    (src / "mr-out-0").write_text("x 1\nx 1\ny 1\n")
+    drain()
+    first = dict(map(tuple, spark.read.format("kvtext").load(out).collect()))
+    assert first == {"x": "2", "y": "1"}
+
+    (src / "mr-out-1").write_text("x 1\nz 1\n")
+    drain()
+    second = dict(
+        map(tuple, spark.read.format("kvtext").load(out).collect())
+    )
+    # latest snapshot only — no union with batch 0's parts
+    assert second == {"x": "3", "y": "1", "z": "1"}
+    assert not [f for f in os.listdir(out) if f.startswith(".staged-")]
+
+
+def test_kvtext_overwrite_empty_dataframe_and_subdir(spark, tmp_path):
+    """Edge cases the commit path must survive: overwriting a path that
+    contains a subdirectory (another format's output) and writing an
+    empty DataFrame to a fresh path (no write task ever runs)."""
+    from mapreduce_golang_spark.sources.kvtext_datasource import KvTextDataSource
+
+    spark.dataSource.register(KvTextDataSource)
+    out = tmp_path / "edgeout"
+    out.mkdir()
+    (out / "somedir").mkdir()
+    (out / "part-00000.txt").write_text("old 1\n")
+    df = spark.createDataFrame([("a", "1")], "key string, value string")
+    df.write.format("kvtext").mode("overwrite").save(str(out))
+    assert (out / "somedir").is_dir()  # untouched
+    rows = sorted(map(tuple, spark.read.format("kvtext").load(str(out)).collect()))
+    assert rows == [("a", "1")]
+
+    empty = df.limit(0).repartition(1).limit(0)
+    fresh = str(tmp_path / "freshout")
+    empty.where("1=0").write.format("kvtext").mode("overwrite").save(fresh)
+    assert spark.read.format("kvtext").load(fresh).count() == 0

@@ -74,7 +74,19 @@ def test_udtf_matches_native_sentence_stats(spark, sf_dir):
     from mapreduce_golang_spark.sources.tables import load_table
 
     register_udtfs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # fixture corpus PLUS whitespace-edge docs where SQL trim (spaces
+    # only) and Java split's phantom leading token could diverge from
+    # a naive Python strip()/split
+    edge = spark.createDataFrame(
+        [
+            (10**9 + 1, "Hello.\nWorld two words.", "en", "web", 23),
+            (10**9 + 2, "a.\t.b", "en", "web", 5),
+            (10**9 + 3, "  lots   of  space . next!one", "en", "web", 29),
+            (10**9 + 4, "\t\n.", "en", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = load_table(spark, sf_dir, "documents").unionByName(edge)
     docs.createOrReplaceTempView("docs_for_udtf")
     via_udtf = spark.sql(
         """
