@@ -878,6 +878,14 @@ def _lang_confusion(spark, sf_dir):
     return text_analysis.lang_confusion_matrix(load_table(spark, sf_dir, "documents"))
 
 
+def _zipf_slope(spark, sf_dir):
+    return text_analysis.zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_scan(spark, sf_dir):
+    return text_analysis.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
 def _ntile_deciles(spark, sf_dir):
     return analytics.value_ntile_deciles(load_table(spark, sf_dir, "events"))
 
@@ -935,6 +943,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "value_ntile_deciles": _ntile_deciles,
         "orphan_events": _orphan_events,
         "lang_confusion_matrix": _lang_confusion,
+        "zipf_slope": _zipf_slope,
+        "pii_scan": _pii_scan,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3125,6 +3135,52 @@ _ORACLES["lang_confusion_matrix"] = f"""
     FROM documents d
     JOIN ({_ORACLES["lang_id"]}) p USING (doc_id)
     GROUP BY 1, 2
+"""
+
+
+# operators/text_analysis.py::zipf_slope — same tokenization as wc,
+# same deterministic rank (cnt desc, word asc), single-pass regr_slope.
+_ORACLES["zipf_slope"] = r"""
+    WITH words AS (
+        SELECT source, word
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+    ),
+    counts AS (
+        SELECT source, word, count(*) AS cnt
+        FROM words GROUP BY source, word
+    ),
+    ranked AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word ASC) AS rk
+        FROM counts
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(cnt), ln(rk)), 6) AS slope
+    FROM ranked
+    GROUP BY source
+"""
+
+
+# operators/text_analysis.py::pii_scan — patterns shared via the
+# PII_PATTERNS constant (oracle built from it, single source of truth).
+from mapreduce_golang_spark.operators.text_analysis import PII_PATTERNS as _PII
+
+_ORACLES["pii_scan"] = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               "CAST(sum(CASE WHEN regexp_matches(text, '" + pat.replace("'", "''") + "') "
+               "THEN 1 ELSE 0 END) AS BIGINT) AS n_" + name
+               for name, pat in _PII.items()
+           )}
+    FROM documents
+    GROUP BY source
 """
 
 

@@ -490,3 +490,54 @@ def lang_confusion_matrix(df: DataFrame) -> DataFrame:
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def zipf_slope(df: DataFrame) -> DataFrame:
+    """Zipf's-law fit per source: the slope of ln(freq) over ln(rank)
+    for the source's word-frequency distribution (natural text ≈ −1;
+    a synthetic or templated corpus drifts toward 0 — a cheap
+    distribution-shift probe for corpus QA).
+
+    Plan: one explode + hash agg to (source, word) counts (map-side
+    partials), a per-source rank window (one exchange on source), and
+    `regr_slope` — a single-pass algebraic aggregate, so the whole fit
+    is two exchanges regardless of corpus size. Deterministic ranking
+    (count desc, word asc). Returns (source, n_types, slope).
+    """
+    words = df.select(
+        "source",
+        F.explode(F.array_remove(F.split(F.lower("text"), LETTERS_ONLY_RE), "")).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.expr("regr_slope(ln(cnt), ln(rk))"), 6).alias("slope"),
+    )
+
+
+#: governance patterns — shared with the DuckDB oracle and the
+#: injection test so all three agree on what counts as a hit.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "long_digits": r"[0-9]{6,}",
+}
+
+
+def pii_scan(df: DataFrame) -> DataFrame:
+    """Corpus-governance scan: per source, how many docs contain each
+    PII-ish pattern (emails, URLs, long digit runs) — the audit every
+    training-corpus publish gate runs before release. Pure `rlike`
+    conditional counts riding one narrow projection + one exchange on
+    source; always one row per source (zero counts when clean), so the
+    report shape is stable. Returns (source, n_docs, n_email, n_url,
+    n_long_digits)."""
+    flags = [
+        F.sum(F.col("text").rlike(pat).cast("long")).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"), *flags
+    )

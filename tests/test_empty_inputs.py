@@ -146,6 +146,9 @@ def test_round5_ops_on_empty(spark, empty_docs, empty_events):
     assert text_analysis.lang_confusion_matrix(empty_docs).count() == 0
     assert analytics.value_ntile_deciles(empty_events).count() == 0
 
+    assert text_analysis.zipf_slope(empty_docs).count() == 0
+    assert text_analysis.pii_scan(empty_docs).count() == 0
+
     from mapreduce_golang_spark.operators.graph import near_dup_reachability
 
     # empty pair graph: empty result, not a bogus (NULL, 0) anchor row

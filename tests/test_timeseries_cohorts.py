@@ -19,6 +19,8 @@ NEW_QUERIES = [
     "value_ntile_deciles",
     "orphan_events",
     "lang_confusion_matrix",
+    "zipf_slope",
+    "pii_scan",
 ]
 
 
@@ -132,3 +134,42 @@ def test_orphan_events_counts_injected_orphans(spark, sf_dir):
     clean = orphan_events(events, customer)
     assert clean.agg(F.sum("n_orphans")).collect()[0][0] == 0
     assert clean.count() > 0
+
+
+def test_pii_scan_counts_injected_patterns(spark, sf_dir):
+    """Docs seeded with an email, a URL, and a long digit run must be
+    counted under exactly their pattern (and clean fixture docs under
+    none)."""
+    from mapreduce_golang_spark.operators.text_analysis import pii_scan
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = spark.createDataFrame(
+        [
+            (10**9 + 1, "contact me at alice@example.com please", "en", "seeded", 38),
+            (10**9 + 2, "see https://example.com/path for details", "en", "seeded", 40),
+            (10**9 + 3, "card number 123456789 leaked", "en", "seeded", 28),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    report = {r.source: r for r in pii_scan(docs.unionByName(dirty)).collect()}
+    seeded = report["seeded"]
+    assert (seeded.n_email, seeded.n_url, seeded.n_long_digits) == (1, 1, 1)
+    clean_totals = [
+        (r.n_email, r.n_url, r.n_long_digits)
+        for s, r in report.items()
+        if s != "seeded"
+    ]
+    assert all(t == (0, 0, 0) for t in clean_totals)
+
+
+def test_zipf_slope_is_negative_on_fixture_text(spark, sf_dir):
+    """Word-frequency distributions decay with rank, so every source's
+    fitted log-log slope must be strictly negative."""
+    from mapreduce_golang_spark.operators.text_analysis import zipf_slope
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    rows = zipf_slope(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    assert all(r.slope < 0 for r in rows)
+    assert all(r.n_types > 0 for r in rows)
