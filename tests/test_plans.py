@@ -224,3 +224,45 @@ def test_new_round5_queries_have_no_python_eval(spark, sf_dir):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story has two layers: explicit salting
+    (operators/skew.py, tested above) and AQE's runtime skew-join
+    splitting. This proves the AQE layer actually engages: a join
+    where one key holds 90% of rows must show `skew=true` in the
+    final adaptive plan, and the split must not change the result."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = skewed.join(dim, "k")
+        # collect j ITSELF — an action on a derived frame runs a new
+        # QueryExecution and j's own adaptive plan would stay unfinalized
+        from collections import Counter
+
+        got = Counter(r.k for r in j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # correctness of the split: counts equal the unskewed broadcast plan
+    want = {r.k: r["count"] for r in skewed.join(F.broadcast(dim), "k").groupBy("k").count().collect()}
+    assert dict(got) == want
