@@ -896,6 +896,36 @@ def _orphan_events(spark, sf_dir):
     )
 
 
+def _conversion_funnel(spark, sf_dir):
+    return analytics.user_conversion_funnel(load_table(spark, sf_dir, "events"))
+
+
+def _doc_length_gini(spark, sf_dir):
+    return text_analysis.doc_length_gini(load_table(spark, sf_dir, "documents"))
+
+
+def _weighted_sample(spark, sf_dir):
+    return corpus.weighted_doc_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _edit_pairs(spark, sf_dir):
+    return dedup.edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _clustering_coeff(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_clustering_coeff
+
+    return near_dup_clustering_coeff(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _kmeans(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -945,6 +975,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_confusion_matrix": _lang_confusion,
         "zipf_slope": _zipf_slope,
         "pii_scan": _pii_scan,
+        "user_conversion_funnel": _conversion_funnel,
+        "doc_length_gini": _doc_length_gini,
+        "weighted_doc_sample": _weighted_sample,
+        "edit_distance_pairs": _edit_pairs,
+        "near_dup_clustering_coeff": _clustering_coeff,
+        "kmeans_clusters": _kmeans,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3182,6 +3218,147 @@ _ORACLES["pii_scan"] = f"""
     FROM documents
     GROUP BY source
 """
+
+
+_ORACLES["user_conversion_funnel"] = """
+    WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t1
+            AND e.ts <= s.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, count(*) AS n_users FROM s
+    UNION ALL SELECT 1, 'click_after_signup', count(*) FROM c
+    UNION ALL SELECT 2, 'purchase_after_click', count(*) FROM p
+"""
+
+_ORACLES["doc_length_gini"] = """
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(2.0 * sum(rk * CAST(n_chars AS DOUBLE))
+                     / (count(*) * sum(CAST(n_chars AS DOUBLE)))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY source
+"""
+
+# the md5-uniform recipe is stratified_sample's (hex prefix / 16^8);
+# ln(u)/w is the monotone log form of the Efraimidis-Spirakis u^(1/w)
+_ORACLES["weighted_doc_sample"] = """
+    WITH k AS (
+        SELECT source, doc_id, n_chars,
+               round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0) / n_chars, 12) AS wkey
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, wkey, rk FROM (
+        SELECT source, doc_id, n_chars, wkey,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM k)
+    WHERE rk <= 5
+"""
+
+_ORACLES["edit_distance_pairs"] = """
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 16) AS pfx, length(text) AS n,
+               substr(text, 1, 200) AS head
+        FROM documents
+    )
+    SELECT doc_a, doc_b, edit_dist FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.pfx = b.pfx AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 40)
+    WHERE edit_dist <= 16
+"""
+
+_ORACLES["near_dup_clustering_coeff"] = f"""
+    WITH {_NGRAM_PAIRS_SQL},
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+        FROM pairs ab
+        JOIN pairs bc ON ab.doc_b = bc.doc_a
+        WHERE EXISTS (SELECT 1 FROM pairs ac
+                      WHERE ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+    ),
+    corners AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY doc_id
+    )
+    SELECT deg.doc_id, deg.deg,
+           CAST(coalesce(corners.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN deg.deg >= 2
+                      THEN 2.0 * coalesce(corners.n_triangles, 0)
+                           / (deg.deg * (deg.deg - 1.0))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM deg LEFT JOIN corners ON deg.doc_id = corners.doc_id
+"""
+
+# fixed-iteration Lloyd's k-means unrolled into chained CTEs (the same
+# oracle technique as the PageRank unroll): seeds = the k lowest
+# vec_ids, two centroid updates, then the final assignment — argmin on
+# the 6-decimal-rounded squared distance with a lowest-cluster
+# tie-break, identical to kmeans_assign's loop.
+def _kmeans_oracle() -> str:
+    from mapreduce_golang_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        KMEANS_K,
+        KMEANS_UPDATES,
+    )
+
+    steps = []
+    for i in range(1, KMEANS_UPDATES + 2):
+        steps.append(
+            f"""d{i} AS (
+        SELECT lf.vec_id, c.cluster,
+               round(sum((lf.v - c.cv) * (lf.v - c.cv)), 6) AS dist
+        FROM lf JOIN c{i - 1} c USING (dim) GROUP BY lf.vec_id, c.cluster
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM d{i}) WHERE rk = 1
+    )"""
+        )
+        if i <= KMEANS_UPDATES:
+            steps.append(
+                f"""c{i} AS (
+        SELECT a.cluster, lf.dim, avg(lf.v) AS cv
+        FROM lf JOIN a{i} a USING (vec_id) GROUP BY a.cluster, lf.dim
+    )"""
+            )
+    chained = ",\n    ".join(steps)
+    final = KMEANS_UPDATES + 1
+    return f"""
+    WITH lf AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(generate_series(1, {EMBEDDING_DIM})) AS t(i)
+    ),
+    seeds AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    c0 AS (SELECT s.cluster, lf.dim, lf.v AS cv FROM lf JOIN seeds s USING (vec_id)),
+    {chained}
+    SELECT vec_id, cluster, round(dist, 4) AS dist FROM a{final}
+    """
+
+
+_ORACLES["kmeans_clusters"] = _kmeans_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -382,3 +382,57 @@ def orphan_events(events: DataFrame, customer: DataFrame) -> DataFrame:
             .alias("n_orphans"),
         )
     )
+
+
+def user_conversion_funnel(events: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    signed up, then clicked within ``window_hours`` of their first
+    signup, then purchased within ``window_hours`` of that first
+    qualifying click — the sequential-pattern query behind every
+    product-analytics funnel chart (a time-bounded successor to plain
+    presence checks like users_signup_and_purchase).
+
+    Scale shape: one narrow projection of the event table feeds three
+    per-user hash aggregates chained by equi-joins on user_id — every
+    exchange in the plan hashes the same key, so the co-partitioning
+    is reused stage to stage and nothing ever shuffles on a second
+    key. Each stage's state is one timestamp per surviving user
+    (monotonically shrinking), and the final output is one row per
+    funnel step regardless of input size. No window over raw events,
+    no collect_list of per-user event arrays.
+
+    Returns (step_idx, step, n_users).
+    """
+    base = events.select("user_id", "event_type", "ts")
+    bound = F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    signup = (
+        base.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    click = (
+        base.where(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchase = (
+        base.where(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _step(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("long").alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    return (
+        _step(signup, 0, "signup")
+        .unionAll(_step(click, 1, "click_after_signup"))
+        .unionAll(_step(purchase, 2, "purchase_after_click"))
+    )

@@ -242,3 +242,36 @@ def deterministic_doc_sample(df: DataFrame, rate_permille: int = 100, modulus: i
         df.select("doc_id", "source", "lang", "n_chars", bucket.alias("sample_bucket"))
         .where(F.col("sample_bucket") < rate_permille)
     )
+
+
+def weighted_doc_sample(df: DataFrame, k: int = 5) -> DataFrame:
+    """Weighted sampling without replacement, ``k`` docs per source,
+    inclusion probability ∝ n_chars — Efraimidis–Spirakis exponential
+    ranks: each doc gets key ln(u)/w (the monotone log form of
+    u^(1/w)) with u the md5-derived uniform from stratified_sample's
+    recipe, and the k largest keys per source win. Deterministic and
+    engine-portable: the uniform is hash-derived (no RNG), ln is the
+    only libm call and the key is rounded to 12 decimals with a
+    doc_id tie-break, so both engines rank identically.
+
+    Scale shape: the key is a narrow per-row expression in the scan's
+    codegen stage; selection is one exchange on source + a bounded
+    top-k window. For unbounded sources, pre-filter on a key threshold
+    before the window (same refinement as balanced_mixing_sample).
+
+    Returns (source, doc_id, n_chars, wkey, rk).
+    """
+    uniform = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    keyed = df.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(uniform) / F.col("n_chars"), 12).alias("wkey"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

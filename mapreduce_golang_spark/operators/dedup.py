@@ -751,3 +751,54 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.4, n_bloc
     return raw.select(
         "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    prefix_len: int = 16,
+    len_band: int = 40,
+    head_len: int = 200,
+    max_dist: int = 16,
+) -> DataFrame:
+    """Bounded edit-distance near-dup pairs: docs sharing the same
+    ``prefix_len``-char prefix whose lengths differ by ≤ ``len_band``
+    and whose first ``head_len`` chars are within ``max_dist``
+    Levenshtein edits — the character-level sibling of
+    ngram_jaccard_pairs (shingle Jaccard misses dense single-char
+    edits; Levenshtein counts them exactly).
+
+    Scale shape: candidates come from an EQUALITY self-join on the
+    prefix bucket (hash join, partitionable by bucket — never
+    all-pairs), pre-filtered by the length band before the O(n·m)
+    verify runs; the verify itself is bounded to head_len² per pair.
+    At 100 TB, widen prefix_len (smaller buckets) and add a second
+    rotated-prefix pass to recover recall lost to edits inside the
+    prefix — same band-union recipe as MinHash-LSH.
+
+    Returns (doc_a, doc_b, edit_dist).
+    """
+    d = df.select(
+        "doc_id",
+        F.substring("text", 1, prefix_len).alias("pfx"),
+        F.length("text").alias("n"),
+        F.substring("text", 1, head_len).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "pfx", F.col("n").alias("na"), F.col("head").alias("ha")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "pfx", F.col("n").alias("nb"), F.col("head").alias("hb")
+    )
+    return (
+        a.join(b, "pfx")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= len_band)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )

@@ -154,3 +154,51 @@ def near_dup_reachability(
         """,
         edges=sym,
     )
+
+
+def near_dup_clustering_coeff(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup graph:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
+    through v — the per-node companion of near_dup_triangles (a high
+    coefficient marks tight duplicate cliques where keep-one survivor
+    policies over-drop; a low one marks chain-shaped false-positive
+    bridges).
+
+    Reuses the triangle enumeration (wedge join + closing-edge semi),
+    explodes each triangle to its three corners, and joins the
+    per-node triangle counts back onto the degree table — shuffle ∝
+    edges + wedges + triangles, all hash-partitioned on a vertex key.
+    Nodes in no triangle report cc = 0; degree-1 nodes report 0 (the
+    denominator guard).
+
+    Returns (doc_id, deg, n_triangles, coeff).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = near_dup_triangles(df, pairs=pairs)
+    corners = (
+        tri.select(F.col("doc_a").alias("doc_id"))
+        .union(tri.select(F.col("doc_b").alias("doc_id")))
+        .union(tri.select(F.col("doc_c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(corners, "doc_id", "left").select(
+        "doc_id",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce("n_triangles", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1.0)),
+            ).otherwise(0.0),
+            6,
+        ).alias("coeff"),
+    )

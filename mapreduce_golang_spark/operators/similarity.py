@@ -211,3 +211,80 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> Data
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+KMEANS_K = 4
+KMEANS_UPDATES = 2
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column with deterministic
+    seeding (centroids 0..k−1 = the k lowest vec_ids) and a fixed
+    number of centroid ``updates`` — the canonical iterative-ML loop
+    on DataFrames, and the semantic-clustering step a corpus pipeline
+    runs between dedup and mixing (cluster-balanced sampling, topic
+    pruning). Assignment ties break toward the lowest cluster id on
+    the 6-decimal-rounded squared distance, so the result is engine-
+    portable; the DuckDB oracle unrolls the same fixed iteration count
+    into chained CTEs.
+
+    Scale shape, per iteration: assignment is a broadcast join of the
+    k-row centroid table against the corpus (k× row expansion, narrow
+    arithmetic, top-1 window on vec_id — no corpus shuffle beyond the
+    window's hash on vec_id), and the update is posexplode →
+    (cluster, dim) hash aggregate whose output is k·dim rows — scale-
+    invariant, like right_size_graph's measured count. localCheckpoint
+    per round keeps the lineage flat. No driver-side collect of data;
+    only the bounded centroid table crosses stages.
+
+    Returns (vec_id, cluster, dist) for the final assignment.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.col("e").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        sq = F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            vecs.join(F.broadcast(cents), F.lit(True))
+            .select("vec_id", "e", "cluster", F.round(sq, 6).alias("dist"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    for _ in range(updates):
+        assigned = _assign(centroids)
+        centroids = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _assign(centroids).select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    )

@@ -541,3 +541,32 @@ def pii_scan(df: DataFrame) -> DataFrame:
     return df.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"), *flags
     )
+
+
+def doc_length_gini(df: DataFrame) -> DataFrame:
+    """Gini coefficient of document length per source — the corpus-
+    balance probe a data-mixing pipeline runs before setting source
+    weights (gini → 0: uniform doc lengths; → 1: a few giant docs
+    carry the source's mass). Uses the exact rank formula over
+    ascending lengths: G = 2·Σᵢ i·xᵢ / (n·Σᵢ xᵢ) − (n+1)/n, with rank
+    ties broken by doc_id (Σ i·xᵢ is invariant to the order of equal
+    x's, so the tie-break only pins determinism, not the value).
+
+    Scale shape: one exchange on source, a per-partition rank sort
+    bounded by the largest source, then a hash aggregate on the same
+    key — the exchange is reused. Output is one row per source.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = df.select("source", "doc_id", "n_chars").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    n = F.count("*")
+    total = F.sum(F.col("n_chars").cast("double"))
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("n_chars").cast("double")) / (n * total)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

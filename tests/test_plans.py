@@ -146,12 +146,14 @@ def test_balanced_mixing_broadcasts_quotas(spark, sf_dir):
 #: scalar-subquery thresholds broadcast a single row (q11, q22, tfidf's
 #: corpus-size scalar); the brute-force ANN baseline broadcasts its
 #: bounded query batch by design (the IVF/LSH variants are the scale
-#: path and stay NLJ-free).
+#: path and stay NLJ-free); kmeans broadcasts its k-row centroid table
+#: against the corpus (k is a constant — the expansion is k×, bounded).
 _BOUNDED_NLJ_OK = {
     "q11_important_stock",
     "q22_sales_opportunity",
     "tfidf_top_terms",
     "ann_topk_bruteforce",
+    "kmeans_clusters",
 }
 
 
