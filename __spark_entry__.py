@@ -926,6 +926,106 @@ def _kmeans(spark, sf_dir):
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _block_dedup(spark, sf_dir):
+    return text_analysis.duplicate_block_fraction(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(spark, sf_dir):
+    return text_analysis.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _token_pmi(spark, sf_dir):
+    return text_analysis.token_pmi_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25(spark, sf_dir):
+    return text_analysis.bm25_top_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_pairs(spark, sf_dir):
+    return dedup.overlap_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _degree_hist(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_degree_hist
+
+    return near_dup_degree_hist(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _cluster_size_hist(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import dup_cluster_size_hist
+
+    return dup_cluster_size_hist(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _markov(spark, sf_dir):
+    return windows.markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _ewma(spark, sf_dir):
+    return windows.ewma_user_value(load_table(spark, sf_dir, "events"))
+
+
+def _zscore_anomalies(spark, sf_dir):
+    return windows.value_zscore_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _rfm(spark, sf_dir):
+    return analytics.rfm_user_segments(load_table(spark, sf_dir, "events"))
+
+
+#: SCD2 reprice timestamp for the point-in-time demo — INSIDE the
+#: events fixture's ts range (Jan 2024) so the PIT join exercises both
+#: the closed and the open dim version. Shared with the oracle.
+_PIT_SWITCH_TS = "2024-01-15 00:00:00"
+
+
+def _scd2_pit(spark, sf_dir):
+    """Point-in-time feature lookup: events joined to the version of
+    the SCD2 customer dim valid AT EACH EVENT'S ts (BUILDING-segment
+    customers get a ×2 repriced version mid-January), aggregated per
+    (segment, era). Events before the switch see the original balance,
+    events after see the doubled one — leakage-free feature joins."""
+    from mapreduce_golang_spark.operators.merge import point_in_time_join, scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.withColumn("valid_from", F_.lit("1995-01-01 00:00:00")).withColumn(
+        "valid_to", F_.lit("9999-12-31 00:00:00")
+    )
+    updates = (
+        customer.where(F_.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F_.col("c_acctbal") * 2)
+        .withColumn("_ts", F_.lit(_PIT_SWITCH_TS).cast("timestamp"))
+    )
+    dim = scd2_apply(current, updates, key="c_custkey", ts_col="_ts").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "valid_from", "valid_to"
+    )
+    events = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    return (
+        point_in_time_join(events, dim, "c_custkey", "c_custkey", "ts")
+        .groupBy(
+            "c_mktsegment",
+            (F_.col("ts") < F_.lit(_PIT_SWITCH_TS).cast("timestamp"))
+            .cast("long")
+            .alias("era_pre"),
+        )
+        .agg(
+            F_.count("*").cast("long").alias("n_events"),
+            F_.round(F_.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def _centroid_outliers(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -981,6 +1081,20 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "edit_distance_pairs": _edit_pairs,
         "near_dup_clustering_coeff": _clustering_coeff,
         "kmeans_clusters": _kmeans,
+        # --- round-5 second batch (all inside the driver's 50-row window) ---
+        "block_dedup_fraction": _block_dedup,
+        "gopher_quality_flags": _gopher_flags,
+        "token_pmi_pairs": _token_pmi,
+        "bm25_top_docs": _bm25,
+        "containment_pairs": _containment_pairs,
+        "near_dup_degree_hist": _degree_hist,
+        "dup_cluster_size_hist": _cluster_size_hist,
+        "markov_transitions": _markov,
+        "ewma_user_value": _ewma,
+        "value_zscore_anomalies": _zscore_anomalies,
+        "rfm_user_segments": _rfm,
+        "scd2_point_in_time": _scd2_pit,
+        "centroid_outliers": _centroid_outliers,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3359,6 +3473,346 @@ def _kmeans_oracle() -> str:
 
 
 _ORACLES["kmeans_clusters"] = _kmeans_oracle()
+
+
+# operators/text_analysis.py::duplicate_block_fraction — non-overlapping
+# 10-token blocks on lowercased letters-only tokens; a block instance is
+# duplicated when its text occurs in ≥ 2 distinct docs.
+_ORACLES["block_dedup_fraction"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    b AS (SELECT doc_id, CAST(len(toks) // 10 AS INTEGER) AS nb, toks FROM t WHERE len(toks) >= 10),
+    blocks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, nb + 1),
+                      i -> array_to_string(toks[CAST((i - 1) * 10 + 1 AS INTEGER):CAST(i * 10 AS INTEGER)], ' '))) AS blk
+        FROM b
+    ),
+    dfreq AS (SELECT blk, count(DISTINCT doc_id) AS dfd FROM blocks GROUP BY blk),
+    per AS (
+        SELECT doc_id, count(*) AS n_blocks,
+               sum(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM blocks JOIN dfreq USING (blk) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(n_dup AS BIGINT) AS n_dup_blocks,
+           round(CAST(n_dup AS DOUBLE) / n_blocks, 6) AS dup_ratio
+    FROM per
+"""
+
+# operators/text_analysis.py::gopher_quality_flags — whitespace words
+# (Gopher's definition), thresholds from the shared module constants.
+_ORACLES["gopher_quality_flags"] = r"""
+    WITH t AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE) AS mean_len,
+               len(regexp_extract_all(text, '#|\.\.\.')) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               len(list_intersect(list_transform(toks, x -> lower(x)),
+                                  ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) AS n_stop
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, n_words, mean_len, symbol_ratio, alpha_frac, n_stop,
+               CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS f_wc,
+               CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END AS f_ml,
+               CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS f_sy,
+               CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS f_al,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_st
+        FROM m
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(n_stop AS BIGINT) AS n_distinct_stopwords,
+           CAST(f_wc AS BIGINT) AS flag_word_count,
+           CAST(f_ml AS BIGINT) AS flag_mean_len,
+           CAST(f_sy AS BIGINT) AS flag_symbol,
+           CAST(f_al AS BIGINT) AS flag_alpha,
+           CAST(f_st AS BIGINT) AS flag_stopwords,
+           CAST(f_wc * f_ml * f_sy * f_al * f_st AS BIGINT) AS passes
+    FROM f
+"""
+
+# operators/text_analysis.py::token_pmi_pairs — totals from the
+# UNFILTERED unigram/bigram counts; min_count floor on pairs only.
+_ORACLES["token_pmi_pairs"] = r"""
+    WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    ba AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS pair
+        FROM t WHERE len(toks) >= 2
+    ),
+    bc_all AS (SELECT pair, count(*) AS c_ab FROM ba GROUP BY pair),
+    tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_u,
+                   (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc_all) AS n_b),
+    sp AS (
+        SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2, c_ab
+        FROM bc_all WHERE c_ab >= 5
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS n_pair,
+           round(ln((c_ab / n_b) / ((ca.c / n_u) * (cb.c / n_u))), 6) AS pmi
+    FROM sp
+    JOIN uc ca ON ca.w = sp.w1
+    JOIN uc cb ON cb.w = sp.w2
+    CROSS JOIN tot
+"""
+
+# operators/text_analysis.py::bm25_top_docs — same token split, fixed
+# query terms and k1/b constants from the shared module constants.
+_ORACLES["bm25_top_docs"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    pd AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+               CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_1,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_2
+        FROM t
+    ),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+               sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+               sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+               sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        FROM pd
+    ),
+    sc AS (
+        SELECT doc_id,
+               round(
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+                     / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+                     / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+                     / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM pd CROSS JOIN st
+    ),
+    rk AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM sc
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25 FROM rk WHERE rank <= 20
+"""
+
+# operators/dedup.py::overlap_containment_pairs — same capped-posting
+# candidates as the Jaccard oracle; overlap coefficient normalizer.
+_ORACLES["containment_pairs"] = f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    posting AS (
+        SELECT s.doc_id, s.shingle
+        FROM shn s JOIN freq f ON s.shingle = f.shingle AND f.df_ <= 256
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shn x ON x.doc_id = c.doc_a
+        JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+"""
+
+# operators/graph.py::near_dup_degree_hist — degree over the
+# symmetrized pair list (union all), then the histogram fold.
+_ORACLES["near_dup_degree_hist"] = f"""
+    WITH pairs AS ({_ORACLES["ngram_jaccard_pairs"]}),
+    deg AS (
+        SELECT doc_id, count(*) AS degree
+        FROM (SELECT doc_a AS doc_id FROM pairs
+              UNION ALL
+              SELECT doc_b AS doc_id FROM pairs)
+        GROUP BY doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+"""
+
+# operators/graph.py::dup_cluster_size_hist — component sizes from the
+# transitive-closure components oracle (wrapped as a subquery), then
+# the histogram fold; singletons included.
+_ORACLES["dup_cluster_size_hist"] = f"""
+    WITH sizes_ AS (
+        SELECT component_id, count(*) AS cluster_size
+        FROM ({_ORACLES["near_dup_components"]})
+        GROUP BY component_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes_ GROUP BY cluster_size
+"""
+
+# operators/windows.py::markov_transitions — lag over (ts, event_id)
+# per user; probability normalized within the prev_type row.
+_ORACLES["markov_transitions"] = """
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM pairs
+"""
+
+
+def _ewma_oracle() -> str:
+    """Mirror of operators/windows.py::ewma_user_value — the SAME
+    Python-computed weight doubles are embedded as CAST(... AS DOUBLE)
+    literals so both engines fold the identical linear combination."""
+    from mapreduce_golang_spark.operators.windows import EWMA_ALPHA, EWMA_HORIZON
+
+    wts = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_HORIZON)]
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w, 0.0) * CAST({wt!r} AS DOUBLE)"
+        for j, wt in enumerate(wts)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN CAST({wt!r} AS DOUBLE) ELSE 0.0 END"
+        for j, wt in enumerate(wts)
+    )
+    return f"""
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+_ORACLES["ewma_user_value"] = _ewma_oracle()
+
+# operators/windows.py::value_zscore_anomalies — strictly-preceding
+# 20-row frame, stddev_samp, |rounded z| > 2 with ≥ 5 history rows.
+_ORACLES["value_zscore_anomalies"] = """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sd,
+               count(value) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round((value - mu) / sd, 6) AS zscore
+    FROM w
+    WHERE n >= 5 AND sd > 0 AND abs(round((value - mu) / sd, 6)) > 2.0
+"""
+
+# operators/analytics.py::rfm_user_segments — NTILE(4) per dimension
+# over the per-user aggregate with user_id tie-breaks; R ranks
+# most-recent highest, F/M rank largest highest.
+_ORACLES["rfm_user_segments"] = """
+    WITH pu AS (
+        SELECT user_id, max(ts) AS last_ts,
+               count(*) AS frequency, round(sum(value), 6) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(ts) AS max_ts FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE)) AS BIGINT)
+                   AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary
+        FROM pu CROSS JOIN mx
+    ),
+    rk AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r,
+               CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id) AS BIGINT) AS f,
+               CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id) AS BIGINT) AS m
+        FROM base
+    )
+    SELECT user_id, recency_days, frequency, monetary, r, f, m,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+    FROM rk
+"""
+
+# __spark_entry__::_scd2_pit — dim rebuilt inline (same derivation as
+# the scd2_customers oracle, switch ts inside the events range), PIT
+# join = key equi-join + interval filter, era split at the switch.
+_ORACLES["scd2_point_in_time"] = f"""
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '1995-01-01 00:00:00' AS vf,
+               TIMESTAMP '9999-12-31 00:00:00' AS vt
+        FROM customer WHERE c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '{_PIT_SWITCH_TS}'
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_acctbal * 2, c_mktsegment,
+               TIMESTAMP '{_PIT_SWITCH_TS}', TIMESTAMP '9999-12-31 00:00:00'
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT d.c_mktsegment,
+           CAST(CASE WHEN e.ts < TIMESTAMP '{_PIT_SWITCH_TS}' THEN 1 ELSE 0 END AS BIGINT)
+               AS era_pre,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(d.c_acctbal), 2) AS sum_acctbal
+    FROM events e
+    JOIN dim d ON e.user_id = d.c_custkey AND e.ts >= d.vf AND e.ts < d.vt
+    GROUP BY 1, 2
+"""
+
+# operators/similarity.py::centroid_outliers — element-wise mean
+# centroid per label, cosine via dot/norms, bottom-3 per label on the
+# ROUNDED cosine with vec_id tie-break.
+_ORACLES["centroid_outliers"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ex AS (
+        SELECT label, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos FROM e
+    ),
+    cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos),
+    carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    sc AS (
+        SELECT e.label, e.vec_id,
+               round(list_dot_product(emb, centroid)
+                     / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid))),
+                     6) AS cos_centroid
+        FROM e JOIN carr USING (label)
+    ),
+    rk AS (
+        SELECT label, vec_id, cos_centroid,
+               row_number() OVER (PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rank
+        FROM sc
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id, cos_centroid,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -436,3 +436,47 @@ def user_conversion_funnel(events: DataFrame, window_hours: int = 24) -> DataFra
         .unionAll(_step(click, 1, "click_after_signup"))
         .unionAll(_step(purchase, 2, "purchase_after_click"))
     )
+
+
+def rfm_user_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation of the user base: per-user Recency (days since
+    last event, against the corpus max ts), Frequency (event count)
+    and Monetary (value sum), each quartiled with NTILE(4) and
+    composed into the classic 3-digit segment code — the standard
+    cohorting query of a growth-analytics warehouse.
+
+    One hash agg on user_id builds the per-user triple; the corpus
+    max-ts rides a 1-row broadcast; the three NTILE windows sort the
+    AGGREGATED table (n_users rows, not n_events), each with a fully
+    deterministic tie-break on user_id. Quartile convention: R ranks
+    most-recent = 4, F and M rank highest = 4.
+
+    Returns (user_id, recency_days, frequency, monetary, r, f, m,
+    segment).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    anchor = F.broadcast(events.agg(F.max("ts").alias("max_ts")))
+    base = per_user.crossJoin(anchor).select(
+        "user_id",
+        F.datediff(F.to_date("max_ts"), F.to_date("last_ts"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f_ = F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r"),
+        f_.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    ).withColumn("segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"))

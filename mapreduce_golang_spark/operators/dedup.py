@@ -802,3 +802,76 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_dist") <= max_dist)
     )
+
+
+#: overlap-coefficient threshold for containment pairs — higher than
+#: the Jaccard threshold because containment is the laxer measure
+#: (a short doc fully quoted inside a long one scores ~1.0 here but
+#: near 0 on Jaccard).
+DEFAULT_CONTAINMENT = 0.8
+
+
+def overlap_containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = DEFAULT_CONTAINMENT,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by shingle OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) ≥ threshold — the asymmetric companion to
+    ngram_jaccard_pairs that catches CONTAINMENT duplication (one doc
+    quoted or embedded inside another), which symmetric Jaccard
+    structurally under-scores when the two docs differ in length.
+
+    Same scale topology as the Jaccard operator: candidates from the
+    doc-freq-capped shingle inverted index (posting-list join bounded
+    by max_doc_freq²), verification over each doc's FULL shingle set
+    via two equi-joins carrying one array per doc. Returns
+    (doc_a, doc_b, containment), doc_a < doc_b.
+    """
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+    posting = shingles.join(
+        freq.where(F.col("df_") <= max_doc_freq), "shingle"
+    ).select("doc_id", "shingle")
+    cand = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    common = (
+        cand.join(
+            sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.least(F.size("set_a"), F.size("set_b")).alias("n_min"),
+        )
+    )
+    return (
+        common.where(F.col("n_common") / F.col("n_min") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("n_min"), 6).alias("containment"),
+        )
+    )

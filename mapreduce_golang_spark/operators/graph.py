@@ -202,3 +202,51 @@ def near_dup_clustering_coeff(df: DataFrame, pairs: DataFrame | None = None) -> 
             6,
         ).alias("coeff"),
     )
+
+
+def near_dup_degree_hist(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Degree distribution of the near-dup pair graph: (degree,
+    n_nodes) — the one-glance health check of a dedup candidate pass
+    (a heavy tail means a boilerplate shingle slipped past the
+    posting cap and is about to quadratically explode the verify
+    stage downstream).
+
+    Two hash aggregations (node degree, then histogram) — the second
+    one's input is bounded by the node count, its output by the max
+    degree. No windows, no joins.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )
+
+
+def dup_cluster_size_hist(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Histogram of near-dup CLUSTER sizes (connected-component
+    cardinalities, singletons included): (cluster_size, n_clusters) —
+    the report that tells a dedup pass whether duplication is pairwise
+    noise (sizes ≤ 2) or template farms (large clusters), which
+    decides keep-one vs keep-none policy.
+
+    Reuses the min-label-propagation components (O(log diameter)
+    rounds over the right-sized graph); the two histogram folds after
+    it are hash aggs bounded by n_components and max cluster size.
+    """
+    from mapreduce_golang_spark.operators.dedup import near_dup_components
+
+    comp = near_dup_components(df, pairs=pairs)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+    )

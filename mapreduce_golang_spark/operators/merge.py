@@ -52,3 +52,37 @@ def scd2_apply(
     ).withColumn(valid_to, F.lit(open_marker))
     fresh = fresh.select(*[c for c in current.columns])
     return untouched.unionByName(still_closed).unionByName(closed).unionByName(fresh)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD2 dimension: each fact
+    row picks the dim version whose [valid_from, valid_to) interval
+    contains the fact's timestamp — the query every feature-store /
+    training-label pipeline runs to avoid time-travel leakage.
+
+    Implemented as an EQUI-join on the business key followed by an
+    interval filter: versions-per-key is small and bounded (one per
+    change), so the fan-out is a constant factor and the join stays a
+    hash join partitioned on the key — never a range/theta join. For
+    keys with pathological version churn, pre-bucketing both sides on
+    the key keeps the join exchange-free.
+    """
+    d = dim.select(
+        F.col(dim_key).alias(fact_key),
+        F.col(valid_from).cast("timestamp").alias("_vf"),
+        F.col(valid_to).cast("timestamp").alias("_vt"),
+        *[c for c in dim.columns if c not in (dim_key, valid_from, valid_to)],
+    )
+    return (
+        facts.join(d, fact_key)
+        .where((F.col(ts_col) >= F.col("_vf")) & (F.col(ts_col) < F.col("_vt")))
+        .drop("_vf", "_vt")
+    )

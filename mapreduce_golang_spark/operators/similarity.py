@@ -288,3 +288,65 @@ def kmeans_assign(
     return _assign(centroids).select(
         "vec_id", "cluster", F.round("dist", 4).alias("dist")
     )
+
+
+def centroid_outliers(embeddings: DataFrame, per_label: int = 3) -> DataFrame:
+    """Per-label centroid-distance outliers: each label's element-wise
+    mean vector is its centroid; every member scores cosine(vec,
+    centroid) and the ``per_label`` LEAST similar members surface —
+    the mislabeled-example / contamination probe an embedding-space
+    QA pass runs per class before training.
+
+    Plan shape: centroids come from ONE posexplode + hash agg keyed on
+    (label, pos) — shuffle ∝ n_vectors × dim, with map-side partials —
+    re-assembled into an array via sort_array(collect_list(struct)),
+    yielding a LABEL-COUNT-sized table that broadcasts back onto the
+    corpus (labels are a bounded dimension, unlike the corpus). The
+    cosine is a narrow zip_with/aggregate pass; the per-label top-k is
+    a window over the label key. Ranking orders by the ROUNDED cosine
+    (asc) with a vec_id tie-break so ranks can't diverge on float
+    last-bits.
+
+    Returns (label, vec_id, cos_centroid, rank), rank 1 = farthest.
+    """
+    emb = F.col("embedding").cast("array<double>")  # float math must be
+    # promoted BEFORE any arithmetic: float*float stays float in Spark
+    # while the oracle computes in double — last-bit drift survives
+    # round(6) often enough to flake a differential hash
+    exploded = embeddings.select("label", F.posexplode(emb).alias("pos", "x"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    joined = embeddings.join(F.broadcast(centroids), "label").select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(emb, F.col("centroid"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.sqrt(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("n_a"),
+        F.sqrt(
+            F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("n_b"),
+    )
+    scored = joined.select(
+        "label",
+        "vec_id",
+        F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= per_label)
+        .select(F.col("label").cast("long").alias("label"), "vec_id", "cos_centroid", "rank")
+    )

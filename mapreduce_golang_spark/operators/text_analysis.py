@@ -570,3 +570,251 @@ def doc_length_gini(df: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def duplicate_block_fraction(df: DataFrame, block: int = 10) -> DataFrame:
+    """Per-doc fraction of non-overlapping ``block``-token windows that
+    also occur in at least one OTHER document — the block-level exact
+    substring-dedup signal (the scalable stand-in for suffix-array
+    substring dedup): a high fraction marks a doc assembled from
+    boilerplate shared across the corpus even when no whole-doc or
+    shingle-Jaccard pair fires.
+
+    Plan shape: one narrow map builds the block strings per doc
+    (slice/transform inside codegen, no intermediate row explosion),
+    one exchange keyed on the block string computes cross-doc document
+    frequency, and one exchange on doc_id folds the dup flags back to
+    a ratio. At corpus scale the block key should be xxhash64'd to cut
+    shuffle bytes; the string key is kept here so the DuckDB oracle
+    can group on the identical value (hashing changes nothing but the
+    collision probability, ~n²/2⁶⁴).
+
+    Returns (doc_id, n_blocks, n_dup_blocks, dup_ratio); docs shorter
+    than one block are excluded (no denominator).
+    """
+    toks = _clean_tokens(F.lower(F.col("text")))
+    nb = F.floor(F.size("toks") / block).cast("int")
+    blocks = F.expr(
+        f"transform(sequence(1, nb), i -> array_join(slice(toks, (i - 1) * {block} + 1, {block}), ' '))"
+    )
+    exploded = (
+        df.select("doc_id", toks.alias("toks"))
+        .select("doc_id", nb.alias("nb"), F.col("toks"))
+        .where(F.col("nb") >= 1)
+        .select("doc_id", F.explode(blocks).alias("blk"))
+    )
+    dfreq = exploded.groupBy("blk").agg(F.countDistinct("doc_id").alias("dfd"))
+    return (
+        exploded.join(dfreq, "blk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum((F.col("dfd") >= 2).cast("long")).alias("n_dup_blocks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            F.round(F.col("n_dup_blocks") / F.col("n_blocks"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: fixture's scale) — shared with the DuckDB oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+#: symbol glyphs Gopher counts against the doc: hashes and ellipses
+GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_quality_flags(df: DataFrame) -> DataFrame:
+    """Gopher-rule document filter: the five classic heuristics
+    (word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, distinct-stopword floor) computed as
+    0/1 flags plus the conjunctive pass bit — the rule-based quality
+    gate most pretraining pipelines run before any model-based
+    scoring. Words here are WHITESPACE tokens (Gopher's definition —
+    punctuation stays attached), unlike the letters-only wordcount
+    tokenizer.
+
+    Entirely narrow expressions over the scan (array filter/transform
+    + regexp_count), zero exchanges — at 100 TB this is a pure
+    map-side pass whose cost is the parquet scan. Flags are BIGINT
+    0/1 (not booleans) so the differential hash is
+    representation-stable across engines.
+
+    Returns (doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    n_distinct_stopwords, flag_word_count, flag_mean_len, flag_symbol,
+    flag_alpha, flag_stopwords, passes).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size("toks")
+    char_sum = F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = char_sum / n_words
+    n_symbols = F.regexp_count(F.col("text"), F.lit(GOPHER_SYMBOL_RE))
+    symbol_ratio = n_symbols / n_words
+    n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha / n_words
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(F.col("toks"), F.lower),
+            F.array(*[F.lit(s) for s in QUALITY_STOPWORDS]),
+        )
+    )
+    f_wc = ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)).cast("long")
+    f_ml = ((mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)).cast("long")
+    f_sy = (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO).cast("long")
+    f_al = (alpha_frac >= GOPHER_MIN_ALPHA_FRAC).cast("long")
+    f_st = (n_stop >= GOPHER_MIN_DISTINCT_STOPWORDS).cast("long")
+    return (
+        df.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", toks.alias("toks"), F.col("text"))
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(symbol_ratio, 6).alias("symbol_ratio"),
+            F.round(alpha_frac, 6).alias("alpha_frac"),
+            n_stop.cast("long").alias("n_distinct_stopwords"),
+            f_wc.alias("flag_word_count"),
+            f_ml.alias("flag_mean_len"),
+            f_sy.alias("flag_symbol"),
+            f_al.alias("flag_alpha"),
+            f_st.alias("flag_stopwords"),
+            (f_wc * f_ml * f_sy * f_al * f_st).cast("long").alias("passes"),
+        )
+    )
+
+
+def token_pmi_pairs(df: DataFrame, min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information of adjacent token bigrams:
+    pmi(a,b) = ln( (c_ab/N_b) / ((c_a/N_u)·(c_b/N_u)) ) — the
+    collocation detector (Church & Hanks 1990) a tokenizer-training or
+    phrase-mining pass runs over the corpus. High-PMI pairs are
+    phrases; PMI ≈ 0 marks independent co-occurrence.
+
+    Plan: two hash aggregations (unigram counts, bigram counts — both
+    with map-side partials), the ``min_count`` floor applied to the
+    bigram side BEFORE the two unigram joins (prunes the join input to
+    the collocation candidates), and the corpus totals ride a 1-row
+    broadcast. Tokens are lowercased letters-only runs.
+
+    Returns (w1, w2, n_pair, pmi) for pairs with n_pair ≥ min_count.
+    """
+    toks = _clean_tokens(F.lower(F.col("text")))
+    base = df.select(toks.alias("toks"))
+    n = F.size("toks")
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_all = (
+        base.where(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n - 1),
+                    F.slice(F.col("toks"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    # totals come from the UNFILTERED counts — N_b is the corpus bigram
+    # mass, not the collocation subset's
+    totals = F.broadcast(
+        uni.agg(F.sum("c").alias("n_u")).crossJoin(bi_all.agg(F.sum("c_ab").alias("n_b")))
+    )
+    bi = bi_all.where(F.col("c_ab") >= min_count)
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_b"))
+                    / ((F.col("c_a") / F.col("n_u")) * (F.col("c_b") / F.col("n_u")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+#: BM25 constants (Robertson & Zaragoza 2009) + the fixed query-term
+#: set (drawn from the fixture vocabulary) — shared with the oracle.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "table", "hash")
+
+
+def bm25_top_docs(df: DataFrame, k: int = 20) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query over the corpus — the
+    lexical-search baseline an eval-set or retrieval-augmentation
+    pipeline keeps beside its embedding ANN index. Standard Okapi
+    form with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape: per-doc term frequencies are ARRAY FILTERS over the
+    token array (the query-term list is a compile-time constant — no
+    explode, no join against a term table), df/N/avgdl are tiny
+    algebraic aggregates broadcast back as a 1-row dimension, and the
+    top-k is a TakeOrderedAndProject on the rounded score. One wide
+    exchange total (the final top-k), everything else narrow.
+
+    Returns (rank, doc_id, bm25) — rank by score desc, doc_id asc.
+    """
+    toks = _clean_tokens(F.lower(F.col("text")))
+
+    def _eq(term):  # single-arg lambda: a 2-param fn would get (elem, idx)
+        return lambda t: t == F.lit(term)
+
+    per_doc = df.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t_))).cast("double").alias(f"tf_{i}")
+            for i, t_ in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = F.broadcast(
+        per_doc.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+                for i in range(len(BM25_QUERY_TERMS))
+            ],
+        )
+    )
+    scored = per_doc.crossJoin(stats)
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        part = idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    ranked = scored.select("doc_id", F.round(score, 6).alias("bm25"))
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "bm25")
+    )

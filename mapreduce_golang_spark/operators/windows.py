@@ -343,3 +343,116 @@ def gap_fill_locf(events: DataFrame) -> DataFrame:
         (F.count("*") - F.count("day_value")).cast("long").alias("n_filled"),
         F.round(F.sum("locf_value"), 4).alias("sum_locf"),
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: for each (prev_type, next_type) adjacency in a user's
+    ts-ordered event sequence, the count and the row-normalized
+    transition probability — the behavioral-model fingerprint used
+    for funnel QA and bot detection (a near-deterministic row is a
+    scripted client).
+
+    One exchange on user_id for the lag window, then a hash agg on
+    the (prev, next) pair whose output is bounded by n_types²; the
+    probability denominator rides a second window over the tiny agg
+    result, not the event stream. Ordering ties break on event_id.
+
+    Returns (prev_type, next_type, n, prob).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
+#: truncated-EWMA parameters — shared with the DuckDB oracle. The
+#: horizon bound keeps the weight expression a FIXED sum of lag terms:
+#: an unbounded EWMA needs pow(1-α, n-i) with n unbounded, which
+#: overflows double for long user streams when rewritten as a
+#: prefix-sum; eight terms already carry ≥ 94% of the mass at α=0.3.
+EWMA_ALPHA = 0.3
+EWMA_HORIZON = 8
+
+
+def ewma_user_value(events: DataFrame) -> DataFrame:
+    """Exponentially weighted moving average of `value` per user,
+    truncated at EWMA_HORIZON trailing events and renormalized over
+    the weights actually present (so early rows average over the
+    shorter available history instead of decaying toward zero) — the
+    smoothed per-user activity signal for anomaly baselines.
+
+    Implemented as a fixed linear combination of lag(value, j) terms
+    over ONE user-keyed sort — no self-join, no UDF, no recursive
+    state; DuckDB evaluates the identical expression for the oracle.
+
+    Returns (user_id, event_id, value, ewma).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_HORIZON)]
+    num = None
+    den = None
+    for j, wt in enumerate(weights):
+        v = F.lag("value", j).over(w)
+        term = F.when(v.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = (num + F.coalesce(v, F.lit(0.0)) * wt) if num is not None else F.coalesce(v, F.lit(0.0)) * wt
+        den = (den + term) if den is not None else term
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+#: trailing z-score parameters — shared with the DuckDB oracle.
+ZSCORE_WINDOW = 20
+ZSCORE_MIN_N = 5
+ZSCORE_THRESHOLD = 2.0
+
+
+def value_zscore_anomalies(events: DataFrame) -> DataFrame:
+    """Trailing-window anomaly flags: each event's `value` scored
+    against the mean/stddev of the user's previous ZSCORE_WINDOW
+    events (strictly preceding — the score never sees its own value);
+    rows with |z| > threshold and ≥ ZSCORE_MIN_N history are the
+    anomalies a streaming monitor would page on, computed here as the
+    batch backfill.
+
+    One exchange on user_id; mean, stddev_samp and count all ride the
+    same ROWS frame on the same sort, so Spark computes the three
+    aggregates in a single window pass.
+
+    Returns (user_id, event_id, value, zscore) for anomalous rows.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.when((n >= ZSCORE_MIN_N) & (sd > 0), F.round(z, 6)).alias("zscore"),
+        )
+        .where(F.abs("zscore") > ZSCORE_THRESHOLD)
+    )

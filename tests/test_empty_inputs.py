@@ -153,3 +153,21 @@ def test_round5_ops_on_empty(spark, empty_docs, empty_events):
 
     # empty pair graph: empty result, not a bogus (NULL, 0) anchor row
     assert near_dup_reachability(spark, empty_docs).count() == 0
+
+
+def test_wave3_ops_on_empty(spark, empty_docs, empty_events, empty_emb):
+    from mapreduce_golang_spark.operators import analytics, dedup, similarity, text_analysis, windows
+    from mapreduce_golang_spark.operators.graph import dup_cluster_size_hist, near_dup_degree_hist
+
+    assert text_analysis.duplicate_block_fraction(empty_docs).count() == 0
+    assert text_analysis.gopher_quality_flags(empty_docs).count() == 0
+    assert text_analysis.token_pmi_pairs(empty_docs).count() == 0
+    assert text_analysis.bm25_top_docs(empty_docs).count() == 0
+    assert dedup.overlap_containment_pairs(empty_docs).count() == 0
+    assert near_dup_degree_hist(empty_docs).count() == 0
+    assert dup_cluster_size_hist(empty_docs).count() == 0
+    assert windows.markov_transitions(empty_events).count() == 0
+    assert windows.ewma_user_value(empty_events).count() == 0
+    assert windows.value_zscore_anomalies(empty_events).count() == 0
+    assert analytics.rfm_user_segments(empty_events).count() == 0
+    assert similarity.centroid_outliers(empty_emb).count() == 0

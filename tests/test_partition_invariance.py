@@ -30,6 +30,10 @@ INVARIANT_QUERIES = [
     "deterministic_doc_sample",
     "hopping_window_counts",
     "zipf_slope",
+    "block_dedup_fraction",
+    "markov_transitions",
+    "bm25_top_docs",
+    "rfm_user_segments",
 ]
 
 
