@@ -325,3 +325,77 @@ def test_ntile_bucket_sizes_differ_by_at_most_one(spark, n):
     assert max(present) - min(present) <= 1
     # non-increasing: ntile front-loads the remainder
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(min_value=0.1, max_value=1000.0, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_bounded_by_trailing_extremes(spark, vals):
+    """Renormalized truncated EWMA is a convex combination of the
+    trailing window — it can never leave [min, max] of the last
+    EWMA_HORIZON values (catches weight or normalization bugs for ANY
+    value sequence)."""
+    from mapreduce_golang_spark.operators.windows import EWMA_HORIZON, ewma_user_value
+
+    rows = [
+        (i, 1, float(v[0]), f"2024-01-01 00:{i:02d}:00") for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "value", "ts_str"]
+    ).selectExpr("event_id", "user_id", "value", "CAST(ts_str AS TIMESTAMP) AS ts")
+    out = sorted(ewma_user_value(events).collect(), key=lambda r: r.event_id)
+    seq = [float(v[0]) for v in vals]
+    for i, r in enumerate(out):
+        window = seq[max(0, i - EWMA_HORIZON + 1) : i + 1]
+        assert min(window) - 1e-4 <= r.ewma <= max(window) + 1e-4, (i, r.ewma, window)
+
+
+@given(st.lists(st.sampled_from("abc"), min_size=2, max_size=40))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_markov_rows_sum_to_one(spark, types):
+    """Each prev_type's outgoing probabilities sum to 1 (within
+    rounding) and counts total n_events - n_users for ANY event-type
+    sequence."""
+    from collections import defaultdict
+
+    from mapreduce_golang_spark.operators.windows import markov_transitions
+
+    rows = [(i, 1, t, f"2024-01-01 00:00:{i:02d}") for i, t in enumerate(types)]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts_str"]
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts_str AS TIMESTAMP) AS ts")
+    out = markov_transitions(events).collect()
+    assert sum(r.n for r in out) == len(types) - 1
+    by_prev = defaultdict(float)
+    for r in out:
+        by_prev[r.prev_type] += r.prob
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+@given(st.integers(min_value=4, max_value=40))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rfm_quartile_digits_in_range(spark, n_users):
+    """Every RFM digit lands in 1..4 and the segment code recomposes
+    from the digits, for any user-count shape."""
+    from mapreduce_golang_spark.operators.analytics import rfm_user_segments
+
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        for k in range((u % 3) + 1):
+            eid += 1
+            rows.append((eid, u, float(u + k + 1), f"2024-01-{(u % 27) + 1:02d} 00:00:00"))
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "value", "ts_str"]
+    ).selectExpr("event_id", "user_id", "value", "CAST(ts_str AS TIMESTAMP) AS ts")
+    out = rfm_user_segments(events).collect()
+    assert len(out) == n_users
+    for r in out:
+        assert 1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4
+        assert r.segment == r.r * 100 + r.f * 10 + r.m
