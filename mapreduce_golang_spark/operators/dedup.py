@@ -154,83 +154,101 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        # guarded path: candidates from the capped (cold) inverted
-        # index; Jaccard stays exact over the FULL shingle sets via
-        #   n_common = cold_common + hot_common
-        # cold_common aggregates straight out of capped posting arrays
-        # (counts, no per-pair set shipping); hot_common intersects
-        # per-doc arrays of HOT shingles only — hot shingles are few by
-        # definition (the cap marks boilerplate), so those arrays stay
-        # small even on boilerplate-heavy corpora.
-        # BOUNDED-ROW INVARIANT: posting ARRAYS are built ONLY for
-        # shingles already known to have ≤ max_doc_freq docs (doc-freq
-        # computed first, counts only) — a hot shingle shared by 100M
-        # docs must never become one 100M-element aggregation buffer.
-        # Every collected array here is ≤ max_doc_freq (cold postings)
-        # or ≤ the doc's own hot-shingle count (per-doc hot sets).
-        # The shingle stream is checkpointed once; doc-freq, cold
-        # postings, per-doc hot sets, and doc sizes all read the
-        # materialized stream instead of re-deriving it.
-        shingles = shingles.localCheckpoint(eager=False)
-        freq = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .localCheckpoint(eager=False)  # read by cold AND hot branches
-        )
-        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        cold_post = (
-            shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
-            .groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        )
-        pair_expr = F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "  transform(slice(docs, i + 2, size(docs) - i - 1), "
-            "            y -> named_struct('doc_a', x, 'doc_b', y))))"
-        )
-        cold_common = (
-            cold_post.select(F.explode(pair_expr).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count("*").alias("n_cold"))
-        )
-        hot_sets = (
-            shingles.join(freq.where(F.col("df_") > max_doc_freq).select("shingle"), "shingle")
-            .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("hot_set"))
-        )
-        j = (
-            cold_common.join(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
-            )
-            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-            .join(
-                hot_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot_set", "hot_a"),
-                "doc_a",
-                "left",
-            )
-            .join(
-                hot_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hot_set", "hot_b"),
-                "doc_b",
-                "left",
-            )
-            .withColumn(
-                "n_hot",
-                F.when(
-                    F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
-                    F.size(F.array_intersect("hot_a", "hot_b")),
-                ).otherwise(F.lit(0)),
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    (F.col("n_cold") + F.col("n_hot"))
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_cold") - F.col("n_hot"))
-                ).alias("jaccard_raw"),
-            )
+        stats = _guarded_pair_stats(shingles, max_doc_freq)
+        j = stats.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard_raw"),
         )
     return j.where(F.col("jaccard_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def _guarded_pair_stats(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Shared candidate+overlap machinery of the guarded near-dup
+    operators: candidates from the capped (COLD) inverted index, exact
+    intersection over the FULL shingle sets via
+      n_common = cold_common + hot_common
+    cold_common aggregates straight out of capped posting arrays
+    (counts, no per-pair set shipping); hot_common intersects per-doc
+    arrays of HOT shingles only — hot shingles are few by definition
+    (the cap marks boilerplate), so those arrays stay small even on
+    boilerplate-heavy corpora.
+
+    BOUNDED-ROW INVARIANT: posting ARRAYS are built ONLY for shingles
+    already known to have ≤ max_doc_freq docs (doc-freq computed
+    first, counts only) — a hot shingle shared by 100M docs must never
+    become one 100M-element aggregation buffer. Every collected array
+    here is ≤ max_doc_freq (cold postings) or ≤ the doc's own
+    hot-shingle count (per-doc hot sets). The shingle stream is
+    checkpointed once; doc-freq, cold postings, per-doc hot sets, and
+    doc sizes all read the materialized stream instead of re-deriving
+    it.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b) for every candidate
+    pair (doc_a < doc_b sharing ≥ 1 cold shingle); callers apply their
+    own similarity normalizer (Jaccard, overlap coefficient, ...).
+    """
+    shingles = shingles.localCheckpoint(eager=False)
+    freq = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .localCheckpoint(eager=False)  # read by cold AND hot branches
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cold_post = (
+        shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "  transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "            y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    cold_common = (
+        cold_post.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_cold"))
+    )
+    hot_sets = (
+        shingles.join(freq.where(F.col("df_") > max_doc_freq).select("shingle"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hot_set"))
+    )
+    return (
+        cold_common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
+        )
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .join(
+            hot_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot_set", "hot_a"),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hot_set", "hot_b"),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "n_hot",
+            F.when(
+                F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+                F.size(F.array_intersect("hot_a", "hot_b")),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_cold") + F.col("n_hot")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
     )
 
 
@@ -825,53 +843,21 @@ def overlap_containment_pairs(
     quoted or embedded inside another), which symmetric Jaccard
     structurally under-scores when the two docs differ in length.
 
-    Same scale topology as the Jaccard operator: candidates from the
-    doc-freq-capped shingle inverted index (posting-list join bounded
-    by max_doc_freq²), verification over each doc's FULL shingle set
-    via two equi-joins carrying one array per doc. Returns
-    (doc_a, doc_b, containment), doc_a < doc_b.
+    Same scale topology as the Jaccard operator — literally the same
+    machinery: ``_guarded_pair_stats`` supplies (n_common, n_a, n_b)
+    per capped-posting candidate; only the normalizer differs. The
+    shared path counts cold-common straight out of posting arrays and
+    intersects only bounded per-doc HOT sets, so no full shingle set
+    is ever shipped per candidate (the naive candidate-distinct +
+    full-array verify this replaced moved every doc's complete shingle
+    array through the join — wall-clock-equal at fixture scale, where
+    shingle derivation dominates, but unbounded per-row memory on
+    boilerplate-heavy corpora). Returns (doc_a, doc_b, containment),
+    doc_a < doc_b.
     """
-    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=False
-    )
-    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
-    posting = shingles.join(
-        freq.where(F.col("df_") <= max_doc_freq), "shingle"
-    ).select("doc_id", "shingle")
-    cand = (
-        posting.alias("a")
-        .join(
-            posting.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
-    common = (
-        cand.join(
-            sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
-            "doc_a",
-        )
-        .join(
-            sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
-            F.least(F.size("set_a"), F.size("set_b")).alias("n_min"),
-        )
-    )
-    return (
-        common.where(F.col("n_common") / F.col("n_min") >= threshold)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_common") / F.col("n_min"), 6).alias("containment"),
-        )
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    stats = _guarded_pair_stats(shingles, max_doc_freq)
+    contain = F.col("n_common") / F.least("n_a", "n_b")
+    return stats.where(contain >= threshold).select(
+        "doc_a", "doc_b", F.round(contain, 6).alias("containment")
     )
