@@ -848,12 +848,13 @@ def overlap_containment_pairs(
     per capped-posting candidate; only the normalizer differs. The
     shared path counts cold-common straight out of posting arrays and
     intersects only bounded per-doc HOT sets, so no full shingle set
-    is ever shipped per candidate (the naive candidate-distinct +
+    is ever shipped per candidate. The naive candidate-distinct +
     full-array verify this replaced moved every doc's complete shingle
-    array through the join — wall-clock-equal at fixture scale, where
-    shingle derivation dominates, but unbounded per-row memory on
-    boilerplate-heavy corpora). Returns (doc_a, doc_b, containment),
-    doc_a < doc_b.
+    array through the join: 2× slower at sf0.1 and 5.1× super-linear
+    across a 10× corpus (SCALING.md, now 2.7× — the residual growth is
+    the pair-output term shared with minhash/jaccard), with unbounded
+    per-row memory on boilerplate-heavy corpora. Returns
+    (doc_a, doc_b, containment), doc_a < doc_b.
     """
     shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
     stats = _guarded_pair_stats(shingles, max_doc_freq)

@@ -142,3 +142,28 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, frame_bytes: int =
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(sample, out_schema)
+
+
+def ingest_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Lake-side media ingestion via Spark's built-in ``binaryFile``
+    source: each file becomes one row (path, modificationTime, length,
+    content) — the standard way raw image/audio/video objects enter a
+    100 TB multimodal pipeline before decode/feature stages.
+
+    Output is MEDIA_SCHEMA-shaped: doc_id is the xxhash64 of the file
+    path (stable across re-ingests and partition layouts), media_type
+    the lowercase file extension. Column pruning is real: a
+    metadata-only query over this source never reads file contents
+    (the scan's ReadSchema drops `content` — asserted in
+    tests/test_streaming_multimodal.py).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return files.select(
+        F.xxhash64("path").alias("doc_id"),
+        ext.alias("media_type"),
+        F.col("content").alias("payload"),
+    )

@@ -104,3 +104,44 @@ def test_transform_with_state_gate(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_binary_file_ingestion_roundtrip(spark, tmp_path):
+    import hashlib
+
+    from mapreduce_golang_spark.operators.multimodal import (
+        ingest_binary_files,
+        media_features,
+    )
+
+    payloads = {
+        "a.png": b"\x89PNG-fake-bytes" * 10,
+        "b.wav": b"RIFF-fake-audio" * 7,
+        "c.txt": b"plain text payload",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    media = ingest_binary_files(spark, str(tmp_path))
+    rows = {r.media_type: r for r in media.collect()}
+    assert set(rows) == {"png", "wav", "txt"}
+    assert bytes(rows["png"].payload) == payloads["a.png"]
+
+    # the downstream feature stage runs unchanged on the ingested frame
+    feats = {r.sha256 for r in media_features(media).collect()}
+    assert feats == {hashlib.sha256(d).hexdigest() for d in payloads.values()}
+
+    # glob pushdown: only matching files are ingested
+    only_png = ingest_binary_files(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 1
+
+    # metadata-only queries must never read file CONTENTS: the scan's
+    # ReadSchema drops the pruned `content` column
+    plan = (
+        ingest_binary_files(spark, str(tmp_path))
+        .select("doc_id", "media_type")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan
