@@ -1026,6 +1026,16 @@ def _centroid_outliers(spark, sf_dir):
     return centroid_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def _ann_recall(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import ann_recall_report
+
+    return ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _minhash_calibration(spark, sf_dir):
+    return dedup.minhash_estimate_error(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1038,12 +1048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # exactly the first 50 registrations). Rounds 1–3 hard-confirmed the original
 # first 50 (CORRECTNESS_r01–r03, all green); round 4 rotated the 46 queries
 # without a driver row into the window plus 4 of the 7 round-4 additions
-# (CORRECTNESS_r04: 50/50 green). Round 5's window head: the pair-graph
-# derivation query (bench attribution, r1-green), the 5 queries that lacked a
-# driver row after r4, and every round-5 addition (15 new queries) — after
-# this round every registered query has had at least one driver-confirmed
-# green row (the HLL sketch stays rows-only by design). Queries rotated out
-# of the window remain covered every round by scripts/correctness_gate.py
+# (CORRECTNESS_r04: 50/50 green). Round 5's window head (44 of 50 slots):
+# the pair-graph derivation query (bench attribution, r1-green), the 5
+# queries that lacked a driver row after r4, and every round-5 addition —
+# 23 first-wave/second-wave + 13 third-wave + 2 QA reports — so after this
+# round every registered query has had at least one driver-confirmed green
+# row (the HLL sketch stays rows-only by design). Queries rotated out of
+# the window remain covered every round by scripts/correctness_gate.py
 # (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_pairs leads so the materialize-once pair graph's
@@ -1095,6 +1106,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rfm_user_segments": _rfm,
         "scd2_point_in_time": _scd2_pit,
         "centroid_outliers": _centroid_outliers,
+        "ann_recall_report": _ann_recall,
+        "minhash_estimate_error": _minhash_calibration,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3812,6 +3825,88 @@ _ORACLES["centroid_outliers"] = """
     SELECT CAST(label AS BIGINT) AS label, vec_id, cos_centroid,
            CAST(rank AS BIGINT) AS rank
     FROM rk WHERE rank <= 3
+"""
+
+
+# operators/similarity.py::ann_recall_report — recall of each ANN
+# variant vs brute force; wraps the three existing ANN oracles so the
+# compared rankings share one source of truth.
+_ORACLES["ann_recall_report"] = f"""
+    WITH bf AS ({_ORACLES["ann_topk_bruteforce"]}),
+    ivf AS ({_ORACLES["ann_ivf_topk"]}),
+    lsh AS ({_ORACLES["ann_lsh_topk"]}),
+    bfc AS (SELECT query_id, count(*) AS n_bf FROM bf GROUP BY query_id),
+    hit_i AS (
+        SELECT b.query_id, count(*) AS n_hit
+        FROM bf b JOIN ivf a USING (query_id, neighbor_id) GROUP BY b.query_id
+    ),
+    hit_l AS (
+        SELECT b.query_id, count(*) AS n_hit
+        FROM bf b JOIN lsh a USING (query_id, neighbor_id) GROUP BY b.query_id
+    ),
+    rec_i AS (
+        SELECT bfc.query_id, coalesce(n_hit, 0) / CAST(n_bf AS DOUBLE) AS recall
+        FROM bfc LEFT JOIN hit_i USING (query_id)
+    ),
+    rec_l AS (
+        SELECT bfc.query_id, coalesce(n_hit, 0) / CAST(n_bf AS DOUBLE) AS recall
+        FROM bfc LEFT JOIN hit_l USING (query_id)
+    )
+    SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall), 6) AS avg_recall, round(min(recall), 6) AS min_recall
+    FROM rec_i
+    UNION ALL
+    SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall), 6) AS avg_recall, round(min(recall), 6) AS min_recall
+    FROM rec_l
+"""
+
+# operators/dedup.py::minhash_estimate_error — same seeds/bands/cand
+# derivation as the minhash_lsh_pairs oracle; agreement fraction vs
+# exact full-set Jaccard, NO threshold (calibration needs the range).
+_ORACLES["minhash_estimate_error"] = f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(12)) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min(substr(md5(CAST(seed // 4 AS VARCHAR) || '#' || shingle),
+                          (seed % 4) * 8 + 1, 8)) AS mh
+        FROM shn CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shn x ON x.doc_id = c.doc_a
+        JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT a.doc_a, a.doc_b,
+           round(CAST(n_agree AS DOUBLE) / 12.0, 6) AS est_jaccard,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           round(abs(CAST(n_agree AS DOUBLE) / 12.0
+                     - CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)), 6) AS abs_err
+    FROM agree a
+    JOIN common c ON a.doc_a = c.doc_a AND a.doc_b = c.doc_b
+    JOIN sizes sa ON a.doc_a = sa.doc_id
+    JOIN sizes sb ON a.doc_b = sb.doc_id
 """
 
 

@@ -269,12 +269,24 @@ def minhash_lsh_pairs(
     candidates pay the exact-Jaccard verification. This is the
     standard sub-quadratic near-dup topology for 100 TB corpora.
     """
-    r = n_hashes // bands
     shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    # one md5 yields FOUR 8-hex-char hash values (32 hex chars / 8), so
-    # n_hashes=12 costs 3 md5 evaluations per shingle instead of 12 —
-    # hashing dominates signature cost at scale. Seed s reads chars
-    # [ (s%4)*8, +8 ) of md5("<s DIV 4>#<shingle>").
+    _, cand = _minhash_band_candidates(shingles, n_hashes, bands)
+    j = _jaccard_for_pairs(cand, shingles)
+    return j.where(F.col("jaccard_raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+def _minhash_band_candidates(
+    shingles: DataFrame, n_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(minhashes, candidate pairs) shared by the LSH join and the
+    estimator-calibration report. One md5 yields FOUR 8-hex-char hash
+    values (32 hex chars / 8), so n_hashes=12 costs 3 md5 evaluations
+    per shingle instead of 12 — hashing dominates signature cost at
+    scale. Seed s reads chars [ (s%4)*8, +8 ) of
+    md5("<s DIV 4>#<shingle>")."""
+    r = n_hashes // bands
     n_md5 = (n_hashes + 3) // 4
     hcols = [
         F.md5(F.concat(F.lit(str(g)), F.lit("#"), F.col("shingle"))).alias(f"h{g}")
@@ -311,9 +323,55 @@ def minhash_lsh_pairs(
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    j = _jaccard_for_pairs(cand, shingles)
-    return j.where(F.col("jaccard_raw") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    return mh, cand
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sketch-calibration report: for every MinHash-LSH candidate pair,
+    the SKETCH's Jaccard estimate (fraction of agreeing minhashes)
+    beside the EXACT Jaccard over the full shingle sets and the
+    absolute error — the query that tells a dedup deployment whether
+    n_hashes is adequate for its threshold before it trusts the sketch
+    at 100 TB (E[est] = J, σ = sqrt(J(1−J)/n_hashes); a fat error tail
+    means more hashes or a tighter band design).
+
+    No thresholding: calibration needs the full candidate range. The
+    agreement count joins the (doc, seed)-keyed minhash table to the
+    candidates — shuffle ∝ candidates × n_hashes; exact Jaccard rides
+    the same bounded-array verify as the LSH join. Returns (doc_a,
+    doc_b, est_jaccard, jaccard, abs_err).
+    """
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    mh, cand = _minhash_band_candidates(shingles, n_hashes, bands)
+    agree = (
+        cand.join(mh.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")), "doc_a")
+        .join(
+            mh.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b")),
+            ["doc_b", "seed"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")).alias("n_agree"))
+    )
+    true_j = _jaccard_for_pairs(cand, shingles)
+    est = F.col("n_agree") / F.lit(float(n_hashes))
+    return (
+        agree.join(true_j, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round("jaccard_raw", 6).alias("jaccard"),
+            F.round(F.abs(est - F.col("jaccard_raw")), 6).alias("abs_err"),
+        )
     )
 
 

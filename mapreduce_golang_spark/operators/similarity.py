@@ -350,3 +350,54 @@ def centroid_outliers(embeddings: DataFrame, per_label: int = 3) -> DataFrame:
         .where(F.col("rank") <= per_label)
         .select(F.col("label").cast("long").alias("label"), "vec_id", "cos_centroid", "rank")
     )
+
+
+def ann_recall_report(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Recall@k of the two sub-linear ANN variants against the exact
+    brute-force ranking — the index-quality report an embedding-search
+    deployment publishes whenever the corpus or the hash family
+    changes (approximate indexes silently rot as data drifts; this
+    makes the drift measurable).
+
+    Per query: recall = |ANN top-k ∩ exact top-k| / |exact top-k|,
+    then avg/min across the query batch per method. All three rankings
+    order by ROUNDED cosine with id tie-breaks, so the compared sets —
+    and therefore the recalls — are deterministic across engines and
+    layouts. Cost is the three bounded-broadcast scoring passes the
+    individual queries already pay; the report itself aggregates
+    n_queries rows. Returns (method, n_queries, avg_recall,
+    min_recall).
+    """
+    # the exact ranking feeds four consumers (two semi-joins + the
+    # denominator reused per method) — materialize it once instead of
+    # replicating the broadcast scoring subtree in every branch
+    bf = (
+        cosine_topk_bruteforce(embeddings, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    denom = bf.groupBy("query_id").agg(F.count("*").alias("n_bf"))
+    out = None
+    for name, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+        ann = fn(embeddings, n_queries, k).select("query_id", "neighbor_id")
+        hits = (
+            bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        rec = denom.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_bf")).alias("recall"),
+        )
+        row = (
+            rec.agg(
+                F.count("*").cast("long").alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("avg_recall"),
+                F.round(F.min("recall"), 6).alias("min_recall"),
+            )
+            .select(F.lit(name).alias("method"), "n_queries", "avg_recall", "min_recall")
+        )
+        out = row if out is None else out.unionByName(row)
+    # empty corpus → empty report, not two (method, 0, NULL, NULL) rows
+    # (the repo-wide empty-in/empty-out contract, tests/test_empty_inputs.py)
+    return out.where(F.col("n_queries") > 0)

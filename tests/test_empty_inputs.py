@@ -171,3 +171,11 @@ def test_wave3_ops_on_empty(spark, empty_docs, empty_events, empty_emb):
     assert windows.value_zscore_anomalies(empty_events).count() == 0
     assert analytics.rfm_user_segments(empty_events).count() == 0
     assert similarity.centroid_outliers(empty_emb).count() == 0
+
+
+def test_qa_reports_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators.dedup import minhash_estimate_error
+    from mapreduce_golang_spark.operators.similarity import ann_recall_report
+
+    assert minhash_estimate_error(empty_docs).count() == 0
+    assert ann_recall_report(empty_emb).count() == 0

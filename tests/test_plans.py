@@ -162,6 +162,7 @@ _BOUNDED_NLJ_OK = {
     "token_pmi_pairs": 2,
     "bm25_top_docs": 1,
     "rfm_user_segments": 1,
+    "ann_recall_report": 1,  # the brute-force leg's bounded query batch
 }
 
 

@@ -240,3 +240,38 @@ def test_centroid_outlier_is_the_planted_vector(spark):
     emb = spark.createDataFrame(tight + planted, ["vec_id", "embedding", "label"])
     out = centroid_outliers(emb, per_label=1).collect()
     assert len(out) == 1 and out[0].vec_id == 99 and out[0].cos_centroid < 0
+
+
+def test_qa_reports_match_oracle(spark, sf_dir):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in ("ann_recall_report", "minhash_estimate_error"):
+        n = assert_matches_oracle(spark, qs[name], oracles[name], sf_dir)
+        assert n > 0, name
+
+
+def test_ann_recall_bounds_and_methods(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import ann_recall_report
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    out = {r.method: r for r in ann_recall_report(load_table(spark, sf_dir, "embeddings")).collect()}
+    assert set(out) == {"ivf", "lsh"}
+    for r in out.values():
+        assert r.n_queries == 10
+        assert 0.0 <= r.min_recall <= r.avg_recall <= 1.0
+
+
+def test_minhash_estimate_exact_for_identical_docs(spark):
+    from mapreduce_golang_spark.operators.dedup import minhash_estimate_error
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_estimate_error(docs).collect()}
+    # identical docs: every minhash agrees, exact Jaccard 1, zero error
+    assert rows[(1, 2)].est_jaccard == 1.0
+    assert rows[(1, 2)].jaccard == 1.0
+    assert rows[(1, 2)].abs_err == 0.0
+    assert (1, 3) not in rows and (2, 3) not in rows
