@@ -102,6 +102,10 @@ def main() -> None:
         "tfidf_top_terms",
         "bucketed_join_revenue",
         "near_dup_reachability",
+        "containment_pairs",
+        "block_dedup_fraction",
+        "bm25_top_docs",
+        "ann_recall_report",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}
