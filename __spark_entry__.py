@@ -1036,6 +1036,16 @@ def _minhash_calibration(spark, sf_dir):
     return dedup.minhash_estimate_error(load_table(spark, sf_dir, "documents"))
 
 
+def _path_trigrams(spark, sf_dir):
+    return windows.user_path_trigrams(load_table(spark, sf_dir, "events"))
+
+
+def _label_znorm(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import label_znorm_check
+
+    return label_znorm_check(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1051,7 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (CORRECTNESS_r04: 50/50 green). Round 5's window head (44 of 50 slots):
 # the pair-graph derivation query (bench attribution, r1-green), the 5
 # queries that lacked a driver row after r4, and every round-5 addition —
-# 23 first-wave/second-wave + 13 third-wave + 2 QA reports — so after this
+# 23 first/second-wave + 13 third-wave + 2 QA reports + 2 fourth-wave — after this
 # round every registered query has had at least one driver-confirmed green
 # row (the HLL sketch stays rows-only by design). Queries rotated out of
 # the window remain covered every round by scripts/correctness_gate.py
@@ -1108,6 +1118,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "centroid_outliers": _centroid_outliers,
         "ann_recall_report": _ann_recall,
         "minhash_estimate_error": _minhash_calibration,
+        "user_path_trigrams": _path_trigrams,
+        "label_znorm_check": _label_znorm,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3907,6 +3919,49 @@ _ORACLES["minhash_estimate_error"] = f"""
     JOIN common c ON a.doc_a = c.doc_a AND a.doc_b = c.doc_b
     JOIN sizes sa ON a.doc_a = sa.doc_id
     JOIN sizes sb ON a.doc_b = sb.doc_id
+"""
+
+
+# operators/windows.py::user_path_trigrams — two lags on one user
+# window; '>'-joined 3-step paths, deterministic top-25.
+_ORACLES["user_path_trigrams"] = """
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 25
+"""
+
+# operators/similarity.py::label_znorm_check — per-(label, pos)
+# population mean/std, z-scores re-aggregated per vector; round(4)
+# absorbs numpy-vs-SQL summation-order drift.
+_ORACLES["label_znorm_check"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ex AS (
+        SELECT label, vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos
+        FROM e
+    ),
+    stats AS (
+        SELECT label, pos, avg(x) AS mu, stddev_pop(x) AS sd
+        FROM ex GROUP BY label, pos
+    ),
+    z AS (
+        SELECT ex.label, ex.vec_id,
+               CASE WHEN sd > 0 THEN (x - mu) / sd ELSE 0.0 END AS z
+        FROM ex JOIN stats USING (label, pos)
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id,
+           round(avg(abs(z)), 4) AS mean_abs,
+           round(sqrt(sum(z * z)), 4) AS l2
+    FROM z GROUP BY label, vec_id
 """
 
 

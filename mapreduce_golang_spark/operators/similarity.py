@@ -401,3 +401,44 @@ def ann_recall_report(embeddings: DataFrame, n_queries: int = 10, k: int = 5) ->
     # empty corpus → empty report, not two (method, 0, NULL, NULL) rows
     # (the repo-wide empty-in/empty-out contract, tests/test_empty_inputs.py)
     return out.where(F.col("n_queries") > 0)
+
+
+ZNORM_SCHEMA = "label long, vec_id long, mean_abs double, l2 double"
+
+
+def label_znorm_check(embeddings: DataFrame) -> DataFrame:
+    """Per-label z-normalization through an Arrow GROUPED_MAP
+    (applyInPandas): each label's vectors are standardized against the
+    group's per-dimension mean/std (population), and per-vector
+    invariants are emitted — the feature-scaling stage of an
+    embedding-training pipeline, expressed as the grouped-pandas
+    pattern Spark reserves for genuinely whole-group Python logic
+    (the group statistic and the transform share one batch in memory).
+
+    Scale: one exchange on label; each group becomes a numpy matrix in
+    a worker (bounded by the largest label — at extreme skew,
+    pre-split hot labels). Degenerate dimensions (std = 0) contribute
+    0, not NaN. Returns (label, vec_id, mean_abs, l2) rounded to 4
+    decimals — loose enough that BLAS summation order inside numpy
+    cannot flip the differential hash against the SQL oracle.
+    """
+    import numpy as np
+
+    def znorm(pdf):
+        import pandas as pd
+
+        mat = np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype="float64")))
+        mu = mat.mean(axis=0)
+        sd = mat.std(axis=0)  # population, ddof=0 — matches SQL stddev_pop
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (mat - mu) / sd, 0.0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].astype("int64"),
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "mean_abs": np.round(np.abs(z).mean(axis=1), 4),
+                "l2": np.round(np.sqrt((z * z).sum(axis=1)), 4),
+            }
+        )
+
+    return embeddings.groupBy("label").applyInPandas(znorm, ZNORM_SCHEMA)

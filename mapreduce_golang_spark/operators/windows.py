@@ -456,3 +456,30 @@ def value_zscore_anomalies(events: DataFrame) -> DataFrame:
         )
         .where(F.abs("zscore") > ZSCORE_THRESHOLD)
     )
+
+
+def user_path_trigrams(events: DataFrame, k: int = 25) -> DataFrame:
+    """Top-k 3-step event-type paths across all user streams — the
+    sequence-mining companion to markov_transitions (the matrix says
+    where single steps go; the trigram table says which whole JOURNEYS
+    dominate, the input to funnel design and bot-pattern review).
+
+    One exchange on user_id drives both lag terms in a single Window
+    node; the path aggregation is a hash agg bounded by n_types³ and
+    the top-k a TakeOrderedAndProject with a deterministic path
+    tie-break. Returns (path, n), '>'-joined types, n desc.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p2 = F.lag("event_type", 2).over(w)
+    p1 = F.lag("event_type", 1).over(w)
+    return (
+        events.select(
+            F.concat_ws(">", p2, p1, F.col("event_type")).alias("path"),
+            p2.alias("_p2"),
+        )
+        .where(F.col("_p2").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )

@@ -179,3 +179,11 @@ def test_qa_reports_on_empty(spark, empty_docs, empty_emb):
 
     assert minhash_estimate_error(empty_docs).count() == 0
     assert ann_recall_report(empty_emb).count() == 0
+
+
+def test_wave4_ops_on_empty(spark, empty_events, empty_emb):
+    from mapreduce_golang_spark.operators.similarity import label_znorm_check
+    from mapreduce_golang_spark.operators.windows import user_path_trigrams
+
+    assert user_path_trigrams(empty_events).count() == 0
+    assert label_znorm_check(empty_emb).count() == 0

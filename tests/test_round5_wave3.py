@@ -275,3 +275,51 @@ def test_minhash_estimate_exact_for_identical_docs(spark):
     assert rows[(1, 2)].jaccard == 1.0
     assert rows[(1, 2)].abs_err == 0.0
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_wave4_ops_match_oracle(spark, sf_dir):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in ("user_path_trigrams", "label_znorm_check"):
+        n = assert_matches_oracle(spark, qs[name], oracles[name], sf_dir)
+        assert n > 0, name
+
+
+def test_path_trigrams_counts_sliding_windows(spark):
+    from mapreduce_golang_spark.operators.windows import user_path_trigrams
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, "a", "2024-01-01 00:00:00"),
+            (2, 1, "b", "2024-01-01 00:01:00"),
+            (3, 1, "c", "2024-01-01 00:02:00"),
+            (4, 1, "a", "2024-01-01 00:03:00"),
+            (5, 2, "a", "2024-01-01 00:00:00"),
+            (6, 2, "b", "2024-01-01 00:01:00"),  # only 2 events: no trigram
+        ],
+        ["event_id", "user_id", "event_type", "ts_str"],
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(ts_str AS TIMESTAMP) AS ts")
+    out = {r.path: r.n for r in user_path_trigrams(events).collect()}
+    # user 1's 4 events slide into exactly two trigrams; user 2 contributes none
+    assert out == {"a>b>c": 1, "b>c>a": 1}
+
+
+def test_label_znorm_invariants(spark):
+    from mapreduce_golang_spark.operators.similarity import label_znorm_check
+
+    # label 0: varying dims -> z-scores with unit population variance;
+    # label 1: all-identical vectors -> sd 0 everywhere -> all-zero z
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 10.0], 0),
+            (2, [3.0, 30.0], 0),
+            (10, [5.0, 5.0], 1),
+            (11, [5.0, 5.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r.vec_id: r for r in label_znorm_check(emb).collect()}
+    # two symmetric points: z = ±1 in both dims -> mean_abs 1, l2 = sqrt(2)
+    assert out[1].mean_abs == 1.0 and out[2].mean_abs == 1.0
+    assert abs(out[1].l2 - 2 ** 0.5) < 1e-3
+    assert out[10].mean_abs == 0.0 and out[10].l2 == 0.0
