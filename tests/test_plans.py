@@ -274,3 +274,32 @@ def test_aqe_splits_skewed_join_partitions(spark):
     # correctness of the split: counts equal the unskewed broadcast plan
     want = {r.k: r["count"] for r in skewed.join(F.broadcast(dim), "k").groupBy("k").count().collect()}
     assert dict(got) == want
+
+
+#: queries whose ONLY document input is the shared pair graph — their
+#: plans must read the checkpoint, never re-derive the ngram pipeline
+_PAIR_GRAPH_CONSUMERS = [
+    "near_dup_survivors",
+    "near_dup_components",
+    "near_dup_pagerank",
+    "near_dup_triangles",
+    "near_dup_clustering_coeff",
+    "near_dup_degree_hist",
+    "dup_cluster_size_hist",
+]
+
+
+def test_pair_graph_consumers_skip_shingle_derivation(spark, sf_dir):
+    """VERDICT r4 item 5: the expensive pair-graph subplan must appear
+    exactly ONCE across the surface — i.e., never inside a consumer's
+    own plan (the shared localCheckpoint supplies it as scanned
+    blocks). The shingle pipeline's plan marker is word_shingles'
+    `array_distinct`; its presence in any of these plans means the
+    materialize-once wiring silently regressed to per-query
+    re-derivation — the single biggest bench cost of rounds 1-4.
+    (A documents FileScan alone is NOT the signal: survivors
+    legitimately scans doc_ids for its anti-join keep-set.)"""
+    qs = entrymod.queries()
+    for name in _PAIR_GRAPH_CONSUMERS:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "array_distinct" not in plan, name
