@@ -1046,6 +1046,14 @@ def _label_znorm(spark, sf_dir):
     return label_znorm_check(load_table(spark, sf_dir, "embeddings"))
 
 
+def _trigram_logprob(spark, sf_dir):
+    return text_analysis.char_trigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_entropy(spark, sf_dir):
+    return text_analysis.source_lang_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1061,7 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (CORRECTNESS_r04: 50/50 green). Round 5's window head (44 of 50 slots):
 # the pair-graph derivation query (bench attribution, r1-green), the 5
 # queries that lacked a driver row after r4, and every round-5 addition —
-# 23 first/second-wave + 13 third-wave + 2 QA reports + 2 fourth-wave — after this
+# 23 first/second-wave + 13 third-wave + 2 QA reports + 4 fourth/fifth-wave — after this
 # round every registered query has had at least one driver-confirmed green
 # row (the HLL sketch stays rows-only by design). Queries rotated out of
 # the window remain covered every round by scripts/correctness_gate.py
@@ -1120,6 +1128,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "minhash_estimate_error": _minhash_calibration,
         "user_path_trigrams": _path_trigrams,
         "label_znorm_check": _label_znorm,
+        "char_trigram_logprob": _trigram_logprob,
+        "source_lang_entropy": _lang_entropy,
         # streaming_user_stats_tws (transformWithStateInPandas) exists in
         # streaming/events_stream.py but is NOT registered: the API's
         # JVM↔Python state protocol needs protobuf, absent from this
@@ -3962,6 +3972,47 @@ _ORACLES["label_znorm_check"] = """
            round(avg(abs(z)), 4) AS mean_abs,
            round(sqrt(sum(z * z)), 4) AS l2
     FROM z GROUP BY label, vec_id
+"""
+
+
+# operators/text_analysis.py::char_trigram_logprob — add-0.5-smoothed
+# corpus char-trigram NLL per doc; totals over the UNsmoothed counts.
+_ORACLES["char_trigram_logprob"] = """
+    WITH dt AS (
+        SELECT doc_id, tg, count(*) AS c_doc
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                          i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+            FROM documents
+        )
+        GROUP BY doc_id, tg
+    ),
+    freq AS (SELECT tg, sum(c_doc) AS c_corpus FROM dt GROUP BY tg),
+    tot AS (SELECT CAST(sum(c_corpus) AS DOUBLE) AS n_total,
+                   CAST(count(*) AS DOUBLE) AS n_vocab
+            FROM freq)
+    SELECT doc_id,
+           CAST(sum(c_doc) AS BIGINT) AS n_trigrams,
+           round(sum(c_doc * (-ln((c_corpus + 0.5) / (n_total + 0.5 * n_vocab))))
+                 / sum(c_doc), 6) AS avg_nll
+    FROM dt JOIN freq USING (tg) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+# operators/text_analysis.py::source_lang_entropy — Shannon entropy of
+# the per-source language mix, natural log.
+_ORACLES["source_lang_entropy"] = """
+    WITH counts AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+    p AS (
+        SELECT source, c,
+               c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS pr
+        FROM counts
+    )
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(-sum(pr * ln(pr)), 6) AS entropy
+    FROM p GROUP BY source
 """
 
 

@@ -818,3 +818,75 @@ def bm25_top_docs(df: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("rank", "doc_id", "bm25")
     )
+
+
+def char_trigram_logprob(df: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """Self-perplexity proxy: each doc scored by the corpus's own
+    char-trigram distribution — avg negative log-probability of the
+    doc's trigrams under add-k-smoothed corpus frequencies. The
+    model-free stand-in for LM-perplexity quality filtering (the
+    pipeline stage that drops gibberish and mojibake before any real
+    LM scores anything): low avg_nll ≈ typical text, high ≈ anomalous.
+
+    Plan: trigram explode → corpus frequency hash agg (map-side
+    partials; vocabulary bounded by charset³), total mass on a 1-row
+    broadcast, then the per-doc fold joins doc-trigram counts against
+    the frequency table on the trigram key. Shuffle ∝ total chars —
+    the same order as the wordcount family. Deterministic: integer
+    counts, one ln per distinct trigram, round(6).
+
+    Returns (doc_id, n_trigrams, avg_nll).
+    """
+    # CASE guard: sequence(1, n) with n < 1 generates a DESCENDING
+    # sequence in Spark, not an empty one — sub-3-char docs must yield
+    # array() (same trap word_shingles documents)
+    tri = F.expr(
+        "CASE WHEN length(text) >= 3 "
+        "THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+        "ELSE array() END"
+    )
+    doc_tri = (
+        df.select("doc_id", F.explode(tri).alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("c_doc"))
+    )
+    freq = doc_tri.groupBy("tg").agg(F.sum("c_doc").alias("c_corpus"))
+    totals = F.broadcast(
+        freq.agg(
+            F.sum("c_corpus").alias("n_total"),
+            F.count("*").cast("double").alias("n_vocab"),
+        )
+    )
+    # add-k smoothing: p(tg) = (c + k) / (N + k·V)
+    scored = doc_tri.join(freq, "tg").crossJoin(totals)
+    nll = -F.log(
+        (F.col("c_corpus") + k_smooth) / (F.col("n_total") + k_smooth * F.col("n_vocab"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_trigrams"),
+            F.round(F.sum(F.col("c_doc") * nll) / F.sum("c_doc"), 6).alias("avg_nll"),
+        )
+    )
+
+
+def source_lang_entropy(df: DataFrame) -> DataFrame:
+    """Shannon entropy of the language mix per source — the
+    corpus-composition statistic a data-mixing pass reports beside the
+    doc-count quotas (entropy 0 = monolingual source; ln(n_langs) =
+    uniform mix). Two bounded hash aggs: (source, lang) counts, then
+    the entropy fold over an output no larger than sources × langs.
+    Returns (source, n_docs, n_langs, entropy).
+    """
+    counts = df.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = Window.partitionBy("source")
+    p = F.col("c") / F.sum("c").over(tot)
+    plogp = counts.select(
+        "source", "c", (p * F.log(p)).alias("plogp")
+    )
+    return plogp.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.round(-F.sum("plogp"), 6).alias("entropy"),
+    )

@@ -187,3 +187,13 @@ def test_wave4_ops_on_empty(spark, empty_events, empty_emb):
 
     assert user_path_trigrams(empty_events).count() == 0
     assert label_znorm_check(empty_emb).count() == 0
+
+
+def test_wave5_ops_on_empty(spark, empty_docs):
+    from mapreduce_golang_spark.operators.text_analysis import (
+        char_trigram_logprob,
+        source_lang_entropy,
+    )
+
+    assert char_trigram_logprob(empty_docs).count() == 0
+    assert source_lang_entropy(empty_docs).count() == 0

@@ -163,6 +163,7 @@ _BOUNDED_NLJ_OK = {
     "bm25_top_docs": 1,
     "rfm_user_segments": 1,
     "ann_recall_report": 1,  # the brute-force leg's bounded query batch
+    "char_trigram_logprob": 1,  # 1-row smoothing-mass totals
 }
 
 

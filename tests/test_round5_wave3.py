@@ -323,3 +323,43 @@ def test_label_znorm_invariants(spark):
     assert out[1].mean_abs == 1.0 and out[2].mean_abs == 1.0
     assert abs(out[1].l2 - 2 ** 0.5) < 1e-3
     assert out[10].mean_abs == 0.0 and out[10].l2 == 0.0
+
+
+def test_wave5_ops_match_oracle(spark, sf_dir):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in ("char_trigram_logprob", "source_lang_entropy"):
+        n = assert_matches_oracle(spark, qs[name], oracles[name], sf_dir)
+        assert n > 0, name
+
+
+def test_trigram_logprob_flags_anomalous_doc(spark):
+    from mapreduce_golang_spark.operators.text_analysis import char_trigram_logprob
+
+    typical = "the quick brown fox jumps over the lazy dog and runs away "
+    docs = spark.createDataFrame(
+        [(i, typical * 3) for i in range(1, 9)]
+        + [(9, "zzqxj qjxzz xjqzz zzzxq jqxzz")]  # gibberish: rare trigrams
+        + [(10, "ab")],  # sub-trigram doc -> excluded, not a bogus row
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.avg_nll for r in char_trigram_logprob(docs).collect()}
+    assert 10 not in out
+    # the gibberish doc's self-perplexity dominates every typical doc's
+    assert out[9] > max(v for k, v in out.items() if k != 9)
+
+
+def test_lang_entropy_mono_vs_mixed(spark):
+    from mapreduce_golang_spark.operators.text_analysis import source_lang_entropy
+
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "mono", 1) for i in range(4)]
+        + [(10 + i, "x", ["en", "de", "fr", "es"][i % 4], "mixed", 1) for i in range(8)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.source: r for r in source_lang_entropy(docs).collect()}
+    assert out["mono"].entropy == 0.0 and out["mono"].n_langs == 1
+    # uniform 4-way mix -> ln(4)
+    assert abs(out["mixed"].entropy - round(math.log(4), 6)) < 1e-6
