@@ -3542,15 +3542,22 @@ _ORACLES["block_dedup_fraction"] = r"""
 # (Gopher's definition), thresholds from the shared module constants.
 _ORACLES["gopher_quality_flags"] = r"""
     WITH t AS (
-        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
-        FROM documents WHERE len(trim(text)) > 0
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        FROM documents
     ),
     m AS (
         SELECT doc_id,
                len(toks) AS n_words,
-               list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE) AS mean_len,
-               len(regexp_extract_all(text, '#|\.\.\.')) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
-               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS mean_len,
+               CASE WHEN len(toks) > 0
+                    THEN len(regexp_extract_all(text, '#|\.\.\.')) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS alpha_frac,
                len(list_intersect(list_transform(toks, x -> lower(x)),
                                   ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'])) AS n_stop
         FROM t
@@ -3833,9 +3840,13 @@ _ORACLES["centroid_outliers"] = """
     cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos),
     carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
     sc AS (
+        -- zero-norm guard mirrors the operator: 0.0, never NULL/NaN
         SELECT e.label, e.vec_id,
-               round(list_dot_product(emb, centroid)
-                     / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid))),
+               round(CASE WHEN list_dot_product(emb, emb) > 0
+                           AND list_dot_product(centroid, centroid) > 0
+                          THEN list_dot_product(emb, centroid)
+                               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid)))
+                          ELSE 0.0 END,
                      6) AS cos_centroid
         FROM e JOIN carr USING (label)
     ),
@@ -3876,11 +3887,11 @@ _ORACLES["ann_recall_report"] = f"""
     )
     SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_queries,
            round(avg(recall), 6) AS avg_recall, round(min(recall), 6) AS min_recall
-    FROM rec_i
+    FROM rec_i HAVING count(*) > 0
     UNION ALL
     SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_queries,
            round(avg(recall), 6) AS avg_recall, round(min(recall), 6) AS min_recall
-    FROM rec_l
+    FROM rec_l HAVING count(*) > 0
 """
 
 # operators/dedup.py::minhash_estimate_error — same seeds/bands/cand

@@ -156,6 +156,20 @@ def near_dup_reachability(
     )
 
 
+def _node_degrees(pairs: DataFrame, out_col: str = "degree") -> DataFrame:
+    """Undirected node degree from a canonical (doc_a < doc_b) pair
+    list: both endpoints exploded, one hash agg on the node key.
+    Shared by the degree histogram and the clustering coefficient so
+    degree semantics (e.g. any future dedup of repeated pairs) change
+    in exactly one place."""
+    return (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias(out_col))
+    )
+
+
 def near_dup_clustering_coeff(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Local clustering coefficient per node of the near-dup graph:
     cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles
@@ -176,12 +190,7 @@ def near_dup_clustering_coeff(df: DataFrame, pairs: DataFrame | None = None) -> 
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
-    deg = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
+    deg = _node_degrees(pairs, out_col="deg")
     tri = near_dup_triangles(df, pairs=pairs)
     corners = (
         tri.select(F.col("doc_a").alias("doc_id"))
@@ -217,12 +226,7 @@ def near_dup_degree_hist(df: DataFrame, pairs: DataFrame | None = None) -> DataF
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    deg = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("degree"))
-    )
+    deg = _node_degrees(pairs)
     return (
         deg.groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_nodes"))

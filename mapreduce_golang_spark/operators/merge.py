@@ -74,15 +74,31 @@ def point_in_time_join(
     hash join partitioned on the key — never a range/theta join. For
     keys with pathological version churn, pre-bucketing both sides on
     the key keeps the join exchange-free.
+
+    Open rows may mark valid_to with a far-future sentinel OR with
+    NULL (the other common SCD2 convention) — a NULL valid_to is
+    treated as open-ended, not silently dropped. Dim attribute columns
+    must not collide with fact column names (raises ValueError up
+    front; a silent duplicate column would ambiguate the filter).
     """
+    passthrough = [c for c in dim.columns if c not in (dim_key, valid_from, valid_to)]
+    clash = set(passthrough) & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"point_in_time_join: dim attribute columns {sorted(clash)} collide "
+            "with fact columns — rename them on one side before the join"
+        )
     d = dim.select(
         F.col(dim_key).alias(fact_key),
         F.col(valid_from).cast("timestamp").alias("_vf"),
         F.col(valid_to).cast("timestamp").alias("_vt"),
-        *[c for c in dim.columns if c not in (dim_key, valid_from, valid_to)],
+        *passthrough,
     )
     return (
         facts.join(d, fact_key)
-        .where((F.col(ts_col) >= F.col("_vf")) & (F.col(ts_col) < F.col("_vt")))
+        .where(
+            (F.col(ts_col) >= F.col("_vf"))
+            & (F.col("_vt").isNull() | (F.col(ts_col) < F.col("_vt")))
+        )
         .drop("_vf", "_vt")
     )

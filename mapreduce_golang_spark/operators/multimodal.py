@@ -161,7 +161,11 @@ def ingest_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path)
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # extension from the BASENAME only (a dot in a directory segment
+    # must not leak a path fragment into media_type); extensionless
+    # files get NULL, which downstream dispatch can route explicitly
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    ext = F.nullif(F.lower(F.regexp_extract(basename, r"\.([^.]+)$", 1)), F.lit(""))
     return files.select(
         F.xxhash64("path").alias("doc_id"),
         ext.alias("media_type"),

@@ -324,25 +324,20 @@ def centroid_outliers(embeddings: DataFrame, per_label: int = 3) -> DataFrame:
             ).alias("centroid")
         )
     )
-    joined = embeddings.join(F.broadcast(centroids), "label").select(
+    # reuse the module's shared norm/cosine expressions (one rounding
+    # and determinism policy for every cosine operator in this file);
+    # zero-norm rows (all-zero padding / failed-encode vectors) score
+    # 0.0 instead of NaN — NaN would rank, hash, and compare
+    # differently across engines (DuckDB yields NULL for 0/0)
+    na = _norm_expr(emb)
+    nb = _norm_expr(F.col("centroid"))
+    cos_raw = _cosine(emb, F.col("centroid"), na, nb)
+    scored = embeddings.join(F.broadcast(centroids), "label").select(
         "label",
         "vec_id",
-        F.aggregate(
-            F.zip_with(emb, F.col("centroid"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
-        F.sqrt(
-            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("n_a"),
-        F.sqrt(
-            F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("n_b"),
-    )
-    scored = joined.select(
-        "label",
-        "vec_id",
-        F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6).alias("cos_centroid"),
+        F.round(
+            F.when((na > 0) & (nb > 0), cos_raw).otherwise(F.lit(0.0)), 6
+        ).alias("cos_centroid"),
     )
     w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
     return (

@@ -653,14 +653,19 @@ def gopher_quality_flags(df: DataFrame) -> DataFrame:
     n_distinct_stopwords, flag_word_count, flag_mean_len, flag_symbol,
     flag_alpha, flag_stopwords, passes).
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # empty-token removal makes empty/whitespace-only docs report
+    # n_words = 0 and passes = 0 — a quality gate must FLAG the
+    # junkiest inputs, not omit them from its report (a downstream
+    # "drop where passes = 0" anti-join would otherwise keep exactly
+    # the docs the gate exists to reject)
+    toks = F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
     n_words = F.size("toks")
     char_sum = F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
-    mean_len = char_sum / n_words
+    mean_len = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
     n_symbols = F.regexp_count(F.col("text"), F.lit(GOPHER_SYMBOL_RE))
-    symbol_ratio = n_symbols / n_words
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
     n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
-    alpha_frac = n_alpha / n_words
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
     n_stop = F.size(
         F.array_intersect(
             F.transform(F.col("toks"), F.lower),
@@ -673,8 +678,7 @@ def gopher_quality_flags(df: DataFrame) -> DataFrame:
     f_al = (alpha_frac >= GOPHER_MIN_ALPHA_FRAC).cast("long")
     f_st = (n_stop >= GOPHER_MIN_DISTINCT_STOPWORDS).cast("long")
     return (
-        df.where(F.length(F.trim("text")) > 0)
-        .select("doc_id", toks.alias("toks"), F.col("text"))
+        df.select("doc_id", toks.alias("toks"), F.col("text"))
         .select(
             "doc_id",
             n_words.cast("long").alias("n_words"),

@@ -67,13 +67,18 @@ def test_gopher_flags_fire_per_rule(spark):
             (1, good),
             (2, "tiny doc"),  # fails word-count floor
             (3, " ".join("### ###" for _ in range(60))),  # symbols, no alpha
+            (4, ""),  # empty: must be REPORTED failing, not omitted
+            (5, "   "),  # whitespace-only: same
         ],
         ["doc_id", "text"],
     )
     out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # the gate reports every doc
     assert out[1].flag_word_count == 1 and out[1].flag_alpha == 1
     assert out[2].flag_word_count == 0 and out[2].passes == 0
     assert out[3].flag_symbol == 0 and out[3].flag_alpha == 0 and out[3].passes == 0
+    assert out[4].n_words == 0 and out[4].passes == 0
+    assert out[5].n_words == 0 and out[5].passes == 0
 
 
 def test_pmi_separates_collocation_from_independence(spark):
@@ -230,6 +235,27 @@ def test_point_in_time_join_picks_version_at_event_ts(spark):
     # leakage-free: the Jan-10 event must see the OLD balance
     assert out == {10: 100.0, 11: 200.0}
 
+    # NULL valid_to (the other common open-row convention) is open-ended
+    dim_null = spark.createDataFrame(
+        [
+            (1, 100.0, "2024-01-01 00:00:00", "2024-01-15 00:00:00"),
+            (1, 200.0, "2024-01-15 00:00:00", None),
+        ],
+        ["cust", "bal", "valid_from", "valid_to"],
+    )
+    out2 = {
+        r.event_id: r.bal
+        for r in point_in_time_join(facts, dim_null, "cust", "cust", "ts").collect()
+    }
+    assert out2 == {10: 100.0, 11: 200.0}
+
+    # dim attribute colliding with a fact column must fail loudly
+    import pytest
+
+    clash = dim.withColumnRenamed("bal", "ts")
+    with pytest.raises(ValueError, match="collide"):
+        point_in_time_join(facts, clash, "cust", "cust", "ts")
+
 
 def test_centroid_outlier_is_the_planted_vector(spark):
     from mapreduce_golang_spark.operators.similarity import centroid_outliers
@@ -240,6 +266,13 @@ def test_centroid_outlier_is_the_planted_vector(spark):
     emb = spark.createDataFrame(tight + planted, ["vec_id", "embedding", "label"])
     out = centroid_outliers(emb, per_label=1).collect()
     assert len(out) == 1 and out[0].vec_id == 99 and out[0].cos_centroid < 0
+
+    # an all-zero vector (failed encode / padding) scores 0.0, not NaN
+    with_zero = spark.createDataFrame(
+        tight + [(50, [0.0] * dim, 0)], ["vec_id", "embedding", "label"]
+    )
+    worst = centroid_outliers(with_zero, per_label=1).collect()[0]
+    assert worst.vec_id == 50 and worst.cos_centroid == 0.0
 
 
 def test_qa_reports_match_oracle(spark, sf_dir):

@@ -118,14 +118,16 @@ def test_binary_file_ingestion_roundtrip(spark, tmp_path):
         "a.png": b"\x89PNG-fake-bytes" * 10,
         "b.wav": b"RIFF-fake-audio" * 7,
         "c.txt": b"plain text payload",
+        "noext": b"extensionless blob",  # must yield NULL, not a path fragment
     }
     for name, data in payloads.items():
         (tmp_path / name).write_bytes(data)
 
     media = ingest_binary_files(spark, str(tmp_path))
     rows = {r.media_type: r for r in media.collect()}
-    assert set(rows) == {"png", "wav", "txt"}
+    assert set(rows) == {"png", "wav", "txt", None}
     assert bytes(rows["png"].payload) == payloads["a.png"]
+    assert bytes(rows[None].payload) == payloads["noext"]
 
     # the downstream feature stage runs unchanged on the ingested frame
     feats = {r.sha256 for r in media_features(media).collect()}
