@@ -14,9 +14,9 @@ startup so per-query numbers measure the plan, not the JIT.
 
 The printed line must survive the driver's tail capture (observed:
 BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
-that, so a 96-entry per-query dict made ``parsed: null`` every round).
+that, so an every-query dict made ``parsed: null`` in rounds 1-3).
 The line therefore carries the total plus a fixed HEADLINE subset of
-per-query timings and is kept under 1800 chars; the full 96-query
+per-query timings and is kept under 1800 chars; the full per-query
 timing table is written to ``BENCH_DETAIL.json`` at the repo root and
 committed each round.
 """
