@@ -241,6 +241,49 @@ def _reachability(spark, sf_dir):
     )
 
 
+def _kcore(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import kcore_docs
+
+    return kcore_docs(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _twap(spark, sf_dir):
+    return windows.time_weighted_user_value(load_table(spark, sf_dir, "events"))
+
+
+def _mad_anomalies(spark, sf_dir):
+    return windows.value_mad_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _session_incidents(spark, sf_dir):
+    return windows.session_incident_overlap(load_table(spark, sf_dir, "events"))
+
+
+def _snapshot_diff(spark, sf_dir):
+    """CDC diff between two deterministic customer snapshots: 'old'
+    drops custkeys ≡ 0 (mod 7), 'new' drops ≡ 0 (mod 5) and reprices
+    ≡ 0 (mod 3) ×2 (exact binary doubling — see _scd2_customers) — one
+    fixture table exercises all three change classes."""
+    from mapreduce_golang_spark.operators.merge import snapshot_diff
+
+    customer = load_table(spark, sf_dir, "customer")
+    old = customer.where(F_.col("c_custkey") % 7 != 0)
+    new = customer.where(F_.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F_.when(F_.col("c_custkey") % 3 == 0, F_.col("c_acctbal") * 2).otherwise(
+            F_.col("c_acctbal")
+        ),
+    )
+    return snapshot_diff(old, new, "c_custkey", ["c_acctbal"]).select(
+        "c_custkey",
+        "change",
+        F_.round("old_c_acctbal", 2).alias("old_acctbal"),
+        F_.round("new_c_acctbal", 2).alias("new_acctbal"),
+    )
+
+
 def _bigrams(spark, sf_dir):
     return text_analysis.bigram_counts(load_table(spark, sf_dir, "documents"))
 
@@ -1080,6 +1123,15 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # bench table, not on whichever consumer happens to run first
         # (r1-green; re-graded in this round's window at no cost).
         "ngram_jaccard_pairs": _ngram_jaccard,
+        # --- round-5 wave 6: newest first (strongest driver signal);
+        # the 5 entries this pushes past slot 50 (label_znorm_check …
+        # sql_revenue_by_nation_year) stay covered by the full gate and
+        # rotate into the head in round 6 ---
+        "kcore_docs": _kcore,
+        "time_weighted_user_value": _twap,
+        "value_mad_anomalies": _mad_anomalies,
+        "session_incident_overlap": _session_incidents,
+        "customer_snapshot_diff": _snapshot_diff,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -1890,6 +1942,126 @@ def _pagerank_oracle() -> str:
 
 
 _ORACLES["near_dup_pagerank"] = _pagerank_oracle()
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core pruning (each round recomputes degrees over the
+    REMAINING edges — an aggregation a recursive CTE can't carry, so
+    the oracle chains KCORE_MAX_ROUNDS pruning CTEs; rounds past the
+    fixed point are identity, matching the early-exiting Spark loop)."""
+    from mapreduce_golang_spark.operators.graph import KCORE_K, KCORE_MAX_ROUNDS
+
+    steps = []
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous one three times, and DuckDB's default CTE inlining
+        # would expand the chain to 3^rounds copies of the shingle
+        # pipeline (observed: fd exhaustion before the first row)
+        steps.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT u, v FROM e{i - 1}
+        WHERE u IN (SELECT u FROM e{i - 1} GROUP BY u HAVING count(*) >= {KCORE_K})
+          AND v IN (SELECT u FROM e{i - 1} GROUP BY u HAVING count(*) >= {KCORE_K})
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_NGRAM_PAIRS_SQL},
+    e0 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    {chained}
+    SELECT u AS doc_id, count(*) AS core_degree
+    FROM e{KCORE_MAX_ROUNDS}
+    GROUP BY u
+"""
+
+
+_ORACLES["kcore_docs"] = _kcore_oracle()
+
+_ORACLES["time_weighted_user_value"] = """
+    WITH d AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twap,
+           count(*) AS n_intervals,
+           round(sum(dt_us) / 1000000.0, 6) AS span_secs
+    FROM d
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dt_us) > 0
+"""
+
+_ORACLES["value_mad_anomalies"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, abs(e.value - med.m) AS absdev
+        FROM events e JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+           round(d.absdev / (CAST(1.4826 AS DOUBLE) * mad.mad), 6) AS robust_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND d.absdev / (CAST(1.4826 AS DOUBLE) * mad.mad) > CAST(3.5 AS DOUBLE)
+"""
+
+_ORACLES["session_incident_overlap"] = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g
+    ), sess AS (
+        SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+        FROM s GROUP BY user_id, session_seq
+    ), inc AS (
+        SELECT date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT sess.user_id, sess.session_seq,
+           strftime(min(sess.s_start), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_incident_hours
+    FROM sess JOIN inc
+      ON inc.h <= sess.s_end AND inc.h + INTERVAL 1 HOUR > sess.s_start
+    GROUP BY sess.user_id, sess.session_seq
+"""
+
+_ORACLES["customer_snapshot_diff"] = """
+    WITH old AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 5 <> 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           round(o.c_acctbal, 2) AS old_acctbal,
+           round(n.c_acctbal, 2) AS new_acctbal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.c_acctbal <> n.c_acctbal
+"""
 
 _ORACLES["near_dup_components"] = f"""
     WITH RECURSIVE {_NGRAM_PAIRS_SQL},

@@ -106,6 +106,8 @@ def main() -> None:
         "block_dedup_fraction",
         "bm25_top_docs",
         "ann_recall_report",
+        "kcore_docs",
+        "session_incident_overlap",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}

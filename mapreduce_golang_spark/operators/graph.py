@@ -254,3 +254,70 @@ def dup_cluster_size_hist(df: DataFrame, pairs: DataFrame | None = None) -> Data
         .agg(F.count("*").cast("long").alias("n_clusters"))
         .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
     )
+
+
+#: k-core parameters — shared with the DuckDB oracle, which unrolls
+#: KCORE_MAX_ROUNDS pruning rounds as chained CTEs (extra rounds past
+#: the fixed point are identity, so the unrolled oracle and the
+#: early-exiting Spark loop agree whenever the loop converges within
+#: the bound; tests/test_graph.py asserts convergence headroom).
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 10
+
+
+def kcore_docs(
+    df: DataFrame, pairs: DataFrame | None = None, k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """k-core decomposition of the near-dup pair graph: iteratively
+    delete nodes with degree < k (deletions cascade) until fixpoint;
+    the surviving subgraph is the k-core — the dense duplication
+    backbone that distinguishes template farms (high-core) from
+    pairwise accidental matches (pruned at k=2), the input a
+    keep-none policy wants.
+
+    Per round: one degree agg + two hash semi-joins on the edge list,
+    all partitioned on a vertex key via right_size_graph's measured
+    width; localCheckpoint per round keeps lineage flat (same loop
+    discipline as near_dup_pagerank). Edge-count fixpoint detection
+    costs one count() per round against checkpointed data — driver
+    scalars, not collected rows. Cascade depth (not graph size) bounds
+    the round count, so the loop converges in a handful of rounds even
+    at 100× edges.
+
+    Returns (doc_id, core_degree) for k-core members — core_degree is
+    the node's degree WITHIN the core (≥ k by construction).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    edges = right_size_graph(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct(),
+        "u",
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+        )
+        pruned = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            break
+        edges, n_edges = pruned, n_pruned
+    return (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("u").alias("doc_id"), "core_degree")
+    )

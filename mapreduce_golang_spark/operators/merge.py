@@ -102,3 +102,48 @@ def point_in_time_join(
         )
         .drop("_vf", "_vt")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    snapshots as added / removed / changed (unchanged rows are
+    dropped — at 100 TB the diff is the small output, the snapshots
+    are the big inputs, and this operator is how an incremental
+    pipeline avoids reprocessing the unchanged bulk).
+
+    One full-outer hash join on the key — both sides shuffle once on
+    the same key (co-partitioned snapshots or bucketed tables make it
+    exchange-free); presence is tracked via literal marker columns so
+    legitimately-NULL compare columns never masquerade as a missing
+    side, and change detection is null-safe (`eqNullSafe`).
+
+    Returns (key, change, old_<c>..., new_<c>...) with change ∈
+    {'added','removed','changed'}; absent-side columns are NULL.
+    """
+    o = old.select(
+        F.col(key), F.lit(1).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key), F.lit(1).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            key,
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

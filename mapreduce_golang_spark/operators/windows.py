@@ -483,3 +483,161 @@ def user_path_trigrams(events: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(k)
     )
+
+
+def time_weighted_user_value(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by how long it remained the user's latest observation
+    (microseconds until the next event; the final event carries no
+    duration and drops out) — the correct average for irregularly
+    sampled series, where the event-count mean over-weights bursts.
+
+    One exchange on user_id drives the single lead() pass; the
+    weighted sum is an ordinary partial-aggregable hash agg. Weights
+    stay integer microseconds end-to-end (matching the DuckDB
+    oracle's epoch_us arithmetic bit-for-bit); only the final ratio
+    is floating. Users whose events all share one timestamp have zero
+    total weight and are excluded (den = 0).
+
+    Returns (user_id, twap, n_intervals, span_secs).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dt = F.lead(us).over(w) - us
+    per = (
+        events.select("user_id", "value", dt.alias("dt_us"))
+        .where(F.col("dt_us").isNotNull())
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * F.col("dt_us")).alias("_num"),
+            F.sum("dt_us").alias("_den"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .where(F.col("_den") > 0)
+        .select(
+            "user_id",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("twap"),
+            "n_intervals",
+            F.round(F.col("_den") / F.lit(1_000_000.0), 6).alias("span_secs"),
+        )
+    )
+
+
+#: robust-anomaly parameters — shared with the DuckDB oracle.
+#: 1.4826 is the Gaussian consistency constant (MAD → σ estimate);
+#: 3.5 is the conventional Iglewicz–Hoare modified-z cutoff.
+MAD_CONSISTENCY = 1.4826
+MAD_THRESHOLD = 3.5
+
+
+def value_mad_anomalies(events: DataFrame) -> DataFrame:
+    """Robust per-type anomaly flags: |value − median| scored against
+    the median absolute deviation (modified z-score) — the outlier
+    detector that, unlike value_zscore_anomalies' mean/stddev, is not
+    itself dragged by the outliers it hunts (50% breakdown point vs 0).
+
+    Two grouped exact medians (percentile(…, 0.5)) over the same
+    event_type key, each joined back via broadcast — event_type is a
+    fixed enumeration, not an SF-scaling dimension, so the broadcasts
+    hold at 100 TB and the events table is never shuffled. Exact
+    median is a sort-based agg per group; at extreme group sizes the
+    approx_percentile sibling is the drop-in (documented, not
+    default, because the oracle needs exact semantics).
+
+    Returns (event_id, event_type, value, robust_z) for anomalies.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "_absdev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_absdev, 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("_mad") > 0)
+        .withColumn("robust_z", F.col("_absdev") / (F.lit(MAD_CONSISTENCY) * F.col("_mad")))
+        .where(F.col("robust_z") > MAD_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("robust_z", 6).alias("robust_z"),
+        )
+    )
+
+
+#: incident-overlap parameters — shared with the DuckDB oracle.
+INCIDENT_MIN_ERRORS = 5
+SESSION_GAP_MINUTES = 30
+
+
+def session_incident_overlap(events: DataFrame) -> DataFrame:
+    """Interval-overlap join: which user sessions overlapped a
+    platform incident (an hour with ≥ INCIDENT_MIN_ERRORS error
+    events) — the ops-side attribution query joining two DERIVED
+    interval sets, neither of which exists as a table.
+
+    Scale shape: because incidents are hour-aligned half-open windows
+    [h, h+1h), interval overlap is EXACTLY hour-bucket membership —
+    each session explodes to the calendar hours it spans
+    (sequence(), bounded by session length, which the 30-min gap rule
+    caps) and equi-joins the incident hours. The incident side is
+    bounded by the corpus' calendar span (~9k rows/year at ANY SF),
+    so it broadcasts and the sessions are never shuffled for the
+    join. General un-aligned intervals add a residual range filter
+    after the same bucket join (events_near_errors_range_join shows
+    that form). The DuckDB oracle uses the naive inequality join —
+    same semantics, quadratic engine-side.
+
+    Returns (user_id, session_seq, session_start, n_incident_hours)
+    for sessions touching ≥ 1 incident hour.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(by_user)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("session_seq", F.sum(new_session).over(by_user))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    incidents = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n_err"))
+        .where(F.col("n_err") >= INCIDENT_MIN_ERRORS)
+        .select("hour")
+    )
+    exploded = sessions.select(
+        "user_id",
+        "session_seq",
+        "s_start",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        exploded.join(F.broadcast(incidents), "hour")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("s_start"), _TS_FMT).alias("session_start"),
+            F.count("*").cast("long").alias("n_incident_hours"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start",
+            "n_incident_hours",
+        )
+    )

@@ -197,3 +197,22 @@ def test_wave5_ops_on_empty(spark, empty_docs):
 
     assert char_trigram_logprob(empty_docs).count() == 0
     assert source_lang_entropy(empty_docs).count() == 0
+
+
+def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.graph import kcore_docs
+    from mapreduce_golang_spark.operators.merge import snapshot_diff
+    from mapreduce_golang_spark.operators.windows import (
+        session_incident_overlap,
+        time_weighted_user_value,
+        value_mad_anomalies,
+    )
+
+    empty_pairs = empty_docs.sparkSession.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    )
+    assert kcore_docs(empty_docs, pairs=empty_pairs).count() == 0
+    assert time_weighted_user_value(empty_events).count() == 0
+    assert value_mad_anomalies(empty_events).count() == 0
+    assert session_incident_overlap(empty_events).count() == 0
+    assert snapshot_diff(empty_events, empty_events, "event_id", ["value"]).count() == 0

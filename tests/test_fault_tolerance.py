@@ -55,11 +55,11 @@ def crashy_reduce(key, values):
         raise RuntimeError("injected crash: first reduce of " + key)
     return " ".join(sorted(values))
 
-crashy_src = run_job(spark, crashy_map, crashy_reduce, docs, n_reduce=3)
+crashy_src = run_job(spark, crashy_map, crashy_reduce, docs, n_reduce={n_reduce_placeholder})
 crashed = sorted(map(tuple, crashy_src.collect()))
 
 healthy = sorted(map(tuple, run_job(
-    spark, lambda n, c: [(w, n) for w in c.split()], reduce_sorted, docs, n_reduce=3
+    spark, lambda n, c: [(w, n) for w in c.split()], reduce_sorted, docs, n_reduce={n_reduce_placeholder}
 ).collect()))
 
 print("RESULT " + json.dumps({"equal": crashed == healthy, "rows": len(crashed)}))
@@ -67,13 +67,24 @@ spark.stop()
 """
 
 
-def test_task_retry_recovers_crashing_maps(tmp_path):
+# Soak analogue of the reference's test-mr-many.sh (repeated whole-suite
+# trials, /root/reference/src/main/test-mr-many.sh:15-22): three trials,
+# each with a DIFFERENT reduce fan-out so retries replay against a
+# different shuffle layout every time — more signal per trial than
+# identical repeats, same flake-hunting intent.
+import pytest
+
+
+@pytest.mark.parametrize("n_reduce", [2, 3, 5])
+def test_task_retry_recovers_crashing_maps(tmp_path, n_reduce):
     marker_dir = str(tmp_path / "markers")
     import os
 
     os.makedirs(marker_dir, exist_ok=True)
-    script = _SCRIPT.replace("{marker_dir_placeholder!r}", repr(marker_dir)).replace(
-        "{repo!r}", repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    script = (
+        _SCRIPT.replace("{marker_dir_placeholder!r}", repr(marker_dir))
+        .replace("{repo!r}", repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        .replace("{n_reduce_placeholder}", str(n_reduce))
     )
     proc = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
