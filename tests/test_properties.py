@@ -399,3 +399,79 @@ def test_rfm_quartile_digits_in_range(spark, n_users):
     for r in out:
         assert 1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4
         assert r.segment == r.r * 100 + r.f * 10 + r.m
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_python_bruteforce(spark, raw_edges):
+    from mapreduce_golang_spark.operators.graph import KCORE_K, kcore_docs
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    # Python reference: iterative pruning to fixpoint
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        drop = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected = {n: len(nb) for n, nb in adj.items()}
+
+    nodes = sorted({x for e in edges for x in e}) or [1]
+    docs = spark.createDataFrame([(n, "x") for n in nodes], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(a, b, 0.9) for a, b in edges] or [(0, 0, 0.0)], ["doc_a", "doc_b", "jaccard"]
+    )
+    if not edges:
+        pairs = pairs.where("doc_a < doc_b")
+    got = {r.doc_id: r.core_degree for r in kcore_docs(docs, pairs=pairs).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 500), st.floats(0.1, 100.0)), min_size=2, max_size=12)
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_twap_matches_python_bruteforce(spark, steps):
+    import datetime as dtm
+
+    from mapreduce_golang_spark.operators.windows import time_weighted_user_value
+
+    # strictly increasing timestamps from cumulative positive gaps
+    t, rows, series = 0, [], []
+    for i, (gap_s, value) in enumerate(steps):
+        ts = dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=t)
+        rows.append((i, ts, 1, "view", value, "{}"))
+        series.append((t, value))
+        t += gap_s
+    num = sum(v * ((series[i + 1][0] - s) * 1_000_000) for i, (s, v) in enumerate(series[:-1]))
+    den = sum((series[i + 1][0] - s) * 1_000_000 for i, (s, _) in enumerate(series[:-1]))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = time_weighted_user_value(events).collect()
+    assert len(out) == 1
+    assert out[0].twap == round(num / den, 6)
+    assert out[0].n_intervals == len(series) - 1
+
+
+@given(st.lists(st.one_of(st.none(), st.floats(0, 100)), min_size=0, max_size=10))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_diff_of_identical_snapshots_is_empty(spark, vals):
+    from mapreduce_golang_spark.operators.merge import snapshot_diff
+
+    snap = spark.createDataFrame(
+        list(enumerate(vals)) or [(0, None)], "k long, v double"
+    )
+    assert snapshot_diff(snap, snap, "k", ["v"]).count() == 0
