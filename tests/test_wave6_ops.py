@@ -21,6 +21,7 @@ from tests.oracle import assert_matches_oracle
         "value_mad_anomalies",
         "session_incident_overlap",
         "customer_snapshot_diff",
+        "incremental_agg_refresh",
     ],
 )
 def test_wave6_matches_oracle(spark, sf_dir, name):
@@ -150,3 +151,30 @@ def test_snapshot_diff_classes_and_null_safety(spark):
     }
     assert out[4].old_v is None and out[4].new_v == 10.0
     assert out[3].new_v is None and out[3].old_v == 10.0
+
+
+def test_incremental_refresh_equals_direct_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.operators.merge import incremental_agg_refresh
+
+    rows = [(k, float(v)) for k in ("a", "b") for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "k string, m double")
+    # any split must merge back to the direct aggregate — keys present
+    # only in base ('a' when delta takes m>100) and only in delta are
+    # both covered by the disjoint m-range splits
+    for pred in ["m < 4", "m >= 4", "m > 100"]:
+        merged = incremental_agg_refresh(
+            df.where(pred), df.where(f"NOT ({pred})"), keys=["k"],
+            measure="m", exact_decimal="decimal(18,2)",
+        )
+        direct = df.groupBy("k").agg(
+            F.count("m").cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("m").cast("decimal(18,2)")).cast("double"), 6).alias("sum_m"),
+            F.round(F.sum(F.col("m").cast("decimal(18,2)")).cast("double") / F.count("m"), 6).alias("avg_m"),
+            F.round(F.min("m"), 6).alias("min_m"),
+            F.round(F.max("m"), 6).alias("max_m"),
+        )
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want, pred
