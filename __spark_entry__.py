@@ -1128,14 +1128,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # exactly the first 50 registrations). Rounds 1–3 hard-confirmed the original
 # first 50 (CORRECTNESS_r01–r03, all green); round 4 rotated the 46 queries
 # without a driver row into the window plus 4 of the 7 round-4 additions
-# (CORRECTNESS_r04: 50/50 green). Round 5's window head (44 of 50 slots):
-# the pair-graph derivation query (bench attribution, r1-green), the 5
-# queries that lacked a driver row after r4, and every round-5 addition —
-# 23 first/second-wave + 13 third-wave + 2 QA reports + 4 fourth/fifth-wave — after this
-# round every registered query has had at least one driver-confirmed green
-# row (the HLL sketch stays rows-only by design). Queries rotated out of
-# the window remain covered every round by scripts/correctness_gate.py
-# (CORRECTNESS_FULL.json).
+# (CORRECTNESS_r04: 50/50 green). Round 5's window: the pair-graph
+# derivation query (bench attribution, r1-green), the 6 wave-6 additions,
+# the 5 queries that lacked a driver row after r4, and the earlier round-5
+# waves in registration order. The 6 head insertions push the window tail
+# past slot 50: user_path_trigrams, label_znorm_check, char_trigram_logprob
+# and source_lang_entropy (round-5, full-gate green) wait for the round-6
+# rotation, as do multi_granularity_rollup / sql_revenue_by_nation_year
+# (already r4-green). The HLL sketch stays rows-only by design. Queries
+# outside the window remain covered every round by
+# scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_pairs leads so the materialize-once pair graph's
         # one-time derivation cost lands on the derivation query in the

@@ -287,6 +287,7 @@ _PAIR_GRAPH_CONSUMERS = [
     "near_dup_clustering_coeff",
     "near_dup_degree_hist",
     "dup_cluster_size_hist",
+    "kcore_docs",
 ]
 
 
@@ -304,3 +305,46 @@ def test_pair_graph_consumers_skip_shingle_derivation(spark, sf_dir):
     for name in _PAIR_GRAPH_CONSUMERS:
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "array_distinct" not in plan, name
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime filter injection — the 100 TB lever where a selective
+    dimension filter prunes the fact scan at EXECUTION time (Spark's
+    runtime bloom filter, on by default but gated behind a 10 GB
+    application-side threshold the fixtures never reach). Lowering the
+    size gates must make Catalyst inject a `might_contain` probe (fed
+    by a `bloom_filter_agg` over the filtered dimension keys) on the
+    fact side of a shuffle join; if this stops engaging, large
+    selective joins silently lose their biggest scan-pruning win."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        # fixture scans are KB-sized: drop the gates so injection can fire
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # injection targets shuffle joins; keep broadcast out of the way
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
