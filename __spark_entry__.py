@@ -896,6 +896,14 @@ def _stream_sessionize(spark, sf_dir):
     return events_stream.streaming_sessionize(spark, sf_dir, query_name=f"ss_{uuid.uuid4().hex[:8]}")
 
 
+def _stream_incidents(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_incident_hours(
+        spark, sf_dir, query_name=f"si_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _stream_ssj(spark, sf_dir):
     import uuid
 
@@ -1129,14 +1137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first 50 (CORRECTNESS_r01–r03, all green); round 4 rotated the 46 queries
 # without a driver row into the window plus 4 of the 7 round-4 additions
 # (CORRECTNESS_r04: 50/50 green). Round 5's window: the pair-graph
-# derivation query (bench attribution, r1-green), the 6 wave-6 additions,
+# derivation query (bench attribution, r1-green), the 7 wave-6 additions,
 # the 5 queries that lacked a driver row after r4, and the earlier round-5
-# waves in registration order. The 6 head insertions push the window tail
+# waves in registration order. The 7 head insertions push the window tail
 # past slot 50: user_path_trigrams, label_znorm_check, char_trigram_logprob
 # and source_lang_entropy (round-5, full-gate green) wait for the round-6
-# rotation, as do multi_granularity_rollup / sql_revenue_by_nation_year
-# (already r4-green). The HLL sketch stays rows-only by design. Queries
-# outside the window remain covered every round by
+# rotation, as do multi_granularity_rollup / sql_revenue_by_nation_year /
+# date_dimensions (already r4-green). The HLL sketch stays rows-only by
+# design. Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_pairs leads so the materialize-once pair graph's
@@ -1154,6 +1162,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "session_incident_overlap": _session_incidents,
         "customer_snapshot_diff": _snapshot_diff,
         "incremental_agg_refresh": _incr_agg,
+        "streaming_incident_hours": _stream_incidents,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -2077,6 +2086,17 @@ _ORACLES["incremental_agg_refresh"] = """
            round(max(l_extendedprice), 6) AS max_m
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
+"""
+
+# streaming twin of session_incident_overlap's incident CTE: on finite
+# input the drained stream equals the batch hour/threshold aggregate
+_ORACLES["streaming_incident_hours"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_errors
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    HAVING count(*) >= 5
 """
 
 _ORACLES["customer_snapshot_diff"] = """

@@ -439,3 +439,35 @@ def streaming_user_stats_tws(
             F.round(F.max("max_value"), 6).alias("max_value"),
         )
     )
+
+
+def streaming_incident_hours(
+    spark: SparkSession, sf_dir: str, min_errors: int = 5, query_name: str = "stream_incidents"
+) -> DataFrame:
+    """The incident detector (hours with ≥ min_errors error events —
+    the dimension side of session_incident_overlap) computed BY THE
+    STREAMING ENGINE: pre-filter to errors, tumbling 1-hour window agg
+    behind a watermark, threshold applied on the drained result (a
+    HAVING over complete-mode output; applying it inside the stream
+    would be valid too but makes intermediate emissions non-monotonic
+    under retraction-free sinks). State is one counter per (hour) ≤
+    calendar span — the same bounded-at-any-SF property that makes the
+    batch side broadcastable. Equals the batch incidents CTE on finite
+    input — oracle-checkable.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.where(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return (
+        spark.table(query_name)
+        .where(F.col("n_errors") >= min_errors)
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("hour"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+        )
+    )
