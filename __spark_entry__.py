@@ -284,6 +284,14 @@ def _snapshot_diff(spark, sf_dir):
     )
 
 
+def _winsorized(spark, sf_dir):
+    return analytics.winsorized_value_stats(load_table(spark, sf_dir, "events"))
+
+
+def _weekday_chi2(spark, sf_dir):
+    return analytics.event_weekday_chi2(load_table(spark, sf_dir, "events"))
+
+
 def _incr_agg(spark, sf_dir):
     """Materialized-view refresh: the stored rollup is everything
     shipped before 1996, the delta batch everything after; the merged
@@ -1163,6 +1171,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "customer_snapshot_diff": _snapshot_diff,
         "incremental_agg_refresh": _incr_agg,
         "streaming_incident_hours": _stream_incidents,
+        "winsorized_value_stats": _winsorized,
+        "event_weekday_chi2": _weekday_chi2,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -2086,6 +2096,45 @@ _ORACLES["incremental_agg_refresh"] = """
            round(max(l_extendedprice), 6) AS max_m
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["winsorized_value_stats"] = """
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, CAST(0.01 AS DOUBLE)) AS lo,
+               quantile_cont(value, CAST(0.99 AS DOUBLE)) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(min(pct.lo), 6) AS p_lo,
+           round(min(pct.hi), 6) AS p_hi,
+           round(avg(e.value), 6) AS mean_raw,
+           round(avg(least(greatest(e.value, pct.lo), pct.hi)), 6) AS mean_winsorized,
+           round(stddev_samp(least(greatest(e.value, pct.lo), pct.hi)), 6) AS sd_winsorized
+    FROM events e JOIN pct USING (event_type)
+    GROUP BY e.event_type
+"""
+
+_ORACLES["event_weekday_chi2"] = """
+    WITH obs AS (
+        SELECT event_type,
+               CAST(strftime(ts, '%w') AS BIGINT) + 1 AS weekday,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), rt AS (
+        SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type
+    ), ct AS (
+        SELECT weekday, sum(o) AS ct FROM obs GROUP BY weekday
+    ), n AS (
+        SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs
+    )
+    SELECT obs.event_type,
+           CAST(sum(obs.o) AS BIGINT) AS n_events,
+           round(sum((obs.o - rt.rt * ct.ct / n.n) * (obs.o - rt.rt * ct.ct / n.n)
+                     / (rt.rt * ct.ct / n.n)), 6) AS chi2
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (weekday) CROSS JOIN n
+    GROUP BY obs.event_type
 """
 
 # streaming twin of session_incident_overlap's incident CTE: on finite

@@ -485,3 +485,70 @@ def rfm_user_segments(events: DataFrame) -> DataFrame:
         f_.cast("long").alias("f"),
         m.cast("long").alias("m"),
     ).withColumn("segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"))
+
+
+#: winsorization bounds — shared with the DuckDB oracle.
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_value_stats(events: DataFrame) -> DataFrame:
+    """Winsorized per-type stats: clip `value` into its own [p01, p99]
+    band and report raw vs clipped moments side by side — the
+    outlier-robust normalization step an ML feature pipeline applies
+    before scaling, with the shift (mean_raw − mean_winsorized) as the
+    tail-mass diagnostic.
+
+    One exact-percentile agg per type, broadcast back (event_type is a
+    fixed enumeration — the build side never scales with SF), then one
+    partial-aggregable stats pass; the events stream is never
+    shuffled. Returns (event_type, n, p_lo, p_hi, mean_raw,
+    mean_winsorized, sd_winsorized).
+    """
+    pct = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("_lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("_hi"),
+    )
+    j = events.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("_lo"), 6).alias("p_lo"),
+        F.round(F.min("_hi"), 6).alias("p_hi"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        F.round(F.stddev_samp(clipped), 6).alias("sd_winsorized"),
+    )
+
+
+def event_weekday_chi2(events: DataFrame) -> DataFrame:
+    """Chi-square independence report for event_type × weekday: per
+    type, Σ_d (observed − expected)²/expected with expected from the
+    two marginals — the seasonality screen that flags event types
+    whose volume is NOT flat across the week (bot traffic, batch
+    jobs). All counts are integers, so the expecteds are exact ratios
+    and the statistic is engine-portable at round(6).
+
+    One hash agg on the (type, weekday) grid (bounded: types × 7),
+    then the marginals come back via broadcast joins and the grand
+    total as a 1-row broadcast — the events stream shuffles once into
+    the grid agg and never again. Returns (event_type, n_events,
+    chi2).
+    """
+    wd = (F.dayofweek("ts")).cast("long").alias("weekday")
+    obs = events.groupBy(F.col("event_type"), wd).agg(F.count("*").alias("o"))
+    row_tot = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("weekday").agg(F.sum("o").alias("ct"))
+    n_tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        obs.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "weekday")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("event_type")
+        .agg(
+            F.sum("o").cast("long").alias("n_events"),
+            F.round(F.sum(contrib), 6).alias("chi2"),
+        )
+    )

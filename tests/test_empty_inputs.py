@@ -217,7 +217,14 @@ def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
     assert session_incident_overlap(empty_events).count() == 0
     assert snapshot_diff(empty_events, empty_events, "event_id", ["value"]).count() == 0
 
+    from mapreduce_golang_spark.operators.analytics import (
+        event_weekday_chi2,
+        winsorized_value_stats,
+    )
     from mapreduce_golang_spark.operators.merge import incremental_agg_refresh
+
+    assert winsorized_value_stats(empty_events).count() == 0
+    assert event_weekday_chi2(empty_events).count() == 0
 
     assert (
         incremental_agg_refresh(

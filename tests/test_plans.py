@@ -164,6 +164,7 @@ _BOUNDED_NLJ_OK = {
     "rfm_user_segments": 1,
     "ann_recall_report": 1,  # the brute-force leg's bounded query batch
     "char_trigram_logprob": 1,  # 1-row smoothing-mass totals
+    "event_weekday_chi2": 1,  # 1-row grand-total broadcast
 }
 
 

@@ -22,6 +22,8 @@ from tests.oracle import assert_matches_oracle
         "session_incident_overlap",
         "customer_snapshot_diff",
         "incremental_agg_refresh",
+        "winsorized_value_stats",
+        "event_weekday_chi2",
     ],
 )
 def test_wave6_matches_oracle(spark, sf_dir, name):
@@ -178,3 +180,43 @@ def test_incremental_refresh_equals_direct_aggregate(spark):
         got = sorted(map(tuple, merged.collect()))
         want = sorted(map(tuple, direct.collect()))
         assert got == want, pred
+
+
+def test_winsorized_stats_clip_and_degenerate(spark):
+    from mapreduce_golang_spark.operators.analytics import winsorized_value_stats
+
+    rows = [_ev(i, "2024-01-01 00:00:00", 1, "A", float(v)) for i, v in enumerate(range(1, 100))]
+    rows.append(_ev(999, "2024-01-01 00:00:00", 1, "A", 100000.0))
+    # type B: constant — clipping is the identity
+    rows += [_ev(2000 + i, "2024-01-01 00:00:00", 1, "B", 5.0) for i in range(10)]
+    out = {r.event_type: r for r in winsorized_value_stats(
+        spark.createDataFrame(rows, _EV_COLS)).collect()}
+    a, b = out["A"], out["B"]
+    # the outlier drags the raw mean far above the winsorized one,
+    # which must stay inside the clip band
+    assert a.mean_raw > a.mean_winsorized
+    assert a.p_lo <= a.mean_winsorized <= a.p_hi
+    assert a.n == 100
+    assert b.mean_raw == b.mean_winsorized == 5.0
+    assert b.sd_winsorized == 0.0
+
+
+def test_chi2_zero_iff_weekday_independent(spark):
+    from mapreduce_golang_spark.operators.analytics import event_weekday_chi2
+
+    # 2024-01-01 = Monday, 2024-01-02 = Tuesday
+    def burst(base, etype, day, n):
+        return [_ev(base + i, f"2024-01-0{day} 12:00:00", 1, etype, 1.0) for i in range(n)]
+
+    # A and B proportional across Mon/Tue → marginals reproduce the
+    # observed grid exactly → chi2 = 0 for both
+    indep = burst(0, "A", 1, 2) + burst(10, "A", 2, 2) + burst(20, "B", 1, 3) + burst(30, "B", 2, 3)
+    out = {r.event_type: r.chi2 for r in event_weekday_chi2(
+        spark.createDataFrame(indep, _EV_COLS)).collect()}
+    assert out == {"A": 0.0, "B": 0.0}
+
+    # concentrating C on Monday breaks independence for everyone, C most
+    skewed = indep + burst(40, "C", 1, 5)
+    out2 = {r.event_type: r.chi2 for r in event_weekday_chi2(
+        spark.createDataFrame(skewed, _EV_COLS)).collect()}
+    assert out2["C"] > out2["A"] > 0.0
