@@ -284,6 +284,14 @@ def _snapshot_diff(spark, sf_dir):
     )
 
 
+def _weighted_pagerank(spark, sf_dir):
+    from mapreduce_golang_spark.operators.graph import near_dup_weighted_pagerank
+
+    return near_dup_weighted_pagerank(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
 def _winsorized(spark, sf_dir):
     return analytics.winsorized_value_stats(load_table(spark, sf_dir, "events"))
 
@@ -1173,6 +1181,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_incident_hours": _stream_incidents,
         "winsorized_value_stats": _winsorized,
         "event_weekday_chi2": _weekday_chi2,
+        "near_dup_weighted_pagerank": _weighted_pagerank,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -2021,6 +2030,49 @@ def _kcore_oracle() -> str:
 
 
 _ORACLES["kcore_docs"] = _kcore_oracle()
+
+
+def _weighted_pagerank_oracle() -> str:
+    """Unrolled weighted PageRank — same chained-CTE scheme as
+    _pagerank_oracle, with rank outflow ∝ the ROUNDED jaccard weight
+    both engines share (the pairs oracle emits round(jaccard, 6), and
+    the Spark loop consumes the identically-rounded pairs column)."""
+    from mapreduce_golang_spark.operators.graph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+
+    d = PAGERANK_DAMPING
+    steps = []
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               (1.0 - {d}) / (SELECT n FROM params) + {d} * coalesce(s.inflow, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, sum(r.rank * e.w / ws.wsum) AS inflow
+            FROM edges e
+            JOIN r{i - 1} r ON e.u = r.node
+            JOIN ws ON e.u = ws.u
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH pairs0 AS MATERIALIZED ({_ORACLES["ngram_jaccard_pairs"]}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v, jaccard AS w FROM pairs0
+        UNION
+        SELECT doc_b AS u, doc_a AS v, jaccard AS w FROM pairs0
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    ws AS (SELECT u, sum(w) AS wsum FROM edges GROUP BY u),
+    params AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+    {chained}
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM r{PAGERANK_ITERATIONS}
+"""
+
+
+_ORACLES["near_dup_weighted_pagerank"] = _weighted_pagerank_oracle()
 
 _ORACLES["time_weighted_user_value"] = """
     WITH d AS (

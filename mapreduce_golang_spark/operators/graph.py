@@ -321,3 +321,64 @@ def kcore_docs(
         .agg(F.count("*").cast("long").alias("core_degree"))
         .select(F.col("u").alias("doc_id"), "core_degree")
     )
+
+
+def near_dup_weighted_pagerank(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PageRank over the SIMILARITY-WEIGHTED near-dup graph: each edge
+    carries its Jaccard score, and a node's rank flows out proportional
+    to edge weight (rankᵢ₊₁(v) = (1−d)/N + d·Σᵤ→ᵥ rankᵢ(u)·wᵤᵥ/W(u),
+    W(u) = Σ outgoing weight) — near-identical copies pull rank harder
+    than borderline matches, so the top-ranked docs are the true
+    template centers rather than merely high-degree nodes.
+
+    Same loop discipline as near_dup_pagerank: weights and their
+    per-node sums materialize once (right-sized, checkpointed), each
+    round is one equi-join + agg on the vertex key, localCheckpoint
+    keeps lineage flat. Weight sums are exact only up to float
+    re-association, but magnitudes are O(degree) and the oracle
+    re-sums in the same double precision — round(6) output absorbs it.
+
+    Returns (doc_id, rank), rounded to 6 decimals.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    edges = right_size_graph(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "jaccard")
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "jaccard"))
+        .distinct(),
+        "u",
+    )
+    nodes = right_size_graph(edges.select(F.col("u").alias("node")).distinct(), "node")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return df.sparkSession.createDataFrame([], "doc_id long, rank double")
+    wsum = edges.groupBy("u").agg(F.sum("jaccard").alias("wsum"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(wsum, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") * F.col("jaccard") / F.col("wsum")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))

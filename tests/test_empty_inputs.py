@@ -212,6 +212,10 @@ def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
         [], "doc_a long, doc_b long, jaccard double"
     )
     assert kcore_docs(empty_docs, pairs=empty_pairs).count() == 0
+
+    from mapreduce_golang_spark.operators.graph import near_dup_weighted_pagerank
+
+    assert near_dup_weighted_pagerank(empty_docs, pairs=empty_pairs).count() == 0
     assert time_weighted_user_value(empty_events).count() == 0
     assert value_mad_anomalies(empty_events).count() == 0
     assert session_incident_overlap(empty_events).count() == 0

@@ -82,3 +82,29 @@ def test_reachability_depth_bound(spark):
         for r in near_dup_reachability(spark, None, pairs=pairs, max_depth=3).collect()
     }
     assert rows == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_weighted_pagerank_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["near_dup_weighted_pagerank"],
+        entrymod.oracle_sql()["near_dup_weighted_pagerank"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_weighted_pagerank_favors_strong_edges(spark):
+    from mapreduce_golang_spark.operators.graph import near_dup_weighted_pagerank
+
+    # star: hub 1 with one strong (0.9) and two weak (0.1) edges —
+    # the strong leaf must outrank the weak ones (inflow ∝ w/W(u)),
+    # which unweighted PageRank by construction cannot distinguish
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.1), (1, 4, 0.1)], ["doc_a", "doc_b", "jaccard"]
+    )
+    docs = spark.createDataFrame([(i, "x") for i in range(1, 5)], ["doc_id", "text"])
+    ranks = {r.doc_id: r.rank for r in near_dup_weighted_pagerank(docs, pairs=pairs).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # no dangling mass
+    assert ranks[2] > ranks[3] == ranks[4]
+    assert ranks[1] > ranks[2]  # the hub still receives every leaf's full outflow

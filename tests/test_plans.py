@@ -289,6 +289,7 @@ _PAIR_GRAPH_CONSUMERS = [
     "near_dup_degree_hist",
     "dup_cluster_size_hist",
     "kcore_docs",
+    "near_dup_weighted_pagerank",
 ]
 
 
