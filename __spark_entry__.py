@@ -284,6 +284,10 @@ def _snapshot_diff(spark, sf_dir):
     )
 
 
+def _quality_drift(spark, sf_dir):
+    return text_analysis.source_quality_drift(load_table(spark, sf_dir, "documents"))
+
+
 def _weighted_pagerank(spark, sf_dir):
     from mapreduce_golang_spark.operators.graph import near_dup_weighted_pagerank
 
@@ -1184,6 +1188,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "winsorized_value_stats": _winsorized,
         "event_weekday_chi2": _weekday_chi2,
         "near_dup_weighted_pagerank": _weighted_pagerank,
+        "source_quality_drift": _quality_drift,
         # --- round-5 window head: the 5 entries never driver-graded ---
         "source_doc_stats": _source_doc_stats,
         "near_dup_triangles": _triangles,
@@ -2150,6 +2155,50 @@ _ORACLES["incremental_agg_refresh"] = """
            round(max(l_extendedprice), 6) AS max_m
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
+"""
+
+# discretized two-sample KS per source vs rest, on the shared ROUNDED
+# quality score (wraps the text_quality oracle for the scoring pass)
+_ORACLES["source_quality_drift"] = f"""
+    WITH tq AS ({_ORACLES["text_quality"]}),
+    sq AS (
+        SELECT d.source, tq.quality_score
+        FROM tq JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+        SELECT source,
+               least(CAST(floor(quality_score * 20) AS BIGINT), 19) AS bin
+        FROM sq
+    ),
+    counts AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    sources AS (SELECT DISTINCT source FROM counts),
+    bins AS (SELECT range AS bin FROM range(0, 20)),
+    grid AS (SELECT s.source, b.bin FROM sources s CROSS JOIN bins b),
+    filled AS (
+        SELECT g.source, g.bin, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.bin = c.bin
+    ),
+    cums AS (
+        SELECT source, bin, c,
+               sum(c) OVER (PARTITION BY source ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum_s
+        FROM filled
+    ),
+    perbin AS (SELECT bin, sum(c) AS cb FROM filled GROUP BY bin),
+    tot AS (
+        SELECT bin,
+               sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_t
+        FROM perbin
+    ),
+    ns AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+    ntot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts)
+    SELECT c.source,
+           CAST(max(ns.n_s) AS BIGINT) AS n_docs,
+           round(max(abs(CAST(c.cum_s AS DOUBLE) / ns.n_s
+                         - (t.cum_t - c.cum_s) / (ntot.n - ns.n_s))), 6) AS ks_stat
+    FROM cums c JOIN tot t USING (bin) JOIN ns USING (source) CROSS JOIN ntot
+    WHERE ntot.n > ns.n_s
+    GROUP BY c.source
 """
 
 _ORACLES["winsorized_value_stats"] = """

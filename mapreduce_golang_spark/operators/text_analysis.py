@@ -83,12 +83,14 @@ def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
     )
 
 
-def text_quality(df: DataFrame) -> DataFrame:
+def text_quality(df: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """Per-doc quality features + composite score.
 
     punct/digit ratios via length-difference (identical semantics in
     Spark and DuckDB); stopword ratio over letters-only tokens;
     composite = 0.4*stopword + 0.3*(1-punct) + 0.3*min(n_tokens/100,1).
+    ``keep_cols`` passes extra input columns through (e.g. `source`
+    for the drift report) without a join back onto the scan.
     """
     text = F.col("text")
     toks = _clean_tokens(F.lower(text))
@@ -111,6 +113,7 @@ def text_quality(df: DataFrame) -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *keep_cols,
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
@@ -893,4 +896,85 @@ def source_lang_entropy(df: DataFrame) -> DataFrame:
         F.sum("c").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_langs"),
         F.round(-F.sum("plogp"), 6).alias("entropy"),
+    )
+
+
+#: drift-report discretization — shared with the DuckDB oracle. The
+#: composite quality score lives in [0, 1]; 20 equal bins give the
+#: two-sample KS statistic a fixed evaluation grid in both engines.
+DRIFT_BINS = 20
+
+
+def source_quality_drift(df: DataFrame) -> DataFrame:
+    """Distribution-drift report: for every source, the two-sample
+    Kolmogorov–Smirnov statistic (discretized to DRIFT_BINS equal
+    score bins) between that source's quality-score distribution and
+    the REST of the corpus — the screen that catches a crawler or
+    feed whose quality profile silently shifted, before it skews the
+    training mix. D ∈ [0,1]; 0 = identical distribution.
+
+    Scale shape: one narrow scoring pass (shared expression with
+    text_quality — `keep_cols` threads `source` through, no join back
+    onto the scan), one exchange into the bounded (source × bins)
+    count grid, and everything after runs on ≤ sources × DRIFT_BINS
+    rows: the dense grid is a cross join of two tiny dimensions, the
+    cumulative sums are windows over ≤ DRIFT_BINS rows per source,
+    and the corpus totals broadcast. Integer cumulative counts make
+    every ECDF ratio bit-identical cross-engine.
+
+    Returns (source, n_docs, ks_stat), ks rounded to 6.
+    """
+    scores = text_quality(df, keep_cols=("source",)).select("source", "quality_score")
+    binned = scores.select(
+        "source",
+        F.least(F.floor(F.col("quality_score") * DRIFT_BINS), F.lit(DRIFT_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    # counts is ≤ sources × DRIFT_BINS rows but feeds FOUR consumers
+    # (grid fill, per-bin totals, per-source n, corpus n) — the lazy
+    # checkpoint materializes the scoring scan once instead of four
+    # times (and keeps the plan's one allowed grid cross-join single)
+    counts = (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sources = counts.select("source").distinct()
+    bins = df.sparkSession.range(DRIFT_BINS).select(F.col("id").cast("long").alias("bin"))
+    # dense grid so every source has a cum value at EVERY bin boundary
+    # (the KS supremum is evaluated on the shared grid, not just bins
+    # where this source happens to have mass)
+    grid = sources.crossJoin(F.broadcast(bins))
+    filled = grid.join(counts, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = filled.withColumn("cum_s", F.sum("c").over(w_s))
+    # bin totals from counts, not filled: the zero-filled grid rows
+    # add nothing to the sums, and deriving from counts keeps the
+    # grid cross-join subtree single-consumer
+    per_bin = counts.groupBy("bin").agg(F.sum("c").alias("cb"))
+    w_t = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_bin.withColumn("cum_t", F.sum("cb").over(w_t)).select("bin", "cum_t")
+    n_s = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    n_tot = counts.agg(F.sum("c").cast("double").alias("n"))
+    diff = F.abs(
+        F.col("cum_s") / F.col("n_s")
+        - (F.col("cum_t") - F.col("cum_s")) / (F.col("n") - F.col("n_s"))
+    )
+    return (
+        cums.join(F.broadcast(tot), "bin")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .where(F.col("n") > F.col("n_s"))  # single-source corpus: no "rest"
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.round(F.max(diff), 6).alias("ks_stat"),
+        )
     )

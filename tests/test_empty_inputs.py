@@ -230,6 +230,10 @@ def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
     assert winsorized_value_stats(empty_events).count() == 0
     assert event_weekday_chi2(empty_events).count() == 0
 
+    from mapreduce_golang_spark.operators.text_analysis import source_quality_drift
+
+    assert source_quality_drift(empty_docs).count() == 0
+
     assert (
         incremental_agg_refresh(
             empty_events, empty_events, keys=["event_type"], measure="value",

@@ -165,6 +165,7 @@ _BOUNDED_NLJ_OK = {
     "ann_recall_report": 1,  # the brute-force leg's bounded query batch
     "char_trigram_logprob": 1,  # 1-row smoothing-mass totals
     "event_weekday_chi2": 1,  # 1-row grand-total broadcast
+    "source_quality_drift": 2,  # sources×20-bin grid + 1-row corpus total
 }
 
 

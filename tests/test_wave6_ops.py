@@ -24,6 +24,7 @@ from tests.oracle import assert_matches_oracle
         "incremental_agg_refresh",
         "winsorized_value_stats",
         "event_weekday_chi2",
+        "source_quality_drift",
     ],
 )
 def test_wave6_matches_oracle(spark, sf_dir, name):
@@ -220,3 +221,24 @@ def test_chi2_zero_iff_weekday_independent(spark):
     out2 = {r.event_type: r.chi2 for r in event_weekday_chi2(
         spark.createDataFrame(skewed, _EV_COLS)).collect()}
     assert out2["C"] > out2["A"] > 0.0
+
+
+def test_quality_drift_zero_for_identical_one_for_disjoint(spark):
+    from mapreduce_golang_spark.operators.text_analysis import source_quality_drift
+
+    prose = "the cat and the dog ran to the park"
+    junk = "!!! ??? !!! ???"
+    rows = [(i, prose, "en", "A", len(prose)) for i in range(5)]
+    rows += [(10 + i, prose, "en", "B", len(prose)) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    # A and B are score-identical → each vs the other is drift-free
+    out = {r.source: r.ks_stat for r in source_quality_drift(docs).collect()}
+    assert out == {"A": 0.0, "B": 0.0}
+
+    # C's scores land in a disjoint bin → maximal drift; A and B now
+    # drift a little (their "rest" includes C) but stay symmetric
+    rows += [(20 + i, junk, "en", "C", len(junk)) for i in range(5)]
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out2 = {r.source: r.ks_stat for r in source_quality_drift(docs2).collect()}
+    assert out2["C"] == 1.0
+    assert 0.0 < out2["A"] == out2["B"] < 1.0
