@@ -1157,17 +1157,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first 50 (CORRECTNESS_r01–r03, all green); round 4 rotated the 46 queries
 # without a driver row into the window plus 4 of the 7 round-4 additions
 # (CORRECTNESS_r04: 50/50 green). Round 5's window: the pair-graph
-# derivation query (bench attribution, r1-green), the 10 wave-6/7
+# derivation query (bench attribution, r1-green), the 11 wave-6/7
 # additions, the 5 queries that lacked a driver row after r4, and the
-# earlier round-5 waves in registration order. The 10 head insertions push
-# the window tail past slot 50: scd2_point_in_time, centroid_outliers,
-# ann_recall_report, minhash_estimate_error, user_path_trigrams,
-# label_znorm_check, char_trigram_logprob and source_lang_entropy
-# (round-5, full-gate green) wait for the round-6 rotation, as do
-# multi_granularity_rollup / sql_revenue_by_nation_year (already
-# r4-green). The HLL sketch stays rows-only by design. Queries outside the
-# window remain covered every round by scripts/correctness_gate.py
-# (CORRECTNESS_FULL.json).
+# earlier round-5 waves in registration order. The 11 head insertions push
+# the window tail past slot 50: rfm_user_segments, scd2_point_in_time,
+# centroid_outliers, ann_recall_report, minhash_estimate_error,
+# user_path_trigrams, label_znorm_check, char_trigram_logprob and
+# source_lang_entropy (round-5, full-gate green) wait for the round-6
+# rotation, as do multi_granularity_rollup / sql_revenue_by_nation_year
+# (already r4-green). The HLL sketch stays rows-only by design. Queries
+# outside the window remain covered every round by
+# scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ngram_jaccard_pairs leads so the materialize-once pair graph's
         # one-time derivation cost lands on the derivation query in the
