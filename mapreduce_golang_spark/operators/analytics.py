@@ -529,23 +529,33 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
     jobs). All counts are integers, so the expecteds are exact ratios
     and the statistic is engine-portable at round(6).
 
+    The (type, weekday) grid is DENSIFIED before summing: observed
+    types are cross-joined with observed weekdays and missing cells
+    coalesce to o=0, so a type absent on some weekday still
+    contributes its full (0 − e)²/e = e term — omitting empty cells
+    would understate the statistic exactly for the most seasonal
+    types, the ones this screen exists to flag.
+
     One hash agg on the (type, weekday) grid (bounded: types × 7),
-    then the marginals come back via broadcast joins and the grand
-    total as a 1-row broadcast — the events stream shuffles once into
-    the grid agg and never again. Returns (event_type, n_events,
-    chi2).
+    then a bounded types×weekdays broadcast grid build, marginals via
+    broadcast joins, and the grand total as a 1-row broadcast — the
+    events stream shuffles once into the grid agg and never again.
+    Returns (event_type, n_events, chi2).
     """
     wd = (F.dayofweek("ts")).cast("long").alias("weekday")
     obs = events.groupBy(F.col("event_type"), wd).agg(F.count("*").alias("o"))
     row_tot = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_tot = obs.groupBy("weekday").agg(F.sum("o").alias("ct"))
     n_tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    # bounded dense grid: observed types × observed weekdays (≤ types × 7)
+    grid = row_tot.crossJoin(F.broadcast(col_tot))
+    full = grid.join(obs, ["event_type", "weekday"], "left").select(
+        "event_type", "rt", "ct", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
     e = F.col("rt") * F.col("ct") / F.col("n")
     contrib = (F.col("o") - e) * (F.col("o") - e) / e
     return (
-        obs.join(F.broadcast(row_tot), "event_type")
-        .join(F.broadcast(col_tot), "weekday")
-        .crossJoin(F.broadcast(n_tot))
+        full.crossJoin(F.broadcast(n_tot))
         .groupBy("event_type")
         .agg(
             F.sum("o").cast("long").alias("n_events"),

@@ -375,6 +375,85 @@ def minhash_estimate_error(
     )
 
 
+def minhash_ml_crosscheck(
+    df: DataFrame,
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Library-vs-hand-rolled MinHash agreement report: the pair set
+    from this repo's banded-LSH join (md5 signatures, AND-within-band /
+    OR-across-bands) against ``pyspark.ml.feature.MinHashLSH``'s
+    ``approxSimilarityJoin`` (seeded affine hashes over a binary
+    HashingTF shingle vector, OR-amplified tables), both exact-verified
+    at the same Jaccard ``threshold``. The QA closure for the one
+    family where the repo hand-rolls what MLlib also ships — a
+    deployment can see how much candidate recall each scheme trades
+    before trusting either at 100 TB.
+
+    ROWS-ONLY by design (no DuckDB oracle): the library's hash
+    functions are seeded JVM-internal affine maps that cannot be
+    reproduced in ANSI SQL; the hand-rolled side IS oracle-checked via
+    minhash_lsh_pairs / minhash_estimate_error. Both sides remain
+    sub-quadratic equi-joins (band-key here, hash-table-entry key in
+    MLlib — HashingTF may alias shingles into the same bucket, another
+    reason exact SQL equality is out of reach).
+
+    Returns one row: (n_ours, n_lib, n_common, agreement) where
+    agreement = |common| / |union|, rounded to 6.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingles = word_shingles(df, k=k).localCheckpoint(eager=False)
+    _, cand = _minhash_band_candidates(shingles, n_hashes, bands)
+    ours = (
+        _jaccard_for_pairs(cand, shingles)
+        .where(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    feats = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    ).transform(sets_)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=n_hashes, seed=seed
+    ).fit(feats)
+    lib = (
+        model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jd")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+    both = (
+        ours.withColumn("m", F.lit(1)).join(
+            lib.withColumn("l", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+        )
+    )
+    # coalesce AFTER the sums: a zero-row input must report 0s, not NULLs
+    n_ours = F.coalesce(F.sum(F.coalesce(F.col("m"), F.lit(0))), F.lit(0))
+    n_lib = F.coalesce(F.sum(F.coalesce(F.col("l"), F.lit(0))), F.lit(0))
+    n_common = F.coalesce(
+        F.sum((F.col("m").isNotNull() & F.col("l").isNotNull()).cast("int")), F.lit(0)
+    )
+    n_union = F.count("*")
+    return both.agg(
+        n_ours.cast("long").alias("n_ours"),
+        n_lib.cast("long").alias("n_lib"),
+        n_common.cast("long").alias("n_common"),
+        F.round(
+            F.when(n_union > 0, n_common / n_union).otherwise(F.lit(1.0)), 6
+        ).alias("agreement"),
+    )
+
+
 def near_dup_survivors(
     df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,225 @@
+"""Data-mixing / selection operators — the corpus-composition stage of
+an LLM training-data pipeline: DSIR-style importance weighting toward a
+target distribution, a linear quality-classifier scoring pass,
+dedup-aware temperature mixing weights per source, and CCNet-style
+perplexity bucketing.
+
+All public-knowledge algorithms (DSIR: Xie et al. 2023 "Data Selection
+for Language Models via Importance Resampling"; CCNet: Wenzek et al.
+2020; temperature sampling: multilingual-corpus practice since
+XLM/mBERT; fastText-style linear scorer: Joulin et al. 2016). Every
+operator is a pure DataFrame expression with an exact DuckDB oracle —
+hashing goes through md5 (engine-portable, same convention as
+operators/dedup.py) rather than engine builtins.
+
+Complements the reference's corpus surface the same way
+operators/corpus.py does (reference scope: whole-file map/reduce over
+text, /root/reference/src/mrapps/wc.go:28-43 — these are the
+selection passes a user of that engine would run next).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+from mapreduce_golang_spark.operators.corpus import KNUTH_HASH_CONST
+
+#: default hashed-feature space sizes — small enough that the bucket
+#: stats table is always a broadcastable dimension (DSIR's own default
+#: is 10k buckets; the table stays O(buckets) regardless of corpus SF)
+DSIR_BUCKETS = 512
+QUALITY_FEATURES = 256
+
+
+def _tokens(text_col):
+    """Lower-cased letters-only token array (shared tokenizer regex)."""
+    return F.array_remove(F.split(F.lower(text_col), LETTERS_ONLY_RE), "")
+
+
+def _md5_bucket(col, n_buckets: int):
+    """Engine-portable hashed-feature bucket: first 8 hex chars of md5
+    → int → mod n_buckets. Same md5-prefix idiom as the minhash and
+    weighted-sampling operators (engine hash() builtins differ and
+    would not oracle-check)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_sources: tuple = ("src0", "src1"),
+    n_buckets: int = DSIR_BUCKETS,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights: score each raw-corpus doc by the
+    log-likelihood ratio of its hashed-unigram bag under the target
+    distribution vs the raw distribution — the importance-resampling
+    selection pass that tilts a web-scale corpus toward a trusted
+    target corpus (Xie et al. 2023, hashed n-gram variant).
+
+    λ_b = ln((c_target_b + k)/(T + kB)) − ln((c_raw_b + k)/(R + kB))
+    per feature bucket b (add-k smoothing over B buckets); a doc's
+    log-weight is Σ λ_{h(tok)} over its token occurrences (bag
+    semantics, as in the paper — resampling then draws ∝ exp(weight)).
+
+    Scale shape: one token explode feeds a hash agg on the BOUNDED
+    bucket key (≤ n_buckets rows regardless of SF) with conditional
+    target/raw sums; the λ map plus the 1-row totals come back as
+    broadcasts onto the raw token stream, and the per-doc sum is the
+    single doc-keyed exchange. Sum magnitude is O(tokens·|λ|) ≈ 1e3,
+    far inside round(6) cross-engine float reproducibility.
+
+    Returns (doc_id, source, n_feats, dsir_logweight) for raw-split
+    docs with ≥1 token, logweight rounded to 6.
+    """
+    is_target = F.col("source").isin(list(target_sources))
+    toks = df.select(
+        "doc_id", "source", is_target.alias("is_t"), F.explode(_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", "source", "is_t", _md5_bucket(F.col("tok"), n_buckets).alias("b"))
+
+    stats = toks.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+        F.sum((~F.col("is_t")).cast("long")).alias("c_r"),
+    )
+    totals = stats.agg(
+        F.sum("c_t").cast("double").alias("T"), F.sum("c_r").cast("double").alias("R")
+    )
+    kB = float(k_smooth) * n_buckets
+    lam = (
+        F.log((F.col("c_t") + k_smooth) / (F.col("T") + kB))
+        - F.log((F.col("c_r") + k_smooth) / (F.col("R") + kB))
+    ).alias("lam")
+    lam_map = stats.crossJoin(F.broadcast(totals)).select("b", lam)
+
+    return (
+        toks.where(~F.col("is_t"))
+        .join(F.broadcast(lam_map), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("lam"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def quality_classifier_scores(df: DataFrame, n_features: int = QUALITY_FEATURES) -> DataFrame:
+    """Linear quality-classifier scoring pass (fastText-style, Joulin
+    et al. 2016): sigmoid of the mean hashed-feature weight over the
+    doc's tokens — the model-free plumbing twin of the quality
+    classifiers (e.g. a wiki-vs-web logistic head) production
+    pipelines run over every document before selection.
+
+    The weight VECTOR here is the deterministic stand-in
+    w_b = ((b·KNUTH) mod 2001 − 1000)/1000 ∈ [−1, 1] so the operator
+    is fixture-free and oracle-checkable; swapping in trained weights
+    is a broadcast join against a (bucket, weight) table with the
+    identical plan (documented seam, like the multimodal decoder).
+
+    Scale shape: ZERO exchanges — the token array is transformed to
+    weights and summed IN-ARRAY (`aggregate`), so the whole score is
+    one codegen projection on the scan; no explode, no shuffle, no
+    Python. Returns (doc_id, source, n_tokens, quality_score,
+    is_quality) for docs with ≥1 token, score rounded to 6.
+    """
+    w_expr = (
+        f"transform(_toks, t -> "
+        f"((pmod(pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), {n_features}) "
+        f"* {KNUTH_HASH_CONST}, 2001)) - 1000) / 1000.0)"
+    )
+    z = F.expr(f"aggregate({w_expr}, cast(0.0 as double), (acc, x) -> acc + x)") / F.col(
+        "n_tokens"
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        df.select(
+            "doc_id", "source", _tokens(F.col("text")).alias("_toks")
+        )
+        .select("doc_id", "source", "_toks", F.size("_toks").cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(score, 6).alias("quality_score"),
+            (score >= 0.5).alias("is_quality"),
+        )
+    )
+
+
+def source_mixing_weights(df: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """Dedup-aware temperature mixing weights per source: weight ∝
+    (unique docs)^α normalized across sources, plus the effective
+    epoch count each source is replayed at under that mix — the
+    corpus-composition table (α < 1 upsamples small trusted sources,
+    standard multilingual/multi-source practice).
+
+    Uniqueness is exact-dedup grain (distinct md5 of normalized text),
+    so boilerplate-heavy sources don't buy weight with copies.
+
+    Scale shape: one count-distinct agg per source (Spark plans the
+    two-level partial expansion itself), then the α-power normalization
+    against a 1-row total broadcast — output is O(sources).
+
+    Returns (source, n_docs, n_unique, mix_weight, effective_epochs),
+    floats rounded to 6.
+    """
+    per_src = df.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(F.md5(F.lower(F.trim(F.col("text"))))).cast("long").alias("n_unique"),
+    )
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_unique").cast("double"), F.lit(alpha))).alias("wsum"),
+        F.sum("n_unique").cast("double").alias("u_total"),
+    )
+    w = F.pow(F.col("n_unique").cast("double"), F.lit(alpha)) / F.col("wsum")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(w, 6).alias("mix_weight"),
+        F.round(w * F.col("u_total") / F.col("n_unique"), 6).alias("effective_epochs"),
+    )
+
+
+def ccnet_perplexity_buckets(df: DataFrame) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): each doc's LM-quality proxy (the corpus char-trigram
+    average NLL from char_trigram_logprob) is cut at its language's
+    33rd/66th percentiles into head/middle/tail, and the report gives
+    each (lang, bucket)'s size and mean score — the table a pipeline
+    uses to keep head, sample middle, drop tail.
+
+    Scale shape: bucketing goes through per-language PERCENTILE
+    THRESHOLDS (one bounded agg, ≤ n_langs rows, broadcast back) —
+    NOT an ntile over a per-language global sort, which would
+    serialize each language through one partition at corpus scale.
+    Exact interpolated percentiles keep it oracle-checkable; at
+    extreme SF swap in approx_percentile with the same plan.
+
+    Returns (lang, ppl_bucket, n_docs, mean_nll), mean rounded to 6.
+    """
+    from mapreduce_golang_spark.operators.text_analysis import char_trigram_logprob
+
+    nll = char_trigram_logprob(df).select("doc_id", "avg_nll")
+    scored = df.select("doc_id", "lang").join(nll, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("p33"),
+        F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("p66"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("p33"), "head")
+        .when(F.col("avg_nll") <= F.col("p66"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("ppl_bucket"), "avg_nll")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+        )
+    )

@@ -410,6 +410,74 @@ def contamination_check(
     )
 
 
+def eval_decontamination(
+    df: DataFrame,
+    eval_sources: tuple = ("src18", "src19"),
+    k: int = 3,
+    threshold: float = 0.8,
+    max_train_doc_freq: int = 256,
+) -> DataFrame:
+    """Per-eval-doc decontamination report — the consumption shape run
+    before a training job: for EACH eval/benchmark document, the single
+    training document with the largest k-gram overlap and that overlap
+    fraction, plus a contaminated verdict at ``threshold``. Generalizes
+    contamination_check (which reports only corpus-level hit counts)
+    to the per-candidate-pair evidence an audit actually needs.
+
+    Scale shape: the train side collapses to DISTINCT (shingle, doc)
+    postings and shingles hotter than ``max_train_doc_freq`` train
+    docs are dropped from PAIR GENERATION only (boilerplate guard —
+    the same posting-list cap as ngram_jaccard_pairs; an uncapped
+    license-header shingle would fan every eval doc out to millions of
+    train docs). The pair join is hash-partitioned on the shingle, the
+    per-pair overlap one bounded agg, and the per-eval-doc argmax a
+    max_by pair aggregate. Eval docs with zero overlapping shingles
+    still appear (left join), best_train_doc NULL, overlap 0.
+
+    Returns (doc_id, n_shingles, best_train_doc, max_overlap,
+    contaminated); ties broken toward the smallest train doc_id.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    eval_df = df.where(F.col("source").isin(list(eval_sources)))
+    train_df = df.where(~F.col("source").isin(list(eval_sources)))
+    eval_sh = word_shingles(eval_df, k=k).select("doc_id", F.md5("shingle").alias("h"))
+    train_sh = word_shingles(train_df, k=k).select(
+        F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("h")
+    )
+    cold = train_sh.groupBy("h").agg(F.count("*").alias("df_h")).where(
+        F.col("df_h") <= max_train_doc_freq
+    )
+    train_cold = train_sh.join(cold.select("h"), "h", "left_semi")
+
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    pair_common = (
+        eval_sh.join(train_cold, "h")
+        .groupBy("doc_id", "train_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # argmax per eval doc: largest common count, then smallest train doc
+    best = pair_common.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("n_common"), (-F.col("train_doc")).alias("neg_td"), "train_doc"
+            ),
+            F.struct(F.col("n_common"), (-F.col("train_doc")).alias("neg_td")),
+        ).alias("b")
+    )
+    frac = F.col("b.n_common") / F.col("n_shingles")
+    return (
+        totals.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("b.train_doc").alias("best_train_doc"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("max_overlap"),
+            (F.coalesce(frac, F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def bigram_counts(df: DataFrame, k: int = 50) -> DataFrame:
     """Top-k corpus bigrams (adjacent letters-only token pairs) — the
     n>1 sibling of W1's unigram wordcount
@@ -779,8 +847,10 @@ def bm25_top_docs(df: DataFrame, k: int = 20) -> DataFrame:
     token array (the query-term list is a compile-time constant — no
     explode, no join against a term table), df/N/avgdl are tiny
     algebraic aggregates broadcast back as a 1-row dimension, and the
-    top-k is a TakeOrderedAndProject on the rounded score. One wide
-    exchange total (the final top-k), everything else narrow.
+    top-k is a real TakeOrderedAndProject (orderBy + limit — per-
+    partition heaps, no global sort); rank is then a row_number over
+    the k surviving rows only. One bounded exchange total (the k-row
+    top-k merge), everything else narrow.
 
     Returns (rank, doc_id, bm25) — rank by score desc, doc_id asc.
     """
@@ -819,10 +889,12 @@ def bm25_top_docs(df: DataFrame, k: int = 20) -> DataFrame:
         )
         score = part if score is None else score + part
     ranked = scored.select("doc_id", F.round(score, 6).alias("bm25"))
+    topk = ranked.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    # row_number here sees only the k rows that survived the
+    # TakeOrderedAndProject — a k-row single partition, not a global sort
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "bm25")
     )
 

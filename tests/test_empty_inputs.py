@@ -241,3 +241,24 @@ def test_wave6_ops_on_empty(spark, empty_docs, empty_events):
         ).count()
         == 0
     )
+
+
+def test_round6_mixing_ops_on_empty(spark, empty_docs):
+    from mapreduce_golang_spark.operators.dedup import minhash_ml_crosscheck
+    from mapreduce_golang_spark.operators.mixing import (
+        ccnet_perplexity_buckets,
+        dsir_importance_weights,
+        quality_classifier_scores,
+        source_mixing_weights,
+    )
+    from mapreduce_golang_spark.operators.text_analysis import eval_decontamination
+
+    assert dsir_importance_weights(empty_docs).count() == 0
+    assert quality_classifier_scores(empty_docs).count() == 0
+    assert source_mixing_weights(empty_docs).count() == 0
+    assert ccnet_perplexity_buckets(empty_docs).count() == 0
+    assert eval_decontamination(empty_docs).count() == 0
+    # the 1-row comparison report stays well-defined on empty input:
+    # zero pairs on both sides, vacuous agreement = 1
+    r = minhash_ml_crosscheck(empty_docs).collect()[0]
+    assert (r.n_ours, r.n_lib, r.n_common, r.agreement) == (0, 0, 0, 1.0)

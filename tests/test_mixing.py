@@ -1,0 +1,148 @@
+"""Round-6 data-mixing / selection wave: DSIR importance weights,
+linear quality scorer, temperature mixing weights, CCNet perplexity
+buckets, per-eval-doc decontamination, MinHashLSH library cross-check
+— oracle matches at the test SF plus crafted-input behavioral checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dsir_importance_weights",
+        "quality_classifier_scores",
+        "source_mixing_weights",
+        "ccnet_perplexity_buckets",
+        "eval_decontamination",
+    ],
+)
+def test_mixing_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+    )
+    assert n > 0
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from mapreduce_golang_spark.operators.mixing import dsir_importance_weights
+
+    # target vocabulary = {apple banana cherry}; raw doc 3 shares it,
+    # raw doc 4 is disjoint — the importance weight must rank 3 above 4
+    rows = [
+        ("apple banana cherry apple banana", "tgt"),
+        ("banana cherry apple cherry", "tgt"),
+        ("apple banana cherry banana apple", "raw"),
+        ("xylophone quartz vortex jumble crypt", "raw"),
+    ]
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_importance_weights(
+            _docs(spark, rows), target_sources=("tgt",)
+        ).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2] > out[3]
+
+
+def test_quality_scores_are_deterministic_and_bounded(spark):
+    from mapreduce_golang_spark.operators.mixing import quality_classifier_scores
+
+    rows = [
+        ("the quick brown fox jumps", "a"),
+        ("the quick brown fox jumps", "b"),  # same text → same score
+        ("completely different words here now", "a"),
+        ("", "a"),  # no tokens → dropped
+    ]
+    out = quality_classifier_scores(_docs(spark, rows)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {0, 1, 2}
+    assert by_id[0].quality_score == by_id[1].quality_score
+    for r in out:
+        assert 0.0 < r.quality_score < 1.0
+        assert r.is_quality == (r.quality_score >= 0.5)
+    assert by_id[0].n_tokens == 5
+
+
+def test_mixing_weights_are_dedup_aware(spark):
+    from mapreduce_golang_spark.operators.mixing import source_mixing_weights
+
+    # source a: 4 copies of one text (1 unique); source b: 2 unique
+    rows = [("same text", "a")] * 4 + [("unique one", "b"), ("unique two", "b")]
+    out = {r.source: r for r in source_mixing_weights(_docs(spark, rows)).collect()}
+    assert out["a"].n_docs == 4 and out["a"].n_unique == 1
+    assert out["b"].n_docs == 2 and out["b"].n_unique == 2
+    # α=0.7: w_a = 1/(1+2^0.7), w_b = 2^0.7/(1+2^0.7)
+    w_b_expected = 2**0.7 / (1 + 2**0.7)
+    assert abs(out["b"].mix_weight - round(w_b_expected, 6)) < 1e-9
+    assert abs(out["a"].mix_weight + out["b"].mix_weight - 1.0) < 1e-6
+    # upsampled small source replays more epochs than its fair share
+    assert out["a"].effective_epochs > 1.0 > out["b"].effective_epochs
+
+
+def test_ccnet_buckets_partition_each_lang(spark, sf_dir):
+    from mapreduce_golang_spark.operators.mixing import ccnet_perplexity_buckets
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(docs).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, {})[r.ppl_bucket] = r
+    doc_counts = {r.lang: r.cnt for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    for lang, buckets in per_lang.items():
+        assert sum(b.n_docs for b in buckets.values()) == doc_counts[lang]
+        if "head" in buckets and "tail" in buckets:
+            assert buckets["head"].mean_nll <= buckets["tail"].mean_nll
+
+
+def test_eval_decontamination_flags_exact_copy(spark):
+    from mapreduce_golang_spark.operators.text_analysis import eval_decontamination
+
+    train_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train_text, "train"),
+        ("iota kappa lambda mu nu xi omicron pi", "train"),
+        (train_text, "eval"),  # exact copy of train doc 0
+        ("rho sigma tau upsilon phi chi psi omega", "eval"),  # no overlap
+    ]
+    out = {
+        r.doc_id: r
+        for r in eval_decontamination(
+            _docs(spark, rows), eval_sources=("eval",)
+        ).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2].best_train_doc == 0
+    assert out[2].max_overlap == 1.0 and out[2].contaminated
+    assert out[3].best_train_doc is None
+    assert out[3].max_overlap == 0.0 and not out[3].contaminated
+
+
+def test_minhash_ml_crosscheck_agrees_on_clear_dups(spark):
+    from mapreduce_golang_spark.operators.dedup import minhash_ml_crosscheck
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (base, "a"),
+        (base, "a"),  # exact dup — every scheme must pair these
+        ("totally unrelated text with other tokens entirely", "b"),
+    ]
+    r = minhash_ml_crosscheck(_docs(spark, rows)).collect()[0]
+    assert r.n_ours >= 1 and r.n_lib >= 1
+    assert r.n_common <= min(r.n_ours, r.n_lib)
+    assert 0.0 <= r.agreement <= 1.0
+    # the exact-dup pair is unmissable for both sides
+    assert r.n_common >= 1

@@ -164,8 +164,15 @@ _BOUNDED_NLJ_OK = {
     "rfm_user_segments": 1,
     "ann_recall_report": 1,  # the brute-force leg's bounded query batch
     "char_trigram_logprob": 1,  # 1-row smoothing-mass totals
-    "event_weekday_chi2": 1,  # 1-row grand-total broadcast
+    "event_weekday_chi2": 2,  # types×7 dense-grid build + 1-row grand total
     "source_quality_drift": 2,  # sources×20-bin grid + 1-row corpus total
+    "dsir_importance_weights": 1,  # 1-row target/raw totals broadcast
+    "source_mixing_weights": 1,  # 1-row α-power normalizer broadcast
+    # trigram model's 1-row smoothing-totals broadcast; the static plan
+    # duplicates the NLL subtree under the cuts and scored branches
+    # (AQE's ReusedExchange collapses them at runtime)
+    "ccnet_perplexity_buckets": 2,
+    "minhash_ml_crosscheck": 1,  # hand-rolled leg's 1-row totals (if any)
 }
 
 

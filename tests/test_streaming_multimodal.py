@@ -27,6 +27,28 @@ def test_matches_oracle(spark, sf_dir, name):
         assert n > 0
 
 
+def test_streaming_incident_hours_nonempty_at_low_threshold(spark, sf_dir):
+    # The registered query's ≥5 threshold yields zero rows at sf0.001, so
+    # the parametrized oracle test above only proves empty==empty here.
+    # Lowering min_errors to 2 (25 qualifying hours at sf0.001) exercises
+    # the streaming window aggregation + threshold on non-empty output.
+    from mapreduce_golang_spark.streaming.events_stream import streaming_incident_hours
+
+    def fn(sp, d):
+        return streaming_incident_hours(sp, d, min_errors=2, query_name="stream_incidents_lo")
+
+    sql = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n_errors
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1
+        HAVING count(*) >= 2
+    """
+    n = assert_matches_oracle(spark, fn, sql, sf_dir)
+    assert n > 0
+
+
 def test_decode_media_is_explicit_stub():
     from mapreduce_golang_spark.operators.multimodal import decode_media
 
