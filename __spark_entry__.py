@@ -1181,6 +1181,26 @@ def _minhash_ml_crosscheck(spark, sf_dir):
     return _dedup.minhash_ml_crosscheck(load_table(spark, sf_dir, "documents"))
 
 
+def _pca_topvar(spark, sf_dir):
+    from mapreduce_golang_spark.operators import similarity
+
+    return similarity.embedding_pca_topvar(load_table(spark, sf_dir, "embeddings"))
+
+
+def _quality_sample(spark, sf_dir):
+    from mapreduce_golang_spark.operators import mixing
+
+    return mixing.quality_weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _packing_efficiency(spark, sf_dir):
+    return corpus.packing_efficiency_report(load_table(spark, sf_dir, "documents"))
+
+
+def _common_sentences(spark, sf_dir):
+    return text_analysis.common_sentence_filter(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1232,6 +1252,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ccnet_perplexity_buckets": _ccnet_buckets,
         "eval_decontamination": _eval_decontam,
         "minhash_ml_crosscheck": _minhash_ml_crosscheck,
+        "embedding_pca_topvar": _pca_topvar,
+        "quality_weighted_sample": _quality_sample,
+        "packing_efficiency_report": _packing_efficiency,
+        "common_sentence_filter": _common_sentences,
         # --- round-5 wave 6 (all driver-green in CORRECTNESS_r05) ---
         "kcore_docs": _kcore,
         "time_weighted_user_value": _twap,
@@ -4617,6 +4641,154 @@ _ORACLES["eval_decontamination"] = r"""
            round(coalesce(CAST(b.n_common AS DOUBLE) / t.n_shingles, 0.0), 6) AS max_overlap,
            coalesce(CAST(b.n_common AS DOUBLE) / t.n_shingles, 0.0) >= 0.8 AS contaminated
     FROM totals t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.doc_id = b.doc_id
+"""
+
+# operators/similarity.py::embedding_pca_topvar — covariance spectrum +
+# 8 unrolled power iterations. comp/cov are AS MATERIALIZED: cov is
+# referenced by every iteration and DuckDB would otherwise inline the
+# whole 2M-row second-moment join once per reference (the fd-exhaustion
+# failure mode documented for the pagerank oracles).
+def _pca_power_iter_sql(n_iters: int = 8) -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, n_iters + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT c.i, sum(c.c * v.v) AS w
+        FROM cov c JOIN {prev} v ON c.j = v.i
+        GROUP BY c.i
+    ),
+    v{t} AS (SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM w{t})""")
+        prev = f"v{t}"
+    return ",".join(steps), prev
+
+
+_PCA_ITERS_SQL, _PCA_FINAL_V = _pca_power_iter_sql(8)
+
+_ORACLES["embedding_pca_topvar"] = f"""
+    WITH comp AS MATERIALIZED (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    s AS (
+        SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s, count(*) AS n
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    mu AS (SELECT i, avg(x) AS mu FROM comp GROUP BY i),
+    cov AS MATERIALIZED (
+        SELECT s.i, s.j,
+               (s.s - s.n * mi.mu * mj.mu) / (s.n - 1) AS c, s.n AS n
+        FROM s JOIN mu mi ON s.i = mi.i JOIN mu mj ON s.j = mj.i
+    ),
+    v0 AS (
+        SELECT i, 1.0 / sqrt(count(*) OVER ()) AS v
+        FROM (SELECT DISTINCT i FROM cov)
+    ),{_PCA_ITERS_SQL}
+    SELECT n_vectors, dim, trace, top_eigenvalue,
+           round(top_eigenvalue / trace, 6) AS explained_ratio
+    FROM (
+        SELECT CAST(max(cov.n) AS BIGINT) AS n_vectors,
+               CAST(count(DISTINCT cov.i) AS BIGINT) AS dim,
+               round(sum(CASE WHEN cov.i = cov.j THEN cov.c ELSE 0 END), 6) AS trace,
+               round(sum(cov.c * vi.v * vj.v), 6) AS top_eigenvalue
+        FROM cov
+        JOIN {_PCA_FINAL_V} vi ON cov.i = vi.i
+        JOIN {_PCA_FINAL_V} vj ON cov.j = vj.i
+    )
+    WHERE n_vectors IS NOT NULL
+"""
+
+# operators/mixing.py::quality_weighted_sample — ES exponential ranks
+# keyed by the ROUNDED classifier score (round-before-downstream).
+_ORACLES["quality_weighted_sample"] = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_sum(list_transform(toks, tok ->
+                   ((((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256)
+                      * 2654435761) % 2001) - 1000) / 1000.0)) AS zsum
+        FROM t
+        WHERE len(toks) > 0
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-(zsum / n_tokens))), 6) AS quality_score
+        FROM s
+    ),
+    k AS (
+        SELECT source, doc_id, quality_score,
+               round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0) / quality_score, 12) AS wkey
+        FROM q
+    )
+    SELECT source, doc_id, quality_score, wkey, rk FROM (
+        SELECT source, doc_id, quality_score, wkey,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM k)
+    WHERE rk <= 5
+"""
+
+# operators/corpus.py::packing_efficiency_report — per-source bin audit
+# over pack_sequences' greedy bins (budget 2000).
+_ORACLES["packing_efficiency_report"] = r"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS bin
+        FROM sized
+    ),
+    packed AS (
+        SELECT source, bin, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM binned GROUP BY source, bin
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(total_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY source
+    )
+    SELECT source, n_bins,
+           CAST(ceil(total_tokens / CAST(2000 AS DOUBLE)) AS BIGINT) AS lb_bins,
+           total_tokens,
+           round(total_tokens / CAST(n_bins * 2000 AS DOUBLE), 6) AS fill_ratio,
+           round(1.0 - total_tokens / CAST(n_bins * 2000 AS DOUBLE), 6) AS waste_frac
+    FROM per_src
+"""
+
+# operators/text_analysis.py::common_sentence_filter — sentence-grain
+# boilerplate report (distinct per doc, corpus doc-freq ≥ 3).
+_ORACLES["common_sentence_filter"] = r"""
+    WITH sents AS (
+        SELECT DISTINCT doc_id, md5(trim(s)) AS h
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents
+        )
+        WHERE trim(s) <> ''
+    ),
+    freq AS (SELECT h, count(*) AS df_h FROM sents GROUP BY h),
+    common AS (SELECT h FROM freq WHERE df_h >= 3),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences FROM sents GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate
+        FROM sents WHERE h IN (SELECT h FROM common) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_sentences,
+           CAST(coalesce(hits.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           round(coalesce(hits.n_boilerplate, 0) / t.n_sentences, 6) AS boilerplate_frac
+    FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

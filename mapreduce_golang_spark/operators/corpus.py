@@ -275,3 +275,40 @@ def weighted_doc_sample(df: DataFrame, k: int = 5) -> DataFrame:
         keyed.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def packing_efficiency_report(df: DataFrame, budget_tokens: int = 2000) -> DataFrame:
+    """Packing-efficiency audit of pack_sequences' greedy bins: per
+    source, the bins used vs the information-theoretic lower bound
+    ceil(total_tokens/budget), the mean fill ratio, and the wasted
+    token fraction — the report that says whether the packing policy
+    (or the budget) is leaving context-window capacity on the floor
+    before a training run.
+
+    One bounded agg over the packing output (O(sources × bins) rows);
+    all ratios derive from exact integer token counts, so the report
+    hashes identically cross-engine.
+
+    Note: pack_sequences bins by PRE-sum, so a bin's last doc may
+    overflow the budget — fill_ratio can exceed 1 (waste_frac < 0) for
+    sources whose docs are large relative to the budget. That is the
+    honest audit of the greedy policy, and exactly the signal that
+    says "raise the budget or split long docs".
+
+    Returns (source, n_bins, lb_bins, total_tokens, fill_ratio,
+    waste_frac), ratios rounded to 6.
+    """
+    packed = pack_sequences(df, budget_tokens=budget_tokens)
+    per_src = packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+    capacity = F.col("n_bins") * F.lit(budget_tokens)
+    return per_src.select(
+        "source",
+        "n_bins",
+        F.ceil(F.col("total_tokens") / F.lit(float(budget_tokens))).cast("long").alias("lb_bins"),
+        "total_tokens",
+        F.round(F.col("total_tokens") / capacity, 6).alias("fill_ratio"),
+        F.round(F.lit(1.0) - F.col("total_tokens") / capacity, 6).alias("waste_frac"),
+    )

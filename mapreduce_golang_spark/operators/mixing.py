@@ -223,3 +223,36 @@ def ccnet_perplexity_buckets(df: DataFrame) -> DataFrame:
             F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
         )
     )
+
+
+def quality_weighted_sample(df: DataFrame, k: int = 5) -> DataFrame:
+    """Quality-weighted sampling without replacement, ``k`` docs per
+    source, inclusion probability ∝ the linear classifier's quality
+    score — the selection step that consumes quality_classifier_scores
+    (keep good docs preferentially, but keep SOME low-scoring mass for
+    diversity — the reason production pipelines sample by weight
+    instead of thresholding). Efraimidis–Spirakis exponential ranks:
+    key = ln(u)/score with u the md5-derived uniform (same recipe as
+    corpus.weighted_doc_sample), k largest keys per source win.
+
+    Deterministic and engine-portable: hash-derived uniform, the
+    ROUNDED score from the scoring pass feeds the key (round-before-
+    downstream discipline), key rounded to 12 with a doc_id tie-break.
+
+    Scale shape: scoring is the zero-exchange codegen pass; the key is
+    one more narrow expression; selection is one exchange on source +
+    a bounded top-k window. Returns (source, doc_id, quality_score,
+    wkey, rk).
+    """
+    scored = quality_classifier_scores(df)
+    uniform = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    keyed = scored.select(
+        "source",
+        "doc_id",
+        "quality_score",
+        F.round(F.log(uniform) / F.col("quality_score"), 12).alias("wkey"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
+    return keyed.withColumn("rk", F.row_number().over(w).cast("long")).where(F.col("rk") <= k)

@@ -437,3 +437,85 @@ def label_znorm_check(embeddings: DataFrame) -> DataFrame:
         )
 
     return embeddings.groupBy("label").applyInPandas(znorm, ZNORM_SCHEMA)
+
+
+def embedding_pca_topvar(embeddings: DataFrame, n_iters: int = 8) -> DataFrame:
+    """Top principal-component variance of the embedding cloud —
+    distributed PCA's first step (covariance spectrum) as a pure
+    DataFrame program: sample covariance matrix + ``n_iters`` power
+    iterations from a deterministic all-ones start, reported as the
+    top eigenvalue, the trace (total variance), and the explained-
+    variance ratio. The screen that tells an embedding pipeline
+    whether its vectors have collapsed toward one direction
+    (ratio → 1) or stay well-spread (ratio → 1/d).
+
+    Scale shape: the second-moment matrix is built IN-ROW (both
+    component indices posexplode from the same row — no self-join of
+    the exploded table), then one exchange into the BOUNDED (i, j)
+    grid (d² = 4096 keys at any SF, map-side partials). The
+    covariance table is localCheckpoint-ed once and the 8 power
+    iterations run entirely on d- and d²-row frames (join + agg +
+    unpartitioned-window normalize over 64 rows — bounded by
+    dimension, not corpus). Deterministic: fixed start, fixed
+    iteration count; both engines fold identical λ updates, and the
+    output is rounded to 6.
+
+    Returns one row: (n_vectors, dim, trace, top_eigenvalue,
+    explained_ratio).
+    """
+    e = F.col("embedding").cast("array<double>")
+    comp = embeddings.select(F.col("vec_id"), F.posexplode(e).alias("i", "xi"), e.alias("_e"))
+    pairs = comp.select("i", "xi", F.posexplode("_e").alias("j", "xj"))
+    s = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("s"), F.count("*").alias("n")
+    )
+    mu = embeddings.select(F.posexplode(e).alias("i", "xi")).groupBy("i").agg(
+        F.avg("xi").alias("mu")
+    )
+    cov = (
+        s.join(F.broadcast(mu.select(F.col("i"), F.col("mu").alias("mu_i"))), "i")
+        .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))), "j")
+        .select(
+            "i",
+            "j",
+            ((F.col("s") - F.col("n") * F.col("mu_i") * F.col("mu_j")) / (F.col("n") - 1)).alias("c"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    wall = Window.partitionBy()  # bounded: d rows, never corpus-sized
+    v = (
+        cov.select("i")
+        .distinct()
+        .select("i", (F.lit(1.0) / F.sqrt(F.count("*").over(wall))).alias("v"))
+    )
+    for _ in range(n_iters):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        v = w.select(
+            "i", (F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(wall))).alias("v")
+        )
+
+    return (
+        cov.join(F.broadcast(v.select(F.col("i"), F.col("v").alias("vi"))), "i")
+        .join(F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))), "j")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.count_distinct("i").cast("long").alias("dim"),
+            F.round(F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0.0)), 6).alias("trace"),
+            F.round(F.sum(F.col("c") * F.col("vi") * F.col("vj")), 6).alias("top_eigenvalue"),
+        )
+        .select(
+            "n_vectors",
+            "dim",
+            "trace",
+            "top_eigenvalue",
+            F.round(F.col("top_eigenvalue") / F.col("trace"), 6).alias("explained_ratio"),
+        )
+        # empty input → empty report, not a 1-row NULL aggregate
+        .where(F.col("n_vectors").isNotNull())
+    )

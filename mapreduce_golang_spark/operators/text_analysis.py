@@ -1050,3 +1050,52 @@ def source_quality_drift(df: DataFrame) -> DataFrame:
             F.round(F.max(diff), 6).alias("ks_stat"),
         )
     )
+
+
+def common_sentence_filter(df: DataFrame, min_doc_freq: int = 3) -> DataFrame:
+    """CCNet-style sentence-level boilerplate report: per doc, how many
+    of its distinct sentences occur in ≥ ``min_doc_freq`` documents
+    corpus-wide, and the removable fraction — the dedup grain BETWEEN
+    exact-doc and shingle-pair (cookie banners, nav text, license
+    footers repeat at sentence level long before whole docs do; CCNet
+    dedups exactly this way before language ID).
+
+    Scale shape: sentences are segmented + trimmed + DEDUPED IN-ARRAY
+    before the explode (same zero-exchange trick as word_shingles), so
+    the per-doc stream is already distinct; corpus doc-frequency is one
+    hash agg on the sentence hash; the common-set probe is a LEFT SEMI
+    join on that hash (shuffle ∝ distinct sentences, never pairs); one
+    final doc-keyed agg. Docs whose sentences are all rare report 0.
+
+    Returns (doc_id, n_sentences, n_boilerplate, boilerplate_frac) for
+    docs with ≥1 sentence, fraction rounded to 6.
+    """
+    sents = F.expr(
+        f"array_distinct(filter(transform(split(text, '{SENTENCE_SPLIT_RE}'), "
+        f"x -> trim(x)), x -> x != ''))"
+    )
+    sent_df = (
+        df.select("doc_id", F.explode(sents).alias("sent"))
+        .select("doc_id", F.md5("sent").alias("h"))
+        .localCheckpoint(eager=False)  # feeds doc-freq AND the probe once
+    )
+    common = (
+        sent_df.groupBy("h")
+        .agg(F.count("*").alias("df_h"))
+        .where(F.col("df_h") >= min_doc_freq)
+        .select("h")
+    )
+    totals = sent_df.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sentences"))
+    hits = (
+        sent_df.join(common, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_boilerplate"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sentences",
+        F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_sentences"), 6
+        ).alias("boilerplate_frac"),
+    )

@@ -262,3 +262,15 @@ def test_round6_mixing_ops_on_empty(spark, empty_docs):
     # zero pairs on both sides, vacuous agreement = 1
     r = minhash_ml_crosscheck(empty_docs).collect()[0]
     assert (r.n_ours, r.n_lib, r.n_common, r.agreement) == (0, 0, 0, 1.0)
+
+
+def test_round6_wave2_ops_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators.corpus import packing_efficiency_report
+    from mapreduce_golang_spark.operators.mixing import quality_weighted_sample
+    from mapreduce_golang_spark.operators.similarity import embedding_pca_topvar
+    from mapreduce_golang_spark.operators.text_analysis import common_sentence_filter
+
+    assert embedding_pca_topvar(empty_emb).count() == 0
+    assert quality_weighted_sample(empty_docs).count() == 0
+    assert packing_efficiency_report(empty_docs).count() == 0
+    assert common_sentence_filter(empty_docs).count() == 0

@@ -146,3 +146,114 @@ def test_minhash_ml_crosscheck_agrees_on_clear_dups(spark):
     assert 0.0 <= r.agreement <= 1.0
     # the exact-dup pair is unmissable for both sides
     assert r.n_common >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "embedding_pca_topvar",
+        "quality_weighted_sample",
+        "packing_efficiency_report",
+        "common_sentence_filter",
+    ],
+)
+def test_wave2_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+    )
+    assert n > 0
+
+
+def test_pca_finds_dominant_axis(spark):
+    from mapreduce_golang_spark.operators.similarity import embedding_pca_topvar
+
+    # all variance on axis 0 → top eigenvalue == trace, ratio == 1
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0], 0) for i in range(4)],
+        ["vec_id", "embedding", "label"],
+    )
+    r = embedding_pca_topvar(emb).collect()[0]
+    assert r.n_vectors == 4 and r.dim == 4
+    # sample variance of [0,1,2,3] = 5/3
+    assert abs(r.trace - round(5.0 / 3.0, 6)) < 1e-9
+    assert abs(r.top_eigenvalue - r.trace) < 1e-5
+    assert abs(r.explained_ratio - 1.0) < 1e-5
+
+
+def test_pca_isotropic_cloud_splits_variance(spark):
+    from mapreduce_golang_spark.operators.similarity import embedding_pca_topvar
+
+    # two orthogonal axes with EQUAL variance → no direction explains
+    # more than ~half the trace
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [-1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [0.0, -1.0], 0),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    r = embedding_pca_topvar(emb).collect()[0]
+    assert r.explained_ratio <= 0.500001
+
+
+def test_quality_weighted_sample_respects_k_and_scores(spark, sf_dir):
+    from mapreduce_golang_spark.operators.mixing import (
+        quality_classifier_scores,
+        quality_weighted_sample,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_weighted_sample(docs, k=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    scores = {
+        r.doc_id: r.quality_score for r in quality_classifier_scores(docs).collect()
+    }
+    for src, rows in by_src.items():
+        assert len(rows) <= 3
+        assert sorted(r.rk for r in rows) == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: r.rk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.wkey, -a.doc_id) >= (b.wkey, -b.doc_id)
+        for r in rows:
+            assert r.quality_score == scores[r.doc_id]
+
+
+def test_packing_efficiency_overflow_semantics(spark):
+    from mapreduce_golang_spark.operators.corpus import packing_efficiency_report
+
+    # 3 docs × 10 tokens, budget 25: greedy pre-sum binning puts all
+    # three in bin 0 (pre-sums 0/10/20 < 25) → fill 30/25 = 1.2
+    text = " ".join(["tok"] * 10)
+    docs = spark.createDataFrame(
+        [(i, text, "en", "a", len(text)) for i in range(3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = packing_efficiency_report(docs, budget_tokens=25).collect()[0]
+    assert (r.n_bins, r.total_tokens, r.lb_bins) == (1, 30, 2)
+    assert r.fill_ratio == 1.2 and r.waste_frac == -0.2
+
+
+def test_common_sentence_filter_flags_boilerplate(spark):
+    from mapreduce_golang_spark.operators.text_analysis import common_sentence_filter
+
+    rows = [
+        ("buy now. unique alpha text.", "a"),
+        ("buy now. unique beta text.", "a"),
+        ("buy now. unique gamma text.", "b"),
+        ("only original content here.", "b"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in common_sentence_filter(docs, min_doc_freq=3).collect()}
+    for i in range(3):
+        assert out[i].n_sentences == 2
+        assert out[i].n_boilerplate == 1  # "buy now" appears in 3 docs
+        assert out[i].boilerplate_frac == 0.5
+    assert out[3].n_boilerplate == 0 and out[3].boilerplate_frac == 0.0
