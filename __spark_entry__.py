@@ -1201,6 +1201,46 @@ def _common_sentences(spark, sf_dir):
     return text_analysis.common_sentence_filter(load_table(spark, sf_dir, "documents"))
 
 
+def _streaming_wc(spark, sf_dir):
+    return events_stream.streaming_word_counts(spark, sf_dir)
+
+
+def _bpe_candidates(spark, sf_dir):
+    return text_analysis.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def _top_p_selection(spark, sf_dir):
+    from mapreduce_golang_spark.operators import mixing
+
+    return mixing.corpus_top_p_selection(load_table(spark, sf_dir, "documents"))
+
+
+def _quant_report(spark, sf_dir):
+    return similarity.embedding_quantization_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _leakage_splits(spark, sf_dir):
+    from mapreduce_golang_spark.operators import mixing
+
+    return mixing.leakage_safe_splits(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _split_leakage(spark, sf_dir):
+    from mapreduce_golang_spark.operators import mixing
+
+    return mixing.split_leakage_audit(
+        load_table(spark, sf_dir, "documents"), pairs=_pair_graph(spark, sf_dir)
+    )
+
+
+def _token_budget(spark, sf_dir):
+    from mapreduce_golang_spark.operators import mixing
+
+    return mixing.token_budget_allocation(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1256,6 +1296,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quality_weighted_sample": _quality_sample,
         "packing_efficiency_report": _packing_efficiency,
         "common_sentence_filter": _common_sentences,
+        "streaming_word_counts": _streaming_wc,
+        "bpe_merge_candidates": _bpe_candidates,
+        "corpus_top_p_selection": _top_p_selection,
+        "embedding_quantization_report": _quant_report,
+        "leakage_safe_splits": _leakage_splits,
+        "split_leakage_audit": _split_leakage,
+        "token_budget_allocation": _token_budget,
         # --- round-5 wave 6 (all driver-green in CORRECTNESS_r05) ---
         "kcore_docs": _kcore,
         "time_weighted_user_value": _twap,
@@ -4789,6 +4836,189 @@ _ORACLES["common_sentence_filter"] = r"""
            CAST(coalesce(hits.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
            round(coalesce(hits.n_boilerplate, 0) / t.n_sentences, 6) AS boilerplate_frac
     FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""
+
+# streaming/events_stream.py::streaming_word_counts — the reference's
+# W1 wc drained from a documents file stream; on finite input it equals
+# the batch word count, so it shares wc's oracle verbatim.
+_ORACLES["streaming_word_counts"] = _ORACLES["wc"]
+
+# operators/text_analysis.py::bpe_merge_candidates — one BPE training
+# round's pair-count table (word-frequency-weighted adjacent chars).
+_ORACLES["bpe_merge_candidates"] = r"""
+    WITH wf AS (
+        SELECT tok, count(*) AS wc
+        FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                   x -> x <> '')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                      i -> substr(tok, CAST(i AS INTEGER), 1) || ' ' ||
+                           substr(tok, CAST(i + 1 AS INTEGER), 1))) AS pair,
+               wc
+        FROM wf WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+"""
+
+# operators/mixing.py::corpus_top_p_selection — per-source quality-mass
+# prefix (p=0.5); the window cumsum folds in one defined order in both
+# engines, so the inclusion predicate is bit-identical.
+_ORACLES["corpus_top_p_selection"] = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_sum(list_transform(toks, tok ->
+                   ((((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256)
+                      * 2654435761) % 2001) - 1000) / 1000.0)) AS zsum
+        FROM t
+        WHERE len(toks) > 0
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-(zsum / n_tokens))), 6) AS quality_score
+        FROM s
+    ),
+    c AS (
+        SELECT source, doc_id, quality_score,
+               sum(quality_score) OVER (PARTITION BY source
+                                        ORDER BY quality_score DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(quality_score) OVER (PARTITION BY source) AS tot
+        FROM q
+    )
+    SELECT source, doc_id, quality_score, round(cum, 6) AS cum_mass
+    FROM c
+    WHERE cum - quality_score < CAST(0.5 AS DOUBLE) * tot
+"""
+
+# operators/similarity.py::embedding_quantization_report — int8
+# symmetric quantization QA; floor(x/s + 0.5) spelled out in both
+# engines so round()-mode ambiguity never enters.
+_ORACLES["embedding_quantization_report"] = """
+    WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, scale,
+               CASE WHEN scale > 0 THEN
+                   list_sum(list_transform(e, x ->
+                       pow(x - floor(x / scale + 0.5) * scale, 2.0))) / len(e)
+               ELSE 0.0 END AS mse
+        FROM v
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(mse), 12) AS avg_mse,
+           round(max(mse), 12) AS max_mse,
+           round(avg(scale), 6) AS avg_scale
+    FROM m GROUP BY label
+"""
+
+# operators/mixing.py::leakage_safe_splits — component-grain split
+# assignment over the transitive-closure components oracle (subquery
+# idiom as dup_cluster_size_hist); md5-prefix bucket of the component
+# id string, same engine-portable idiom as the mixing scorer.
+_ORACLES["leakage_safe_splits"] = f"""
+    SELECT doc_id, component_id,
+           CASE WHEN b < 100 THEN 'test'
+                WHEN b < 200 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id, component_id,
+               CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000 AS b
+        FROM ({_ORACLES["near_dup_components"]})
+    )
+"""
+
+# operators/mixing.py::split_leakage_audit — cross-split pair counts
+# for the naive doc-hash policy vs the component policy, over the same
+# near-dup pair graph.
+_ORACLES["split_leakage_audit"] = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    ),
+    reach_min AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+    comp AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(r.mn, d.doc_id)) AS component_id
+        FROM documents d LEFT JOIN reach_min r ON d.doc_id = r.u
+    ),
+    comp_split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'test'
+                    WHEN CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM comp
+    ),
+    doc_split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'test'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT 'doc_hash' AS policy,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs,
+           round(CASE WHEN count(*) > 0
+                 THEN CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)
+                 ELSE 0.0 END, 6) AS leakage_frac
+    FROM pairs p JOIN doc_split a ON p.doc_a = a.doc_id
+                 JOIN doc_split b ON p.doc_b = b.doc_id
+    UNION ALL
+    SELECT 'component' AS policy,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs,
+           round(CASE WHEN count(*) > 0
+                 THEN CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)
+                 ELSE 0.0 END, 6) AS leakage_frac
+    FROM pairs p JOIN comp_split a ON p.doc_a = a.doc_id
+                 JOIN comp_split b ON p.doc_b = b.doc_id
+"""
+
+# operators/mixing.py::token_budget_allocation — token-grain α=0.7
+# temperature allocation of a 0.5·total budget; same per-source agg +
+# 1-row-total idiom as source_mixing_weights.
+_ORACLES["token_budget_allocation"] = r"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                            x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), CAST(0.7 AS DOUBLE))) AS wsum,
+                   CAST(sum(n_tokens) AS DOUBLE) AS t_total
+            FROM per_src)
+    SELECT source, n_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), CAST(0.7 AS DOUBLE)) / wsum, 6) AS mix_weight,
+           round(pow(CAST(n_tokens AS DOUBLE), CAST(0.7 AS DOUBLE)) / wsum
+                 * CAST(0.5 AS DOUBLE) * t_total, 6) AS alloc_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), CAST(0.7 AS DOUBLE)) / wsum
+                 * CAST(0.5 AS DOUBLE) * t_total / n_tokens, 6) AS epochs,
+           (pow(CAST(n_tokens AS DOUBLE), CAST(0.7 AS DOUBLE)) / wsum
+                 * CAST(0.5 AS DOUBLE) * t_total) > n_tokens AS oversampled
+    FROM per_src CROSS JOIN tot
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -256,3 +256,195 @@ def quality_weighted_sample(df: DataFrame, k: int = 5) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
     return keyed.withColumn("rk", F.row_number().over(w).cast("long")).where(F.col("rk") <= k)
+
+
+def corpus_top_p_selection(df: DataFrame, p: float = 0.5) -> DataFrame:
+    """Nucleus-style (top-p) corpus truncation per source: order docs
+    by classifier quality descending and keep the smallest prefix
+    whose score mass reaches ``p`` of the source's total — the
+    budgeted selection policy that keeps the best docs while spending
+    a fixed fraction of the quality mass (a doc is kept iff the mass
+    BEFORE it is < p·total, so the boundary doc is included).
+
+    Determinism: the window cumsum folds scores in one defined order
+    (score desc, doc_id asc) in both engines, so the running mass is
+    bit-identical, not merely round-close; output rounds to 6.
+
+    Scale shape: scoring is the zero-exchange codegen pass; selection
+    is one exchange on source + an ordered window per source. A
+    per-source ordered scan serializes that source through one
+    partition at extreme SF — at 100 TB replace the exact prefix with
+    a score-threshold search (2–3 aggregate passes bisecting the
+    threshold), same answer to within one doc; the exact form here is
+    what makes the operator oracle-checkable.
+
+    Returns (source, doc_id, quality_score, cum_mass) for kept docs.
+    """
+    scored = quality_classifier_scores(df)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    cum = F.sum("quality_score").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("quality_score").over(Window.partitionBy("source"))
+    return (
+        scored.select(
+            "source",
+            "doc_id",
+            "quality_score",
+            cum.alias("_cum"),
+            total.alias("_tot"),
+        )
+        .where(F.col("_cum") - F.col("quality_score") < F.lit(p) * F.col("_tot"))
+        .select("source", "doc_id", "quality_score", F.round("_cum", 6).alias("cum_mass"))
+    )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across splits: the unit of assignment is the near-dup connected
+    COMPONENT, not the document. Every doc inherits its component's
+    deterministic hash bucket, so a doc and its fuzzed copies land in
+    the same split by construction — the policy eval-integrity work
+    demands (doc-level random splits put one paraphrase in train and
+    its twin in test, inflating eval scores; see the contamination
+    literature, e.g. Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Buckets: md5(component_id) mod 1000 — first ``test_permille``
+    buckets → test, next ``val_permille`` → val, rest → train; the
+    same engine-portable md5 idiom as deterministic_doc_sample, so
+    the assignment is reproducible run-to-run and engine-to-engine.
+
+    Scale shape: the component labels come from the pointer-jumping
+    loop (O(log diameter) rounds over the banded pair graph — never
+    all-pairs); the assignment itself is one narrow projection on the
+    labels, no extra exchange. Returns (doc_id, component_id, split).
+    """
+    from mapreduce_golang_spark.operators.dedup import near_dup_components
+
+    comp = near_dup_components(df, pairs=pairs)
+    bucket = _md5_bucket(F.col("component_id").cast("string"), 1000)
+    split = (
+        F.when(bucket < F.lit(test_permille), "test")
+        .when(bucket < F.lit(test_permille + val_permille), "val")
+        .otherwise("train")
+    )
+    return comp.select("doc_id", "component_id", split.alias("split"))
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """Side-by-side leakage audit of two split policies over the SAME
+    near-dup pair graph: ``doc_hash`` (the naive policy — bucket each
+    doc independently by md5(doc_id)) vs ``component`` (the
+    leakage-safe policy above). For each policy it counts the pairs
+    whose endpoints landed in different splits — the number the
+    component policy drives to zero by construction and the naive
+    policy does not; shipping both in one report is the QA artifact
+    that justifies the more expensive policy.
+
+    Scale shape: both assignments are narrow maps over doc_id /
+    component labels; the audit is two broadcast-free equi-joins of
+    the (bounded, banded) pair graph against the assignment table and
+    a 2-row agg. Returns (policy, n_pairs, n_cross_pairs,
+    leakage_frac) with leakage_frac rounded to 6.
+    """
+    from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+
+    def _bucket_to_split(bucket):
+        return (
+            F.when(bucket < F.lit(test_permille), "test")
+            .when(bucket < F.lit(test_permille + val_permille), "val")
+            .otherwise("train")
+        )
+
+    comp_splits = leakage_safe_splits(
+        df, pairs=pairs, val_permille=val_permille, test_permille=test_permille
+    ).select("doc_id", "split")
+    doc_splits = df.select(
+        "doc_id",
+        _bucket_to_split(_md5_bucket(F.col("doc_id").cast("string"), 1000)).alias("split"),
+    )
+
+    def _audit(assign: DataFrame, policy: str) -> DataFrame:
+        a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+        b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.coalesce(
+                    F.sum((F.col("split_a") != F.col("split_b")).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_cross_pairs"),
+            )
+            .select(
+                F.lit(policy).alias("policy"),
+                "n_pairs",
+                "n_cross_pairs",
+                F.round(
+                    F.when(
+                        F.col("n_pairs") > 0,
+                        F.col("n_cross_pairs") / F.col("n_pairs"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("leakage_frac"),
+            )
+        )
+
+    return _audit(doc_splits, "doc_hash").unionByName(_audit(comp_splits, "component"))
+
+
+def token_budget_allocation(
+    df: DataFrame, budget_ratio: float = 0.5, alpha: float = 0.7
+) -> DataFrame:
+    """Token-grain training-budget allocation across sources under a
+    temperature-α mix: each source's share of a ``budget_ratio``·total
+    token budget is (tokens_α-weighted), and the report states how
+    many EPOCHS of each source that allocation implies — the
+    corpus-composition table an LLM run is actually configured from
+    (the per-dataset epochs column in GPT-3/Llama-style data tables;
+    α < 1 upsamples small sources, so their epochs exceed 1 while
+    giant web crawls train for a fraction of an epoch).
+
+    Scale shape: one per-source token-sum agg (map-side partials),
+    a 1-row total broadcast, then an O(sources) projection — the
+    whole report is bounded by the number of sources regardless of
+    corpus size. Returns (source, n_tokens, mix_weight, alloc_tokens,
+    epochs, oversampled), floats rounded to 6; alloc_tokens is kept
+    fractional (rounding policy belongs to the consumer).
+    """
+    toks = _tokens(F.col("text"))
+    per_src = (
+        df.select("source", F.size(toks).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("wsum"),
+        F.sum("n_tokens").cast("double").alias("t_total"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("wsum")
+    alloc = w * F.lit(budget_ratio) * F.col("t_total")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("mix_weight"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        (alloc > F.col("n_tokens")).alias("oversampled"),
+    )

@@ -519,3 +519,49 @@ def embedding_pca_topvar(embeddings: DataFrame, n_iters: int = 8) -> DataFrame:
         # empty input → empty report, not a 1-row NULL aggregate
         .where(F.col("n_vectors").isNotNull())
     )
+
+
+def embedding_quantization_report(embeddings: DataFrame) -> DataFrame:
+    """Int8 symmetric-quantization QA per label: quantize each vector
+    with its own scale max|x|/127, reconstruct, and report the
+    per-label reconstruction error — the storage-compression audit a
+    vector index runs before committing to int8 (embedding stores cut
+    4× by quantizing; this table says what that costs per region of
+    the space).
+
+    Rounding to the integer grid uses floor(x/scale + 0.5) EXPLICITLY
+    in both engines (banker's-vs-half-up round() ambiguity never
+    enters); the per-vector MSE is an in-array left fold, so it is
+    bit-identical cross-engine before the final per-label averages.
+
+    Scale shape: quantize + reconstruct + MSE all happen in one
+    codegen projection over the scan (zero exchanges); the only
+    shuffle is the bounded per-label agg. Returns (label, n_vectors,
+    avg_mse, max_mse, avg_scale), floats rounded to 6 (mse 12 — the
+    errors are ~1e-5²).
+    """
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    err2 = F.when(
+        F.col("_scale") > 0,
+        F.aggregate(
+            F.transform(
+                "_e",
+                lambda x: F.pow(
+                    x - F.floor(x / F.col("_scale") + 0.5) * F.col("_scale"), F.lit(2.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("_e"),
+    ).otherwise(F.lit(0.0))
+    per_vec = embeddings.select(
+        "label", e.alias("_e"), scale.alias("_scale")
+    ).select("label", F.col("_scale").alias("scale"), err2.alias("mse"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("mse"), 12).alias("avg_mse"),
+        F.round(F.max("mse"), 12).alias("max_mse"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )

@@ -1099,3 +1099,38 @@ def common_sentence_filter(df: DataFrame, min_doc_freq: int = 3) -> DataFrame:
             F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_sentences"), 6
         ).alias("boilerplate_frac"),
     )
+
+
+def bpe_merge_candidates(df: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k adjacent character-pair frequencies over the word-level
+    corpus — the statistic one round of BPE tokenizer training
+    consumes (Sennrich et al. 2016: each round merges the most
+    frequent adjacent symbol pair; this operator IS that round's
+    count table, word-frequency-weighted as in the original
+    algorithm). A full trainer would re-segment and loop — each round
+    is exactly this plan over the merged symbol stream.
+
+    Scale shape: word frequencies first collapse to the distinct-word
+    table (the wordcount exchange — pair extraction then runs per
+    DISTINCT word, not per occurrence); in-word adjacent pairs are
+    built IN-ARRAY from substrings (no char-level explode of the raw
+    corpus), and the pair agg is bounded by alphabet² in the tail.
+    Top-k is a TakeOrderedAndProject with a deterministic pair
+    tie-break. Returns (pair, n) — 'a b'-style space-joined pairs.
+    """
+    toks = F.explode(
+        F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    ).alias("tok")
+    word_freq = df.select(toks).groupBy("tok").agg(F.count("*").alias("wc"))
+    pairs = F.expr(
+        "transform(sequence(1, length(tok) - 1), "
+        "i -> concat(substring(tok, i, 1), ' ', substring(tok, i + 1, 1)))"
+    )
+    return (
+        word_freq.where(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -472,3 +472,52 @@ def streaming_incident_hours(
             F.col("n_errors").cast("long").alias("n_errors"),
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents fixture (schema declared up
+    front, glob-filtered to the one file — same topology as
+    read_events_stream; no event-time normalization needed because
+    documents carry no timestamp)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_word_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_wc"
+) -> DataFrame:
+    """The reference's flagship workload — wc (W1,
+    /root/reference/src/mrapps/wc.go:28-43) — computed BY THE
+    STREAMING ENGINE: the documents corpus as a file stream, token
+    explode, running per-word counts in complete mode. On finite input
+    the drained result equals the batch word count exactly, so the
+    same oracle covers both; in production the stream keeps counting
+    as new corpus shards land (the incremental-ingest form of the
+    reference's batch-only pipeline).
+
+    State is one counter per distinct word — the wordcount topology's
+    natural state bound; the explode stays narrow and only the
+    (word → count) agg exchanges, identical to the batch plan.
+    Returns (word, cnt).
+    """
+    from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+    docs = read_documents_stream(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.array_remove(F.split(F.col("text"), LETTERS_ONLY_RE), "")).alias("word")
+    )
+    agg = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select("word", F.col("cnt").cast("long").alias("cnt"))

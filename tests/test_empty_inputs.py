@@ -274,3 +274,30 @@ def test_round6_wave2_ops_on_empty(spark, empty_docs, empty_emb):
     assert quality_weighted_sample(empty_docs).count() == 0
     assert packing_efficiency_report(empty_docs).count() == 0
     assert common_sentence_filter(empty_docs).count() == 0
+
+
+def test_round6_wave3_ops_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators.mixing import corpus_top_p_selection
+    from mapreduce_golang_spark.operators.similarity import (
+        embedding_quantization_report,
+    )
+    from mapreduce_golang_spark.operators.text_analysis import bpe_merge_candidates
+
+    assert bpe_merge_candidates(empty_docs).count() == 0
+    assert corpus_top_p_selection(empty_docs).count() == 0
+    assert embedding_quantization_report(empty_emb).count() == 0
+
+
+def test_round6_wave4_ops_on_empty(spark, empty_docs):
+    from mapreduce_golang_spark.operators.mixing import (
+        leakage_safe_splits,
+        split_leakage_audit,
+        token_budget_allocation,
+    )
+
+    assert leakage_safe_splits(empty_docs).count() == 0
+    audit = {r.policy: r for r in split_leakage_audit(empty_docs).collect()}
+    assert set(audit) == {"doc_hash", "component"}
+    for r in audit.values():
+        assert r.n_pairs == 0 and r.n_cross_pairs == 0 and r.leakage_frac == 0.0
+    assert token_budget_allocation(empty_docs).count() == 0

@@ -257,3 +257,144 @@ def test_common_sentence_filter_flags_boilerplate(spark):
         assert out[i].n_boilerplate == 1  # "buy now" appears in 3 docs
         assert out[i].boilerplate_frac == 0.5
     assert out[3].n_boilerplate == 0 and out[3].boilerplate_frac == 0.0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bpe_merge_candidates", "corpus_top_p_selection", "embedding_quantization_report"],
+)
+def test_wave3_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+    )
+    assert n > 0
+
+
+def test_bpe_candidates_weight_by_word_frequency(spark):
+    from mapreduce_golang_spark.operators.text_analysis import bpe_merge_candidates
+
+    # "aaab" ×2 as two docs: pairs per word = {a a: 2, a b: 1},
+    # word-frequency weighting doubles both
+    docs = _docs(spark, [("aaab", "s"), ("aaab", "s")])
+    out = {r.pair: r.n for r in bpe_merge_candidates(docs).collect()}
+    assert out == {"a a": 4, "a b": 2}
+
+
+def test_top_p_keeps_quality_prefix(spark, sf_dir):
+    from mapreduce_golang_spark.operators.mixing import (
+        corpus_top_p_selection,
+        quality_classifier_scores,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = 0.5
+    kept = {
+        (r.source, r.doc_id) for r in corpus_top_p_selection(docs, p=p).collect()
+    }
+    by_src = {}
+    for r in quality_classifier_scores(docs).collect():
+        by_src.setdefault(r.source, []).append((r.quality_score, r.doc_id))
+    expected = set()
+    for src, rows in by_src.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(s for s, _ in rows)
+        cum = 0.0
+        for s, d in rows:
+            if cum < p * total:
+                expected.add((src, d))
+            cum += s
+    assert kept == expected
+    # every source keeps at least one doc, never all the mass twice over
+    for src, rows in by_src.items():
+        n_kept = sum(1 for s, d in kept if s == src)
+        assert 1 <= n_kept <= len(rows)
+
+
+def test_quantization_report_exact_and_degenerate(spark):
+    from mapreduce_golang_spark.operators.similarity import (
+        embedding_quantization_report,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [127.0, 0.0], 1),  # scale 1.0, values on the int grid → mse 0
+            (1, [0.0, 0.0], 2),    # all-zero → scale 0 → mse 0 by definition
+            (2, [1.0, 0.5], 3),    # 0.5/scale = 63.5 rounds to 64 → nonzero err
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r.label: r for r in embedding_quantization_report(emb).collect()}
+    assert out[1].avg_mse == 0.0 and out[1].avg_scale == 1.0
+    assert out[2].avg_mse == 0.0 and out[2].avg_scale == 0.0
+    scale = 1.0 / 127.0
+    err = 0.5 - 64.0 * scale
+    assert abs(out[3].avg_mse - (err * err) / 2.0) < 1e-12
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["leakage_safe_splits", "split_leakage_audit", "token_budget_allocation"],
+)
+def test_wave4_matches_oracle(spark, sf_dir, name):
+    n = assert_matches_oracle(
+        spark, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir
+    )
+    assert n > 0
+
+
+def test_leakage_safe_splits_keep_components_together(spark):
+    from mapreduce_golang_spark.operators.mixing import leakage_safe_splits
+
+    # docs 0/1 are near-dup twins (one shingle swap), 2 is unrelated;
+    # supply the pair explicitly so the test pins the split invariant,
+    # not the candidate generator.
+    docs = _docs(
+        spark,
+        [
+            ("alpha beta gamma delta epsilon", "s"),
+            ("alpha beta gamma delta zeta", "s"),
+            ("totally different words here now", "s"),
+        ],
+    )
+    pairs = spark.createDataFrame([(0, 1, 0.67)], ["doc_a", "doc_b", "jaccard"])
+    out = {r.doc_id: r for r in leakage_safe_splits(docs, pairs=pairs).collect()}
+    assert len(out) == 3
+    # the twins share a component and therefore a split — by construction
+    assert out[0].component_id == out[1].component_id == 0
+    assert out[0].split == out[1].split
+    assert out[2].component_id == 2
+    for r in out.values():
+        assert r.split in ("train", "val", "test")
+
+
+def test_split_leakage_audit_component_policy_is_leak_free(spark, sf_dir):
+    from mapreduce_golang_spark.operators.mixing import split_leakage_audit
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r.policy: r for r in split_leakage_audit(docs).collect()}
+    assert set(rows) == {"doc_hash", "component"}
+    # the leakage-safe policy cannot cross-assign a pair, ever
+    assert rows["component"].n_cross_pairs == 0
+    assert rows["component"].leakage_frac == 0.0
+    assert rows["doc_hash"].n_pairs == rows["component"].n_pairs
+
+
+def test_token_budget_allocation_sums_to_budget(spark):
+    from mapreduce_golang_spark.operators.mixing import token_budget_allocation
+
+    docs = _docs(
+        spark,
+        [("one two three four", "big")] * 6 + [("five six", "small")],
+    )
+    out = {r.source: r for r in token_budget_allocation(docs, budget_ratio=0.5).collect()}
+    assert out["big"].n_tokens == 24 and out["small"].n_tokens == 2
+    # allocations exhaust the budget (0.5 · 26 tokens)
+    total_alloc = sum(r.alloc_tokens for r in out.values())
+    assert total_alloc == pytest.approx(13.0, abs=1e-4)
+    # α=0.7 tilts toward the small source: its epochs exceed big's
+    assert out["small"].epochs > out["big"].epochs
+    # oversampled flag consistent with epochs > 1
+    for r in out.values():
+        assert r.oversampled == (r.epochs > 1.0)

@@ -173,6 +173,7 @@ _BOUNDED_NLJ_OK = {
     # (AQE's ReusedExchange collapses them at runtime)
     "ccnet_perplexity_buckets": 2,
     "minhash_ml_crosscheck": 1,  # hand-rolled leg's 1-row totals (if any)
+    "token_budget_allocation": 1,  # 1-row α-power normalizer broadcast
 }
 
 

@@ -16,6 +16,7 @@ from tests.oracle import assert_matches_oracle
         "streaming_segment_counts",
         "streaming_hopping_counts",
         "streaming_incident_hours",
+        "streaming_word_counts",
         "media_features",
     ],
 )
