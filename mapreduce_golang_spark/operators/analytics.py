@@ -562,3 +562,238 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("chi2"),
         )
     )
+
+
+def event_type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Association mining over per-user behavior: for every unordered
+    pair of event types, the number of users who performed BOTH, plus
+    the classic market-basket strengths — confidence (P(b|a)) and lift
+    (observed co-occurrence vs independence) — the pair-support table
+    an a-priori pass produces at itemset size 2 (Agrawal & Srikant
+    1994), here with "basket" = a user's distinct event-type set.
+    Lift > 1 means the types travel together; < 1 means they repel.
+
+    Scale shape: one distinct on (user, type) — the only corpus-sized
+    exchange — then a per-user self-join whose expansion is bounded by
+    (types-per-user choose 2) with a GLOBAL cap of distinct-types²
+    output rows; per-type user counts and the 1-row user total come
+    back as broadcast dimensions. Returns (type_a, type_b,
+    n_users_both, confidence_a_to_b, lift), floats rounded to 6, pairs
+    ordered type_a < type_b.
+    """
+    pres = events.select("user_id", "event_type").distinct()
+    a = pres.select("user_id", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_users_both"))
+    )
+    per_type = pres.groupBy("event_type").agg(F.count("*").cast("long").alias("n_u"))
+    n_users = pres.select("user_id").distinct().agg(F.count("*").cast("double").alias("n_users"))
+    return (
+        both.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"), F.col("n_u").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"), F.col("n_u").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.round(F.col("n_users_both") / F.col("n_a"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_users_both") * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def conversion_latency_stats(events: DataFrame) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: each user's
+    latency is first purchase AT OR AFTER their first signup minus
+    that signup, and the report gives the converted-user count with
+    the mean/median/p90/max latency in hours — the time-to-convert
+    table a growth dashboard reads next to user_conversion_funnel's
+    stage counts (the funnel says HOW MANY convert; this says HOW
+    FAST).
+
+    Scale shape: two filtered per-user min aggs (map-side partials),
+    one user-keyed equi-join, then a single-row bounded agg — no
+    window, no self-join of the raw stream. Exact percentiles keep it
+    oracle-checkable (approx_percentile is the drop-in at extreme
+    user counts). Returns one row (n_converted, avg_hours, p50_hours,
+    p90_hours, max_hours), rounded to 6.
+    """
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    lat = (
+        purchases.join(signups, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            # cast-to-double keeps the sub-second part (unix_timestamp
+            # truncates to whole seconds and diverges from the oracle)
+            (
+                (
+                    F.min("ts").cast("double")
+                    - F.first("signup_ts").cast("double")
+                )
+                / 3600.0
+            ).alias("h")
+        )
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.avg("h"), 6).alias("avg_hours"),
+        F.round(F.percentile("h", F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile("h", F.lit(0.9)), 6).alias("p90_hours"),
+        F.round(F.max("h"), 6).alias("max_hours"),
+    )
+
+
+def value_equidepth_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equi-depth histogram of the value column: exact interpolated
+    quantile boundaries at i/n_bins and the observed row count per
+    bin — the boundary table a range partitioner or a data-skipping
+    layout derives before writing (equi-depth bins ARE the balanced
+    range-partition split points; the count column verifies depth).
+    A value equal to an interior boundary belongs to the LOWER bin.
+
+    Scale shape: one exact-percentile agg produces the (n_bins−1)-
+    element boundary array (approx_percentile drops in at extreme
+    row counts), broadcast back as a 1-row dimension; bin assignment
+    is an in-array count of boundaries below the value (narrow
+    codegen), and the final agg is bounded by n_bins. Returns (bin,
+    n_rows, lo, hi) — lo/hi NULL at the open ends — rounded to 6.
+    """
+    fracs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    bounds = events.agg(F.percentile("value", fracs).alias("bs"))
+    binned = events.select("value").crossJoin(F.broadcast(bounds)).select(
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0),
+        ).alias("bin"),
+        "bs",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_rows"), F.first("bs").alias("_bs"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_rows",
+            F.round(
+                F.when(F.col("bin") > 0, F.element_at("_bs", F.col("bin"))), 6
+            ).alias("lo"),
+            F.round(
+                F.when(
+                    F.col("bin") < F.size("_bs"), F.element_at("_bs", F.col("bin") + 1)
+                ),
+                6,
+            ).alias("hi"),
+        )
+    )
+
+
+def orders_monthly_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue report: per-month order count and
+    total price plus the MoM growth percentage (lag over the monthly
+    series) — the canonical period-over-period reporting query every
+    OLAP deployment runs; first month's growth is NULL, not 0.
+
+    Scale shape: the heavy lifting is ONE month-keyed hash agg with
+    map-side partials (output ≤ months); the lag window rides the
+    tiny agg result, never the fact table. Decimal month totals keep
+    the growth ratio engine-exact before the final round. Returns
+    (month, n_orders, total_price, mom_growth_pct), floats rounded.
+    """
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_tp"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("_tp").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round(F.col("_tp").cast("double"), 2).alias("total_price"),
+        F.round(
+            (F.col("_tp") - prev).cast("double") / prev.cast("double") * 100.0, 6
+        ).alias("mom_growth_pct"),
+    )
+
+
+def user_value_pareto(events: DataFrame) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) report over per-user
+    total value: how much of all value the top 10% and top 1% of
+    users carry — the "whales" number behind prioritization and
+    anomaly triage (a sudden top1_share jump is one hot account, not
+    organic growth).
+
+    Thresholds are exact interpolated percentiles of the per-user
+    totals; a user AT the threshold counts into the top bucket.
+    Scale shape: one user-keyed hash agg, one percentile agg over its
+    (≤ n_users) output broadcast back as a 1-row dimension, one
+    conditional-sum agg. Returns one row (n_users, total_value,
+    top10_share, top1_share), shares rounded to 6.
+    """
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("v"))
+    cuts = per_user.agg(
+        F.percentile("v", F.lit(0.9)).alias("p90"),
+        F.percentile("v", F.lit(0.99)).alias("p99"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("v").alias("_tot"),
+            F.sum(F.when(F.col("v") >= F.col("p90"), F.col("v")).otherwise(0.0)).alias("_t10"),
+            F.sum(F.when(F.col("v") >= F.col("p99"), F.col("v")).otherwise(0.0)).alias("_t1"),
+        )
+        .select(
+            "n_users",
+            F.round("_tot", 2).alias("total_value"),
+            F.round(F.col("_t10") / F.col("_tot"), 6).alias("top10_share"),
+            F.round(F.col("_t1") / F.col("_tot"), 6).alias("top1_share"),
+        )
+    )
+
+
+def part_brand_hhi(part: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of brands within each
+    part type: Σ share² over brands, share = brand's part count /
+    type's part count — the market-concentration screen (HHI → 1 when
+    one brand owns the category; → 1/n_brands when fragmented).
+
+    Scale shape: one (type, brand) hash agg, then a type-keyed agg of
+    the ≤ types×brands result — both bounded by dimension
+    cardinality. Returns (p_type, n_parts, n_brands, hhi), hhi
+    rounded to 6.
+    """
+    tb = part.groupBy("p_type", "p_brand").agg(F.count("*").cast("long").alias("n"))
+    return (
+        tb.groupBy("p_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum(F.col("n") * F.col("n")).alias("_sq"),
+        )
+        .select(
+            "p_type",
+            "n_parts",
+            "n_brands",
+            F.round(F.col("_sq") / (F.col("n_parts") * F.col("n_parts")), 6).alias("hhi"),
+        )
+    )

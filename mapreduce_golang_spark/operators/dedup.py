@@ -999,3 +999,69 @@ def overlap_containment_pairs(
     return stats.where(contain >= threshold).select(
         "doc_a", "doc_b", F.round(contain, 6).alias("containment")
     )
+
+
+def component_best_representative(
+    df: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Quality-aware dedup keep-policy: for every near-dup component,
+    keep the member with the HIGHEST quality-classifier score (ties →
+    lowest doc_id) instead of near_dup_survivors' keep-lowest-id — the
+    policy production dedup actually wants (of five paraphrases of a
+    page, ship the cleanest one, not the one that crawled first).
+    Docs without a score (zero tokens) rank as 0.0 and lose to any
+    scored sibling.
+
+    Scale shape: component labels from the pointer-jumping loop; the
+    scorer is the zero-exchange codegen pass; the argmax is one
+    max_by agg on component_id — no window, no sort. Returns
+    (component_id, doc_id, quality_score) — one row per component,
+    singletons included.
+    """
+    from mapreduce_golang_spark.operators.mixing import quality_classifier_scores
+
+    comp = near_dup_components(df, pairs=pairs)
+    scores = quality_classifier_scores(df).select("doc_id", "quality_score")
+    member = comp.join(scores, "doc_id", "left").select(
+        "component_id",
+        "doc_id",
+        F.coalesce("quality_score", F.lit(0.0)).alias("quality_score"),
+    )
+    return member.groupBy("component_id").agg(
+        F.max_by(
+            F.struct("doc_id", "quality_score"),
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("b")
+    ).select(
+        "component_id",
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.quality_score").alias("quality_score"),
+    )
+
+
+def hot_shingles_report(
+    df: DataFrame, max_doc_freq: int = DEFAULT_MAX_DOC_FREQ, k: int = 25
+) -> DataFrame:
+    """Audit twin of the posting-list cap that keeps every pair
+    generator in this module bounded: the k highest-document-frequency
+    shingles with their doc counts and whether the cap
+    (``max_doc_freq``) excludes them from pair generation — the
+    boilerplate blocklist a corpus owner reviews to see exactly WHAT
+    the bounded-row invariant is dropping (license headers, navigation
+    chrome) before trusting near-dup recall numbers.
+
+    Scale shape: the zero-exchange shingle map, one hash agg on the
+    shingle, and a TakeOrderedAndProject top-k — strictly cheaper than
+    any consumer of the same stream. Returns (shingle, doc_freq,
+    capped) ordered by doc_freq desc, shingle asc.
+    """
+    return (
+        word_shingles(df)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .select(
+            "shingle", "doc_freq", (F.col("doc_freq") > max_doc_freq).alias("capped")
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(k)
+    )

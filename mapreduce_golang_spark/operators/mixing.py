@@ -448,3 +448,101 @@ def token_budget_allocation(
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
         (alloc > F.col("n_tokens")).alias("oversampled"),
     )
+
+
+def ccnet_bucket_sample(df: DataFrame, keep_middle_permille: int = 500) -> DataFrame:
+    """Apply the CCNet bucket POLICY (the step after
+    ccnet_perplexity_buckets' report): keep every head doc, keep a
+    deterministic ``keep_middle_permille``/1000 hash-sample of the
+    middle, drop the tail — the keep/sample/drop selection CCNet
+    (Wenzek et al. 2020) actually ships downstream, as opposed to the
+    bucket-size report beside it.
+
+    The middle sample buckets md5(doc_id) — doc-grain, NOT score-grain
+    — so re-scoring the corpus with a better LM changes which docs sit
+    in the middle but never re-rolls the sampling dice on docs that
+    stay there (stable incremental behavior).
+
+    Scale shape: identical to the report operator — the trigram-NLL
+    scoring pass, a ≤ n_langs percentile-cuts broadcast, then one
+    narrow filter; the sample adds zero exchanges. Returns (doc_id,
+    lang, ppl_bucket) for the kept docs.
+    """
+    from mapreduce_golang_spark.operators.text_analysis import char_trigram_logprob
+
+    nll = char_trigram_logprob(df).select("doc_id", "avg_nll")
+    scored = df.select("doc_id", "lang").join(nll, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("p33"),
+        F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("p66"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("p33"), "head")
+        .when(F.col("avg_nll") <= F.col("p66"), "middle")
+        .otherwise("tail")
+    )
+    keep = (F.col("ppl_bucket") == "head") | (
+        (F.col("ppl_bucket") == "middle")
+        & (_md5_bucket(F.col("doc_id").cast("string"), 1000) < F.lit(keep_middle_permille))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", bucket.alias("ppl_bucket"))
+        .where(keep)
+    )
+
+
+def source_token_js_divergence(df: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    vs the REST of the corpus — the symmetric, bounded ([0, ln 2])
+    companion to source_quality_drift's KS statistic, computed over
+    hashed-token buckets so the contingency table is O(sources ×
+    n_buckets) REGARDLESS of vocabulary size (the same
+    dimensionality-bounding trick as dsir_importance_weights; a raw
+    per-token JS would expand sources × vocab at 100 TB).
+
+    JS(P‖R) = ½Σ P ln(P/M) + ½Σ R ln(R/M), M = (P+R)/2, over the
+    full observed bucket grid (a bucket the source never hits still
+    contributes its rest-mass term — the grid is densified exactly
+    like event_weekday_chi2's). Zero-count conventions: P=0 terms
+    drop from the P-sum, R=0 from the R-sum; a single-source corpus
+    (empty rest) reports NULL rather than a fake 0.
+
+    Scale shape: one token explode into a hash agg on the BOUNDED
+    (source, bucket) key; everything after operates on that ≤
+    sources×buckets table — the dense grid is a broadcast cross of
+    two tiny dims. Returns (source, n_tokens, js_divergence) rounded
+    to 6.
+    """
+    tok = df.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
+    sb = tok.select("source", _md5_bucket(F.col("tok"), n_buckets).alias("b")).groupBy(
+        "source", "b"
+    ).agg(F.count("*").cast("double").alias("c_sb"))
+    per_b = sb.groupBy("b").agg(F.sum("c_sb").alias("c_b"))
+    per_s = sb.groupBy("source").agg(F.sum("c_sb").alias("c_s"))
+    total = per_b.agg(F.sum("c_b").alias("c_tot"))
+    grid = per_s.crossJoin(F.broadcast(per_b)).crossJoin(F.broadcast(total))
+    dense = grid.join(sb, ["source", "b"], "left").select(
+        "source",
+        "c_s",
+        (F.col("c_tot") - F.col("c_s")).alias("c_rest"),
+        F.coalesce("c_sb", F.lit(0.0)).alias("p_cnt"),
+        (F.col("c_b") - F.coalesce("c_sb", F.lit(0.0))).alias("r_cnt"),
+    )
+    p = F.col("p_cnt") / F.col("c_s")
+    r = F.when(F.col("c_rest") > 0, F.col("r_cnt") / F.col("c_rest"))
+    m = (p + r) / 2
+    term_p = F.when(F.col("p_cnt") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_r = F.when(F.col("r_cnt") > 0, r * F.log(r / m)).otherwise(F.lit(0.0))
+    return (
+        dense.groupBy("source")
+        .agg(
+            F.first("c_s").alias("_n"),
+            ((F.sum(term_p) + F.sum(term_r)) / 2).alias("_js"),
+        )
+        .select(
+            "source",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round("_js", 6).alias("js_divergence"),
+        )
+    )

@@ -244,6 +244,40 @@ def kmeans_assign(
     vecs = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    return _kmeans_assign_to(vecs, _kmeans_fit(vecs, k, updates)).select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    )
+
+
+def _kmeans_alldists(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, e, cluster, dist) for EVERY (vector, centroid) pair —
+    squared distance rounded to 6 (the engine-portability grain every
+    downstream comparison shares)."""
+    sq = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return vecs.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "e", "cluster", F.round(sq, 6).alias("dist")
+    )
+
+
+def _kmeans_assign_to(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Top-1 (nearest-centroid) assignment, ties toward the lowest
+    cluster id on the rounded squared distance."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        _kmeans_alldists(vecs, cents)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _kmeans_fit(vecs: DataFrame, k: int, updates: int) -> DataFrame:
+    """Run the Lloyd's loop (seed = k lowest vec_ids, fixed ``updates``
+    centroid refreshes) and return the final (cluster, c) table."""
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)
@@ -255,24 +289,8 @@ def kmeans_assign(
         )
         .localCheckpoint(eager=True)
     )
-
-    def _assign(cents: DataFrame) -> DataFrame:
-        sq = F.aggregate(
-            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (
-            vecs.join(F.broadcast(cents), F.lit(True))
-            .select("vec_id", "e", "cluster", F.round(sq, 6).alias("dist"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .drop("rk")
-        )
-
     for _ in range(updates):
-        assigned = _assign(centroids)
+        assigned = _kmeans_assign_to(vecs, centroids)
         centroids = (
             assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -285,8 +303,58 @@ def kmeans_assign(
             )
             .localCheckpoint(eager=True)
         )
-    return _assign(centroids).select(
-        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    return centroids
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+) -> DataFrame:
+    """Per-cluster simplified-silhouette quality report for the SAME
+    deterministic k-means fit as kmeans_assign: for each vector,
+    a = distance to its own centroid and b = distance to the nearest
+    OTHER centroid, s = (b − a)/max(a, b) — the centroid-based
+    silhouette (Hruschka et al.'s simplified variant; the exact
+    silhouette's all-pairs a/b is O(n²) and adds nothing at corpus
+    scale). Mean s near 1 → tight, well-separated cluster; near 0 →
+    boundary mush — the table that says whether k was right before
+    anything downstream trusts the clusters.
+
+    Scale shape: reuses the fitted k-row centroid table (ONE broadcast
+    k-way expansion), then a single per-vec agg collects the k
+    (dist, cluster) structs sorted — element 0 is the assignment
+    (same dist-then-cluster tie-break as kmeans_assign), element 1 the
+    nearest other centroid; no second expansion, no window, one
+    vec_id exchange. Distances compare at the shared round-6 squared
+    grain, then sqrt, so the report is engine-portable. Returns
+    (cluster, n_vectors, mean_silhouette, min_silhouette), floats
+    rounded to 6.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = _kmeans_fit(vecs, k, updates)
+    per_vec = (
+        _kmeans_alldists(vecs, cents)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dist", "cluster"))).alias("ds"))
+        .select(
+            F.col("ds")[0]["cluster"].alias("cluster"),
+            F.sqrt(F.col("ds")[0]["dist"]).alias("a"),
+            F.sqrt(F.col("ds")[1]["dist"]).alias("b"),
+        )
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.select("cluster", s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+        )
     )
 
 
@@ -564,4 +632,146 @@ def embedding_quantization_report(embeddings: DataFrame) -> DataFrame:
         F.round(F.avg("mse"), 12).alias("avg_mse"),
         F.round(F.max("mse"), 12).alias("max_mse"),
         F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cluster: int = 25,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+) -> DataFrame:
+    """Diversity-preserving sample over the k-means partition of the
+    embedding space: a deterministic md5-keyed draw of ``per_cluster``
+    vectors from EACH cluster — the cluster-balanced selection an
+    embedding-curated pipeline runs so a dominant topic can't crowd
+    the sample (same intent as balanced_mixing_sample, with clusters
+    standing in for sources), with the same hash-keyed
+    reproducibility as deterministic_doc_sample.
+
+    Scale shape: the fit is kmeans_assign's loop; the draw is one
+    window per cluster ordered by (md5 key, vec_id) — k partitions,
+    each trimmed to per_cluster by WindowGroupLimit. Returns
+    (cluster, vec_id, rk) with rk 1..per_cluster in draw order.
+    """
+    from mapreduce_golang_spark.operators.mixing import _md5_bucket
+
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned = _kmeans_assign_to(vecs, _kmeans_fit(vecs, k, updates)).select(
+        "vec_id", "cluster"
+    )
+    keyed = assigned.withColumn(
+        "_key", _md5_bucket(F.col("vec_id").cast("string"), 1_000_000)
+    )
+    w = Window.partitionBy("cluster").orderBy("_key", "vec_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= per_cluster)
+        .select("cluster", "vec_id", "rk")
+    )
+
+
+MMR_LAMBDA = 0.7
+
+
+def mmr_diverse_topk(embeddings: DataFrame, k: int = 10, lam: float = MMR_LAMBDA) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing
+    λ·rel(v) − (1−λ)·max_{s∈S} cos(v, s), with relevance = cosine to
+    the corpus centroid — the diversity-aware top-k a retrieval or
+    example-selection pipeline uses where plain top-k returns k
+    near-copies of the same hot region.
+
+    Iterative DataFrame algorithm (argmax depends on all prior picks,
+    not SQL-expressible in one query — the oracle unrolls the k
+    steps): each round joins the remaining candidates against the ≤k
+    broadcast selected rows, takes max of the ROUND-6 cosines (the
+    engine-portability grain throughout), and picks the top scorer
+    with a vec_id tie-break via TakeOrderedAndProject. The scored
+    base is checkpointed once and reused every round (loop discipline
+    of operators/graph.py).
+
+    Scale shape per round: one broadcast of ≤k selected vectors, one
+    narrow scoring pass, one top-1 — no corpus shuffle anywhere; k
+    rounds total. Returns (rank, vec_id, relevance, mmr_score),
+    floats rounded to 6.
+    """
+    base = _with_norm(embeddings)
+    cent = (
+        base.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+        .select("c", _norm_expr(F.col("c")).alias("cnrm"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            F.round(_cosine(F.col("e"), F.col("c"), F.col("nrm"), F.col("cnrm")), 6).alias(
+                "rel"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "e",
+            "nrm",
+            "rel",
+            F.col("rel").alias("mmr"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        sel = selected.select(
+            F.col("vec_id").alias("sid"), F.col("e").alias("se"), F.col("nrm").alias("snrm")
+        )
+        cand = scored.join(selected.select("vec_id"), "vec_id", "left_anti")
+        nxt = (
+            cand.join(F.broadcast(sel), F.lit(True))
+            .select(
+                "vec_id",
+                "e",
+                "nrm",
+                "rel",
+                F.round(
+                    _cosine(F.col("e"), F.col("se"), F.col("nrm"), F.col("snrm")), 6
+                ).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("e").alias("e"),
+                F.first("nrm").alias("nrm"),
+                F.first("rel").alias("rel"),
+                F.max("sim").alias("msim"),
+            )
+            .select(
+                "vec_id",
+                "e",
+                "nrm",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim")).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(i).cast("long").alias("rank"), "vec_id", "e", "nrm", "rel", "mmr")
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected.select(
+        "rank", "vec_id", F.col("rel").alias("relevance"), F.round("mmr", 6).alias("mmr_score")
     )

@@ -1134,3 +1134,186 @@ def bpe_merge_candidates(df: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def decontaminated_corpus(
+    df: DataFrame,
+    eval_sources: tuple = ("src18", "src19"),
+    k: int = 3,
+    threshold: float = 0.8,
+    max_train_doc_freq: int = 256,
+) -> DataFrame:
+    """The consumption step after eval_decontamination's report: the
+    TRAIN corpus with every contamination carrier removed — a train
+    doc is dropped when its k-gram overlap covers ≥ ``threshold`` of
+    ANY eval doc's shingles (the standard pre-training removal pass;
+    the report beside it is the audit trail, this is the corpus the
+    job actually reads).
+
+    Shares eval_decontamination's machinery and conventions exactly —
+    same shingle grain, same ``max_train_doc_freq`` posting cap on
+    pair generation (capped shingles can't convict on their own, the
+    documented boilerplate trade-off), same overlap denominator (the
+    EVAL doc's shingle count). A train doc with no eval overlap, or
+    with no shingles at all, survives.
+
+    Scale shape: identical to the report operator up to the per-pair
+    overlap agg, then one distinct on the convicted train ids and a
+    LEFT ANTI membership probe against the train corpus — the same
+    semi-join shape as common_sentence_filter. Returns the surviving
+    (doc_id, source) rows.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    eval_df = df.where(F.col("source").isin(list(eval_sources)))
+    train_df = df.where(~F.col("source").isin(list(eval_sources)))
+    eval_sh = word_shingles(eval_df, k=k).select("doc_id", F.md5("shingle").alias("h"))
+    train_sh = word_shingles(train_df, k=k).select(
+        F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("h")
+    )
+    cold = train_sh.groupBy("h").agg(F.count("*").alias("df_h")).where(
+        F.col("df_h") <= max_train_doc_freq
+    )
+    train_cold = train_sh.join(cold.select("h"), "h", "left_semi")
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    convicted = (
+        eval_sh.join(train_cold, "h")
+        .groupBy("doc_id", "train_doc")
+        .agg(F.count("*").alias("n_common"))
+        .join(totals, "doc_id")
+        .where(F.col("n_common") / F.col("n_shingles") >= F.lit(threshold))
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    return train_df.select("doc_id", "source").join(convicted, "doc_id", "left_anti")
+
+
+def doc_length_cume_dist(df: DataFrame) -> DataFrame:
+    """Within-source length position of every doc: cume_dist (fraction
+    of the source's docs at or below this length) and percent_rank —
+    the per-doc percentile features a length-aware selection policy
+    consumes (e.g. "drop the shortest 5% per source" without a second
+    scan), and the registry's coverage row for the cumulative-window
+    function family (cume_dist / percent_rank).
+
+    Ties share a value in both functions, so the output is engine-
+    deterministic with no tie-break column. Scale shape: one exchange
+    on source + an ordered window per source; like
+    corpus_top_p_selection, the exact per-source scan is the oracle-
+    checkable form — at extreme SF the same features come from a
+    percentile-threshold broadcast instead. Returns (doc_id, source,
+    n_chars, len_cume_dist, len_pct_rank), rounded to 6.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars")
+    return df.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.cume_dist().over(w), 6).alias("len_cume_dist"),
+        F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
+    )
+
+
+def char_script_profile(df: DataFrame) -> DataFrame:
+    """Per-source character-class composition: the average per-doc
+    fraction of ASCII letters, digits, whitespace, and everything else
+    — the cheap script/encoding probe a multilingual ingest runs
+    before language ID (a "en" source at 40% non-ASCII is mislabeled
+    or mojibake; a 30% digit source is tables, not prose).
+
+    Scale shape: four regexp_replace length counts in one codegen
+    projection over the scan (zero exchanges), then a bounded
+    per-source agg. Returns (source, n_docs, latin_frac, digit_frac,
+    space_frac, other_frac), fractions rounded to 6; empty docs count
+    toward n_docs with zero fractions.
+    """
+    n = F.length("text")
+    latin = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length(F.regexp_replace("text", r"[^\s]", ""))
+    other = n - latin - digit - space
+
+    def frac(c):
+        return F.when(n > 0, c / n).otherwise(F.lit(0.0))
+
+    per_doc = df.select(
+        "source",
+        frac(latin).alias("lf"),
+        frac(digit).alias("df_"),
+        frac(space).alias("sf"),
+        frac(other).alias("of_"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("lf"), 6).alias("latin_frac"),
+        F.round(F.avg("df_"), 6).alias("digit_frac"),
+        F.round(F.avg("sf"), 6).alias("space_frac"),
+        F.round(F.avg("of_"), 6).alias("other_frac"),
+    )
+
+
+def rake_keywords(df: DataFrame, k: int = 25) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus grain:
+    candidate phrases are maximal stopword-free token runs within
+    sentences; each word scores degree/frequency (degree = summed
+    length of the phrases it appears in), a phrase scores the sum of
+    its member-word scores, and the top-k distinct phrases surface
+    with their occurrence counts — the classic unsupervised
+    keyword-table a corpus exploration pass produces (stopword set =
+    the shared QUALITY_STOPWORDS).
+
+    Scale shape: sentences and tokens explode narrowly; the run-id
+    (phrase boundary) cumsum is one window keyed on doc_id — the only
+    corpus-sized exchange; word stats aggregate on the token, phrase
+    assembly on the bounded (doc, sentence, run) key, and the final
+    table on distinct phrase text with a TakeOrderedAndProject top-k.
+    Ranking compares ROUND-6 scores (engine-portable), phrase asc on
+    ties. Returns (phrase, n_occurrences, rake_score).
+    """
+    sents = F.expr(
+        f"filter(transform(split(text, '{SENTENCE_SPLIT_RE}'), x -> trim(x)), x -> x != '')"
+    )
+    sent_rows = df.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+    tok_rows = sent_rows.select(
+        "doc_id",
+        "sent_idx",
+        F.posexplode(
+            F.array_remove(F.split(F.lower(F.col("sentence")), LETTERS_ONLY_RE), "")
+        ).alias("pos", "tok"),
+    ).withColumn(
+        "is_stop", F.col("tok").isin(*QUALITY_STOPWORDS).cast("long")
+    )
+    w = Window.partitionBy("doc_id", "sent_idx").orderBy("pos")
+    runs = tok_rows.withColumn("run_id", F.sum("is_stop").over(w)).where(
+        F.col("is_stop") == 0
+    )
+    phrases = runs.groupBy("doc_id", "sent_idx", "run_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+        ).alias("words")
+    )
+    members = phrases.select(
+        "doc_id",
+        "sent_idx",
+        "run_id",
+        F.array_join("words", " ").alias("phrase"),
+        F.size("words").alias("plen"),
+        F.explode("words").alias("tok"),
+    )
+    wstats = members.groupBy("tok").agg(
+        (F.sum("plen") / F.count("*")).alias("wscore")
+    )
+    inst = (
+        members.join(wstats, "tok")
+        .groupBy("doc_id", "sent_idx", "run_id", "phrase")
+        .agg(F.sum("wscore").alias("iscore"))
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.round(F.avg("iscore"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(k)
+    )

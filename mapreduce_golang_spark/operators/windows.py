@@ -641,3 +641,92 @@ def session_incident_overlap(events: DataFrame) -> DataFrame:
             "n_incident_hours",
         )
     )
+
+
+def user_first_last_events(events: DataFrame) -> DataFrame:
+    """Each user's event-history endpoints in one row: the first,
+    second, and last event type in (ts, event_id) order plus the
+    total count — the bounded-frame window-function family
+    (first_value / nth_value / last_value over an unbounded frame)
+    exercised on the canonical "how did this user start and where are
+    they now" lifecycle question.
+
+    Determinism: event_id breaks ts ties, so every engine orders the
+    history identically; nth_value(2) is NULL for single-event users.
+
+    Scale shape: one exchange on user_id; all four window expressions
+    share the same (partition, order, frame) spec so Spark evaluates
+    them in a single Window operator, and the row_number dedup rides
+    the same sort. Returns (user_id, first_event, second_event,
+    last_event, n_events).
+    """
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            F.first("event_type").over(frame).alias("first_event"),
+            F.nth_value("event_type", 2).over(frame).alias("second_event"),
+            F.last("event_type").over(frame).alias("last_event"),
+            F.count("*").over(frame).cast("long").alias("n_events"),
+            F.row_number().over(ordered).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def markov_prediction_accuracy(events: DataFrame) -> DataFrame:
+    """Top-1 accuracy of the first-order Markov next-event predictor:
+    for each current event type, predict the most probable next type
+    (ties → lexicographically smallest) and report how often the
+    prediction is right — the baseline any sequence model must beat,
+    and the QA number that says whether markov_transitions' matrix
+    carries signal at all (accuracy ≈ row max).
+
+    Scale shape: the transition derivation is markov_transitions' lag
+    window + bounded pair agg; this adds ONE agg over the ≤ n_types²
+    pair table (min_by argmax, no window). Returns (prev_type,
+    n_transitions, predicted_next, accuracy), accuracy rounded to 6.
+    """
+    pairs = markov_transitions(events).select("prev_type", "next_type", "n")
+    return pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.min_by("next_type", F.struct((-F.col("n")).alias("nn"), "next_type")).alias(
+            "predicted_next"
+        ),
+        F.round(F.max("n") / F.sum("n"), 6).alias("accuracy"),
+    )
+
+
+def session_duration_histogram(events: DataFrame, bin_minutes: int = 10) -> DataFrame:
+    """Distribution of session lengths: sessionize's output bucketed
+    into fixed ``bin_minutes`` bins with per-bin session count and
+    average events — the tuning table for the session gap parameter
+    and the engagement histogram product analytics reads.
+
+    Scale shape: rides sessionize's one user-keyed window; the
+    histogram is a deterministic floor-bin hash agg over the (already
+    small) session table — the scalable histogram shape, no sort.
+    Returns (bin, bin_lo_minutes, n_sessions, avg_events), floats
+    rounded to 6.
+    """
+    sess = sessionize(events)
+    bin_ = F.floor(F.col("duration_secs") / (bin_minutes * 60)).cast("long")
+    return (
+        sess.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * bin_minutes).cast("long").alias("bin_lo_minutes"),
+            "n_sessions",
+            "avg_events",
+        )
+    )

@@ -521,3 +521,31 @@ def streaming_word_counts(
     agg = words.groupBy("word").agg(F.count("*").alias("cnt"))
     _run_to_memory(agg, query_name, "complete")
     return spark.table(query_name).select("word", F.col("cnt").cast("long").alias("cnt"))
+
+
+def streaming_distinct_users(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_distinct_users"
+) -> DataFrame:
+    """Running distinct-user count per event type BY THE STREAMING
+    ENGINE: stateful dropDuplicates on (event_type, user_id) feeding a
+    complete-mode count — the standard two-stateful-operator chain for
+    streaming COUNT(DISTINCT) (which streaming aggregation cannot
+    express directly); on finite input the drained result equals the
+    batch distinct count, so the batch SQL is the oracle.
+
+    State: one dedup key per live (event_type, user) pair plus one
+    counter per type — the exact state floor any engine needs for this
+    query; in production a watermark on the dedup bounds it.
+    Returns (event_type, n_users).
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select(
+        "event_type", F.col("n_users").cast("long").alias("n_users")
+    )

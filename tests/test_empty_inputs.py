@@ -301,3 +301,74 @@ def test_round6_wave4_ops_on_empty(spark, empty_docs):
     for r in audit.values():
         assert r.n_pairs == 0 and r.n_cross_pairs == 0 and r.leakage_frac == 0.0
     assert token_budget_allocation(empty_docs).count() == 0
+
+
+def test_round6_wave5_ops_on_empty(spark, empty_docs, empty_events, empty_emb):
+    from mapreduce_golang_spark.operators.analytics import event_type_cooccurrence
+    from mapreduce_golang_spark.operators.mixing import ccnet_bucket_sample
+    from mapreduce_golang_spark.operators.similarity import kmeans_silhouette
+    from mapreduce_golang_spark.operators.skew import join_key_skew_report
+
+    assert ccnet_bucket_sample(empty_docs).count() == 0
+    assert event_type_cooccurrence(empty_events).count() == 0
+    assert kmeans_silhouette(empty_emb).count() == 0
+    # the skew report is a single-row profile; on empty input the
+    # per-key table is empty so the profile collapses to one row of
+    # zero keys/rows with NULL percentiles — assert it doesn't throw
+    r = join_key_skew_report(empty_events).collect()
+    assert len(r) == 1 and r[0].n_keys == 0
+
+
+def test_round6_wave6_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import conversion_latency_stats
+    from mapreduce_golang_spark.operators.text_analysis import (
+        decontaminated_corpus,
+        doc_length_cume_dist,
+    )
+    from mapreduce_golang_spark.operators.windows import user_first_last_events
+
+    r = conversion_latency_stats(empty_events).collect()
+    assert len(r) == 1 and r[0].n_converted == 0
+    assert decontaminated_corpus(empty_docs).count() == 0
+    assert doc_length_cume_dist(empty_docs).count() == 0
+    assert user_first_last_events(empty_events).count() == 0
+
+
+def test_round6_wave7_ops_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators.dedup import component_best_representative
+    from mapreduce_golang_spark.operators.mixing import source_token_js_divergence
+    from mapreduce_golang_spark.operators.similarity import cluster_balanced_sample
+
+    assert component_best_representative(empty_docs).count() == 0
+    assert source_token_js_divergence(empty_docs).count() == 0
+    assert cluster_balanced_sample(empty_emb).count() == 0
+
+
+def test_round6_wave8_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import value_equidepth_bins
+    from mapreduce_golang_spark.operators.dedup import hot_shingles_report
+
+    assert hot_shingles_report(empty_docs).count() == 0
+    # all-NULL boundary array → every row binned NULL; empty input → no rows
+    assert value_equidepth_bins(empty_events).count() == 0
+
+
+def test_round6_wave9_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.text_analysis import (
+        char_script_profile,
+        rake_keywords,
+    )
+    from mapreduce_golang_spark.operators.windows import markov_prediction_accuracy
+
+    assert rake_keywords(empty_docs).count() == 0
+    assert char_script_profile(empty_docs).count() == 0
+    assert markov_prediction_accuracy(empty_events).count() == 0
+
+
+def test_round6_wave10_ops_on_empty(spark, empty_events):
+    from mapreduce_golang_spark.operators.analytics import user_value_pareto
+    from mapreduce_golang_spark.operators.windows import session_duration_histogram
+
+    r = user_value_pareto(empty_events).collect()
+    assert len(r) == 1 and r[0].n_users == 0
+    assert session_duration_histogram(empty_events).count() == 0

@@ -174,6 +174,14 @@ _BOUNDED_NLJ_OK = {
     "ccnet_perplexity_buckets": 2,
     "minhash_ml_crosscheck": 1,  # hand-rolled leg's 1-row totals (if any)
     "token_budget_allocation": 1,  # 1-row α-power normalizer broadcast
+    "ccnet_bucket_sample": 2,  # same trigram-NLL totals shape as the report
+    "event_type_cooccurrence": 1,  # 1-row distinct-user total broadcast
+    "kmeans_silhouette": 1,  # one k-row centroid-grid expansion
+    "source_token_js_divergence": 2,  # ≤512-bucket grid + 1-row total
+    "cluster_balanced_sample": 1,  # k-row centroid-grid expansion (kmeans)
+    "value_equidepth_bins": 1,  # 1-row boundary-array broadcast
+    "mmr_diverse_topk": 1,  # 1-row centroid broadcast (loop checkpoints truncate)
+    "user_value_pareto": 1,  # 1-row percentile-cuts broadcast
 }
 
 
