@@ -399,12 +399,61 @@ def _ngram_jaccard(spark, sf_dir):
     return _pair_graph(spark, sf_dir)
 
 
+#: same materialize-once discipline for the other expensive shared
+#: derivations: the trigram-NLL table (char_trigram_logprob leads;
+#: ccnet report + policy sample consume), the decontamination overlap
+#: (report + corpus-consumption step), the fitted k-means centroids
+#: (clusters / silhouette / balanced sample), and the 16-bit simhash
+#: signatures (signature query + banded pairs). Keyed like
+#: _PAIR_GRAPH_CACHE; every consumer stays independently correct.
+_DERIVED_CACHE: dict = {}
+
+
+def _cached_table(spark, sf_dir: str, what: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.realpath(str(sf_dir)), what)
+    cached = _DERIVED_CACHE.get(key)
+    if cached is None:
+        cached = build().localCheckpoint(eager=True)
+        _DERIVED_CACHE[key] = cached
+    return cached
+
+
+def _nll_table(spark, sf_dir):
+    return _cached_table(
+        spark, sf_dir, "trigram_nll",
+        lambda: text_analysis.char_trigram_logprob(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _decontam_overlap(spark, sf_dir):
+    return _cached_table(
+        spark, sf_dir, "decontam_overlap",
+        lambda: text_analysis.eval_train_overlap(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _kmeans_cents(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import kmeans_fit_centroids
+
+    return _cached_table(
+        spark, sf_dir, "kmeans_centroids",
+        lambda: kmeans_fit_centroids(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+def _simhash_sigs(spark, sf_dir):
+    return _cached_table(
+        spark, sf_dir, "simhash16_sigs",
+        lambda: dedup.simhash(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _simhash(spark, sf_dir):
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return _simhash_sigs(spark, sf_dir)
 
 
 def _simhash64(spark, sf_dir):
@@ -412,7 +461,9 @@ def _simhash64(spark, sf_dir):
 
 
 def _simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), sigs=_simhash_sigs(spark, sf_dir)
+    )
 
 
 def _embedding_pairs(spark, sf_dir):
@@ -1013,7 +1064,9 @@ def _clustering_coeff(spark, sf_dir):
 def _kmeans(spark, sf_dir):
     from mapreduce_golang_spark.operators.similarity import kmeans_assign
 
-    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), centroids=_kmeans_cents(spark, sf_dir)
+    )
 
 
 def _block_dedup(spark, sf_dir):
@@ -1137,7 +1190,7 @@ def _label_znorm(spark, sf_dir):
 
 
 def _trigram_logprob(spark, sf_dir):
-    return text_analysis.char_trigram_logprob(load_table(spark, sf_dir, "documents"))
+    return _nll_table(spark, sf_dir)
 
 
 def _lang_entropy(spark, sf_dir):
@@ -1168,11 +1221,15 @@ def _mixing_weights(spark, sf_dir):
 def _ccnet_buckets(spark, sf_dir):
     from mapreduce_golang_spark.operators import mixing
 
-    return mixing.ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+    return mixing.ccnet_perplexity_buckets(
+        load_table(spark, sf_dir, "documents"), nll=_nll_table(spark, sf_dir)
+    )
 
 
 def _eval_decontam(spark, sf_dir):
-    return text_analysis.eval_decontamination(load_table(spark, sf_dir, "documents"))
+    return text_analysis.eval_decontamination(
+        load_table(spark, sf_dir, "documents"), overlap=_decontam_overlap(spark, sf_dir)
+    )
 
 
 def _minhash_ml_crosscheck(spark, sf_dir):
@@ -1244,7 +1301,9 @@ def _token_budget(spark, sf_dir):
 def _ccnet_sample(spark, sf_dir):
     from mapreduce_golang_spark.operators import mixing
 
-    return mixing.ccnet_bucket_sample(load_table(spark, sf_dir, "documents"))
+    return mixing.ccnet_bucket_sample(
+        load_table(spark, sf_dir, "documents"), nll=_nll_table(spark, sf_dir)
+    )
 
 
 def _type_cooccurrence(spark, sf_dir):
@@ -1258,7 +1317,9 @@ def _key_skew(spark, sf_dir):
 
 
 def _silhouette(spark, sf_dir):
-    return similarity.kmeans_silhouette(load_table(spark, sf_dir, "embeddings"))
+    return similarity.kmeans_silhouette(
+        load_table(spark, sf_dir, "embeddings"), centroids=_kmeans_cents(spark, sf_dir)
+    )
 
 
 def _conversion_latency(spark, sf_dir):
@@ -1266,7 +1327,9 @@ def _conversion_latency(spark, sf_dir):
 
 
 def _decontaminated(spark, sf_dir):
-    return text_analysis.decontaminated_corpus(load_table(spark, sf_dir, "documents"))
+    return text_analysis.decontaminated_corpus(
+        load_table(spark, sf_dir, "documents"), overlap=_decontam_overlap(spark, sf_dir)
+    )
 
 
 def _length_cume(spark, sf_dir):
@@ -1290,7 +1353,9 @@ def _token_js(spark, sf_dir):
 
 
 def _cluster_sample(spark, sf_dir):
-    return similarity.cluster_balanced_sample(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), centroids=_kmeans_cents(spark, sf_dir)
+    )
 
 
 def _streaming_distinct(spark, sf_dir):

@@ -786,7 +786,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return _simhash_narrow(df, n_bits, contrib, text_col, id_col, "simhash64")
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     Candidates via 4-bit band equality (4 bands over 16 bits): any
@@ -798,7 +804,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2, text_col: str = "text", i
     # self-join would otherwise recompute it (and re-parse the corpus)
     # on BOTH sides — materialize the tiny (doc_id, long) signature
     # table once and join against that
-    sh = simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
+    sh = (
+        simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
+        if sigs is None
+        else sigs
+    )
     n_bands = 4
     width = SIMHASH_BITS // n_bands  # 4 bits per band
     banded = sh.select(

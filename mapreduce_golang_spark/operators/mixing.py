@@ -184,7 +184,7 @@ def source_mixing_weights(df: DataFrame, alpha: float = 0.7) -> DataFrame:
     )
 
 
-def ccnet_perplexity_buckets(df: DataFrame) -> DataFrame:
+def ccnet_perplexity_buckets(df: DataFrame, nll: DataFrame | None = None) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al.
     2020): each doc's LM-quality proxy (the corpus char-trigram
     average NLL from char_trigram_logprob) is cut at its language's
@@ -203,8 +203,9 @@ def ccnet_perplexity_buckets(df: DataFrame) -> DataFrame:
     """
     from mapreduce_golang_spark.operators.text_analysis import char_trigram_logprob
 
-    nll = char_trigram_logprob(df).select("doc_id", "avg_nll")
-    scored = df.select("doc_id", "lang").join(nll, "doc_id")
+    if nll is None:
+        nll = char_trigram_logprob(df)
+    scored = df.select("doc_id", "lang").join(nll.select("doc_id", "avg_nll"), "doc_id")
     cuts = scored.groupBy("lang").agg(
         F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("p33"),
         F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("p66"),
@@ -450,7 +451,9 @@ def token_budget_allocation(
     )
 
 
-def ccnet_bucket_sample(df: DataFrame, keep_middle_permille: int = 500) -> DataFrame:
+def ccnet_bucket_sample(
+    df: DataFrame, keep_middle_permille: int = 500, nll: DataFrame | None = None
+) -> DataFrame:
     """Apply the CCNet bucket POLICY (the step after
     ccnet_perplexity_buckets' report): keep every head doc, keep a
     deterministic ``keep_middle_permille``/1000 hash-sample of the
@@ -470,8 +473,9 @@ def ccnet_bucket_sample(df: DataFrame, keep_middle_permille: int = 500) -> DataF
     """
     from mapreduce_golang_spark.operators.text_analysis import char_trigram_logprob
 
-    nll = char_trigram_logprob(df).select("doc_id", "avg_nll")
-    scored = df.select("doc_id", "lang").join(nll, "doc_id")
+    if nll is None:
+        nll = char_trigram_logprob(df)
+    scored = df.select("doc_id", "lang").join(nll.select("doc_id", "avg_nll"), "doc_id")
     cuts = scored.groupBy("lang").agg(
         F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("p33"),
         F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("p66"),

@@ -218,7 +218,10 @@ KMEANS_UPDATES = 2
 
 
 def kmeans_assign(
-    embeddings: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column with deterministic
     seeding (centroids 0..k−1 = the k lowest vec_ids) and a fixed
@@ -244,7 +247,9 @@ def kmeans_assign(
     vecs = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    return _kmeans_assign_to(vecs, _kmeans_fit(vecs, k, updates)).select(
+    if centroids is None:
+        centroids = _kmeans_fit(vecs, k, updates)
+    return _kmeans_assign_to(vecs, centroids).select(
         "vec_id", "cluster", F.round("dist", 4).alias("dist")
     )
 
@@ -273,6 +278,20 @@ def _kmeans_assign_to(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         .where(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+def kmeans_fit_centroids(
+    embeddings: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+) -> DataFrame:
+    """Public fit entry point: the final (cluster, c) centroid table
+    for the deterministic Lloyd's loop — what the registry
+    materializes ONCE and feeds to kmeans_assign / kmeans_silhouette /
+    cluster_balanced_sample (each stays independently correct when
+    called without it)."""
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return _kmeans_fit(vecs, k, updates)
 
 
 def _kmeans_fit(vecs: DataFrame, k: int, updates: int) -> DataFrame:
@@ -307,7 +326,10 @@ def _kmeans_fit(vecs: DataFrame, k: int, updates: int) -> DataFrame:
 
 
 def kmeans_silhouette(
-    embeddings: DataFrame, k: int = KMEANS_K, updates: int = KMEANS_UPDATES
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster simplified-silhouette quality report for the SAME
     deterministic k-means fit as kmeans_assign: for each vector,
@@ -332,7 +354,7 @@ def kmeans_silhouette(
     vecs = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cents = _kmeans_fit(vecs, k, updates)
+    cents = _kmeans_fit(vecs, k, updates) if centroids is None else centroids
     per_vec = (
         _kmeans_alldists(vecs, cents)
         .groupBy("vec_id")
@@ -640,6 +662,7 @@ def cluster_balanced_sample(
     per_cluster: int = 25,
     k: int = KMEANS_K,
     updates: int = KMEANS_UPDATES,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity-preserving sample over the k-means partition of the
     embedding space: a deterministic md5-keyed draw of ``per_cluster``
@@ -659,9 +682,9 @@ def cluster_balanced_sample(
     vecs = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    assigned = _kmeans_assign_to(vecs, _kmeans_fit(vecs, k, updates)).select(
-        "vec_id", "cluster"
-    )
+    if centroids is None:
+        centroids = _kmeans_fit(vecs, k, updates)
+    assigned = _kmeans_assign_to(vecs, centroids).select("vec_id", "cluster")
     keyed = assigned.withColumn(
         "_key", _md5_bucket(F.col("vec_id").cast("string"), 1_000_000)
     )

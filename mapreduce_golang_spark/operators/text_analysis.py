@@ -410,12 +410,56 @@ def contamination_check(
     )
 
 
+def eval_train_overlap(
+    df: DataFrame,
+    eval_sources: tuple = ("src18", "src19"),
+    k: int = 3,
+    max_train_doc_freq: int = 256,
+) -> DataFrame:
+    """Shared derivation for the decontamination family: one row per
+    (eval doc, overlapping train doc) with the common-shingle count,
+    plus a NULL-train_doc row for eval docs with zero overlap —
+    (doc_id, n_shingles, train_doc, n_common). Both the per-eval-doc
+    report (eval_decontamination) and the corpus-consumption step
+    (decontaminated_corpus) are cheap reductions of this table, so
+    the registry materializes it ONCE (the pair-graph pattern).
+
+    Scale shape: train postings collapse to DISTINCT (shingle, doc)
+    and shingles hotter than ``max_train_doc_freq`` are dropped from
+    pair generation (the ngram_jaccard_pairs cap); the pair join is
+    hash-partitioned on the shingle and the per-pair count is one
+    bounded agg.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    eval_df = df.where(F.col("source").isin(list(eval_sources)))
+    train_df = df.where(~F.col("source").isin(list(eval_sources)))
+    eval_sh = word_shingles(eval_df, k=k).select("doc_id", F.md5("shingle").alias("h"))
+    train_sh = word_shingles(train_df, k=k).select(
+        F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("h")
+    )
+    cold = train_sh.groupBy("h").agg(F.count("*").alias("df_h")).where(
+        F.col("df_h") <= max_train_doc_freq
+    )
+    train_cold = train_sh.join(cold.select("h"), "h", "left_semi")
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    pair_common = (
+        eval_sh.join(train_cold, "h")
+        .groupBy("doc_id", "train_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return totals.join(pair_common, "doc_id", "left").select(
+        "doc_id", "n_shingles", "train_doc", "n_common"
+    )
+
+
 def eval_decontamination(
     df: DataFrame,
     eval_sources: tuple = ("src18", "src19"),
     k: int = 3,
     threshold: float = 0.8,
     max_train_doc_freq: int = 256,
+    overlap: DataFrame | None = None,
 ) -> DataFrame:
     """Per-eval-doc decontamination report — the consumption shape run
     before a training job: for EACH eval/benchmark document, the single
@@ -437,24 +481,13 @@ def eval_decontamination(
     Returns (doc_id, n_shingles, best_train_doc, max_overlap,
     contaminated); ties broken toward the smallest train doc_id.
     """
-    from mapreduce_golang_spark.operators.dedup import word_shingles
-
-    eval_df = df.where(F.col("source").isin(list(eval_sources)))
-    train_df = df.where(~F.col("source").isin(list(eval_sources)))
-    eval_sh = word_shingles(eval_df, k=k).select("doc_id", F.md5("shingle").alias("h"))
-    train_sh = word_shingles(train_df, k=k).select(
-        F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("h")
-    )
-    cold = train_sh.groupBy("h").agg(F.count("*").alias("df_h")).where(
-        F.col("df_h") <= max_train_doc_freq
-    )
-    train_cold = train_sh.join(cold.select("h"), "h", "left_semi")
-
-    totals = eval_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
-    pair_common = (
-        eval_sh.join(train_cold, "h")
-        .groupBy("doc_id", "train_doc")
-        .agg(F.count("*").alias("n_common"))
+    if overlap is None:
+        overlap = eval_train_overlap(
+            df, eval_sources=eval_sources, k=k, max_train_doc_freq=max_train_doc_freq
+        )
+    totals = overlap.select("doc_id", "n_shingles").distinct()
+    pair_common = overlap.where(F.col("n_common").isNotNull()).select(
+        "doc_id", "train_doc", "n_common"
     )
     # argmax per eval doc: largest common count, then smallest train doc
     best = pair_common.groupBy("doc_id").agg(
@@ -1142,6 +1175,7 @@ def decontaminated_corpus(
     k: int = 3,
     threshold: float = 0.8,
     max_train_doc_freq: int = 256,
+    overlap: DataFrame | None = None,
 ) -> DataFrame:
     """The consumption step after eval_decontamination's report: the
     TRAIN corpus with every contamination carrier removed — a train
@@ -1163,25 +1197,13 @@ def decontaminated_corpus(
     semi-join shape as common_sentence_filter. Returns the surviving
     (doc_id, source) rows.
     """
-    from mapreduce_golang_spark.operators.dedup import word_shingles
-
-    eval_df = df.where(F.col("source").isin(list(eval_sources)))
+    if overlap is None:
+        overlap = eval_train_overlap(
+            df, eval_sources=eval_sources, k=k, max_train_doc_freq=max_train_doc_freq
+        )
     train_df = df.where(~F.col("source").isin(list(eval_sources)))
-    eval_sh = word_shingles(eval_df, k=k).select("doc_id", F.md5("shingle").alias("h"))
-    train_sh = word_shingles(train_df, k=k).select(
-        F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("h")
-    )
-    cold = train_sh.groupBy("h").agg(F.count("*").alias("df_h")).where(
-        F.col("df_h") <= max_train_doc_freq
-    )
-    train_cold = train_sh.join(cold.select("h"), "h", "left_semi")
-    totals = eval_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
     convicted = (
-        eval_sh.join(train_cold, "h")
-        .groupBy("doc_id", "train_doc")
-        .agg(F.count("*").alias("n_common"))
-        .join(totals, "doc_id")
-        .where(F.col("n_common") / F.col("n_shingles") >= F.lit(threshold))
+        overlap.where(F.col("n_common") / F.col("n_shingles") >= F.lit(threshold))
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )

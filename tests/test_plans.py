@@ -110,11 +110,18 @@ def test_semantic_dedup_scan_floor(spark, sf_dir):
 
 def test_simhash_signature_is_narrow(spark, sf_dir):
     # both SimHash signatures are ONE projection over the scan — any
-    # Exchange here means the explode→groupBy pipeline regressed back
-    for name in ["simhash", "simhash64"]:
-        plan = _plan(spark, sf_dir, name)
-        assert "Exchange" not in plan, name
-        assert plan.count("FileScan parquet") == 1, name
+    # Exchange here means the explode→groupBy pipeline regressed back.
+    # Asserted on the OPERATORS (the registry's `simhash` query now
+    # returns the shared materialize-once signature table, whose plan
+    # is just the checkpoint scan).
+    from mapreduce_golang_spark.operators.dedup import simhash, simhash64
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in [simhash, simhash64]:
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
+        assert plan.count("FileScan parquet") == 1, fn.__name__
 
 
 def test_repetition_ratio_is_narrow(spark, sf_dir):
