@@ -108,6 +108,15 @@ def main() -> None:
         "ann_recall_report",
         "kcore_docs",
         "session_incident_overlap",
+        # round-6 family representatives
+        "dsir_importance_weights",
+        "ccnet_perplexity_buckets",
+        "leakage_safe_splits",
+        "eval_decontamination",
+        "mmr_diverse_topk",
+        "rake_keywords",
+        "kmeans_silhouette",
+        "event_type_cooccurrence",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}
