@@ -1402,6 +1402,38 @@ def _session_hist(spark, sf_dir):
     return windows.session_duration_histogram(load_table(spark, sf_dir, "events"))
 
 
+def _bpe_merges(spark, sf_dir):
+    return text_analysis.bpe_learn_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _semdedup(spark, sf_dir):
+    return similarity.semdedup_survivors(
+        load_table(spark, sf_dir, "embeddings"), centroids=_kmeans_cents(spark, sf_dir)
+    )
+
+
+def _dataset_card(spark, sf_dir):
+    from mapreduce_golang_spark.operators import corpus
+
+    return corpus.dataset_card_report(load_table(spark, sf_dir, "documents"))
+
+
+def _ohlc(spark, sf_dir):
+    return windows.hourly_value_ohlc(load_table(spark, sf_dir, "events"))
+
+
+def _metric_unpivot(spark, sf_dir):
+    return analytics.monthly_metric_unpivot(load_table(spark, sf_dir, "orders"))
+
+
+def _name_matches(spark, sf_dir):
+    return dedup.part_name_near_matches(load_table(spark, sf_dir, "part"))
+
+
+def _ngram_diversity(spark, sf_dir):
+    return text_analysis.ngram_diversity_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1648,6 +1680,13 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_value_pareto": _value_pareto,
         "part_brand_hhi": _brand_hhi,
         "session_duration_histogram": _session_hist,
+        "bpe_learn_merges": _bpe_merges,
+        "semdedup_survivors": _semdedup,
+        "dataset_card_report": _dataset_card,
+        "hourly_value_ohlc": _ohlc,
+        "monthly_metric_unpivot": _metric_unpivot,
+        "part_name_near_matches": _name_matches,
+        "ngram_diversity_by_source": _ngram_diversity,
     }
 
 
@@ -5744,6 +5783,201 @@ _ORACLES["session_duration_histogram"] = f"""
            CAST(count(*) AS BIGINT) AS n_sessions,
            round(avg(n_events), 6) AS avg_events
     FROM sess GROUP BY 1, 2
+"""
+
+def _bpe_merges_oracle() -> str:
+    # operators/text_analysis.py::bpe_learn_merges — the training loop
+    # unrolled: each round's pair count, 1-row argmax, and the
+    # left-to-right non-overlapping replace (BPE's own application
+    # order; replace() semantics identical in both engines).
+    from mapreduce_golang_spark.operators.text_analysis import BPE_MERGE_ROUNDS
+
+    steps = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS (
+        SELECT sy[i] || ' ' || sy[i + 1] AS pair, wc
+        FROM (SELECT string_split(trim(w), ' ') AS sy, wc FROM w{r - 1}),
+             unnest(range(1, len(sy))) AS t(i)
+        WHERE len(sy) >= 2
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT {r} AS merge_rank, pair, CAST(sum(wc) AS BIGINT) AS n
+        FROM p{r} GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT replace(w, ' ' || (SELECT pair FROM best{r}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM best{r}) || ' ') AS w,
+               wc
+        FROM w{r - 1}
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    finals = " UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair, n FROM best{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return rf"""
+    WITH wf AS (
+        SELECT tok, count(*) AS wc
+        FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                   x -> x <> '')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w, wc
+        FROM wf WHERE length(tok) >= 2
+    ),
+    {chained}
+    {finals}
+"""
+
+
+_ORACLES["bpe_learn_merges"] = _bpe_merges_oracle()
+
+
+def _semdedup_oracle() -> str:
+    # operators/similarity.py::semdedup_survivors — same fitted chain;
+    # in-cluster pairwise round-6 cosines, drop the higher id of any
+    # pair at >= 0.95.
+    chain, final = _kmeans_oracle()
+    return f"""{chain},
+    asg AS (SELECT vec_id, cluster FROM a{final}),
+    nrm2 AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM lf GROUP BY vec_id),
+    cpairs AS (
+        SELECT x.vec_id AS va, y.vec_id AS vb
+        FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    ccos AS (
+        SELECT p.va, p.vb,
+               round(sum(a.v * b.v) / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS c
+        FROM cpairs p
+        JOIN lf a ON a.vec_id = p.va
+        JOIN lf b ON b.vec_id = p.vb AND b.dim = a.dim
+        JOIN nrm2 na ON na.vec_id = p.va
+        JOIN nrm2 nb ON nb.vec_id = p.vb
+        GROUP BY p.va, p.vb
+    ),
+    sdropped AS (SELECT DISTINCT vb FROM ccos WHERE c >= CAST(0.95 AS DOUBLE))
+    SELECT vec_id, cluster FROM asg
+    WHERE vec_id NOT IN (SELECT vb FROM sdropped)
+    """
+
+
+_ORACLES["semdedup_survivors"] = _semdedup_oracle()
+
+# operators/corpus.py::dataset_card_report — one-pass corpus card.
+_ORACLES["dataset_card_report"] = r"""
+    WITH per_doc AS (
+        SELECT doc_id, source, lang,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                        x -> x <> '')) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chr,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           round(CASE WHEN count(*) > 0
+                 THEN 1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)
+                 ELSE 0.0 END, 6) AS dup_frac,
+           round(CASE WHEN count(*) > 0
+                 THEN CAST(sum(n_tok) AS DOUBLE) / count(*)
+                 ELSE 0.0 END, 6) AS avg_doc_tokens
+    FROM per_doc
+"""
+
+_ORACLES["hourly_value_ohlc"] = """
+    -- operators/windows.py::hourly_value_ohlc — min_by/max_by on the
+    -- (ts, event_id) struct expressed as asc/desc row_number picks
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        FROM events
+    ), r AS (
+        SELECT e.*,
+               row_number() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, hour,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM r GROUP BY 1, 2
+"""
+
+_ORACLES["monthly_metric_unpivot"] = """
+    -- operators/analytics.py::monthly_metric_unpivot — DuckDB UNPIVOT
+    -- twin of DataFrame.unpivot (melt)
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY 1
+    )
+    SELECT month, metric, value
+    FROM m UNPIVOT (value FOR metric IN (revenue, n_orders, n_customers))
+"""
+
+_ORACLES["part_name_near_matches"] = r"""
+    -- operators/dedup.py::part_name_near_matches — distinct-first
+    -- blocking join on the head noun, Levenshtein verify
+    WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+               regexp_extract(p_name, '(\S+)$', 1) AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+_ORACLES["ngram_diversity_by_source"] = r"""
+    -- operators/text_analysis.py::ngram_diversity_by_source —
+    -- unigram/trigram type-token ratios per source
+    WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens
+        FROM (SELECT source, unnest(toks) AS tok FROM toks) GROUP BY source
+    ), tri AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(count(DISTINCT tri) AS BIGINT) AS n_unique_trigrams
+        FROM (
+            SELECT source, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+            FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+            WHERE len(toks) >= 3
+        ) GROUP BY source
+    )
+    SELECT u.source, u.n_tokens, u.n_unique_tokens,
+           round(CAST(u.n_unique_tokens AS DOUBLE) / u.n_tokens, 6) AS ttr1,
+           CAST(coalesce(t.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(t.n_unique_trigrams, 0) AS BIGINT) AS n_unique_trigrams,
+           round(CASE WHEN coalesce(t.n_trigrams, 0) > 0
+                 THEN CAST(t.n_unique_trigrams AS DOUBLE) / t.n_trigrams
+                 ELSE 0.0 END, 6) AS ttr3
+    FROM uni u LEFT JOIN tri t ON u.source = t.source
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -797,3 +797,30 @@ def part_brand_hhi(part: DataFrame) -> DataFrame:
             F.round(F.col("_sq") / (F.col("n_parts") * F.col("n_parts")), 6).alias("hhi"),
         )
     )
+
+
+def monthly_metric_unpivot(orders: DataFrame) -> DataFrame:
+    """Wide-to-long melt of the monthly orders rollup: one row per
+    (month, metric) with metric ∈ {revenue, n_orders, n_customers} —
+    the UNPIVOT relational surface (`DataFrame.unpivot`, Spark's melt)
+    the reference's report writers flatten by hand.
+
+    One hash aggregate builds the wide month table (revenue summed as
+    decimal(18,2) so the melt is bit-stable), then `unpivot` expands it
+    3× WITHOUT an exchange — Expand is a narrow node, so the long
+    format costs nothing extra at any scale. Returns (month, metric,
+    value) with value cast double.
+    """
+    wide = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["month"], ["revenue", "n_orders", "n_customers"], "metric", "value"
+    )

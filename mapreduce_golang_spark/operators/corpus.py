@@ -312,3 +312,55 @@ def packing_efficiency_report(df: DataFrame, budget_tokens: int = 2000) -> DataF
         F.round(F.col("total_tokens") / capacity, 6).alias("fill_ratio"),
         F.round(F.lit(1.0) - F.col("total_tokens") / capacity, 6).alias("waste_frac"),
     )
+
+
+def dataset_card_report(df: DataFrame) -> DataFrame:
+    """One-row dataset card: the corpus-level numbers a dataset README
+    states up front — doc/source/language counts, token and char
+    totals, exact-duplicate rate, and mean doc length — assembled in a
+    SINGLE aggregation pass (every metric is an algebraic or
+    distinct aggregate; Spark plans the distinct expansions itself).
+
+    Scale shape: one aggregate over the scan (map-side partials for
+    the algebraic metrics, the standard two-level expand for the
+    distincts); output is exactly one row at any SF. Returns (n_docs,
+    n_sources, n_langs, n_tokens, n_chars, n_unique_texts, dup_frac,
+    avg_doc_tokens), floats rounded to 6.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    per_doc = df.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.count_distinct("h").cast("long").alias("n_unique_texts"),
+    ).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_tokens",
+        "n_chars",
+        "n_unique_texts",
+        F.round(
+            F.when(
+                F.col("n_docs") > 0,
+                1.0 - F.col("n_unique_texts") / F.col("n_docs"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+        F.round(
+            F.when(F.col("n_docs") > 0, F.col("n_tokens") / F.col("n_docs")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("avg_doc_tokens"),
+    )

@@ -1075,3 +1075,47 @@ def hot_shingles_report(
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(k)
     )
+
+
+def part_name_near_matches(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Entity-resolution report over part names: DISTINCT name pairs
+    sharing the same final word (the head noun) whose full names are
+    within ``max_dist`` Levenshtein edits — classic blocking-key record
+    linkage (Fellegi–Sunter blocking, the edit_distance_pairs recipe
+    applied to a dimension's natural key instead of document text).
+
+    Scale shape: names collapse to the DISTINCT-name frequency table
+    first (one hash agg — the vocabulary is bounded by the catalog's
+    naming scheme, not the row count), so the quadratic term is
+    vocab²-within-block, never rows². Candidates come from an EQUALITY
+    self-join on the blocking key; at 100 TB widen the key (noun +
+    adjective initial) exactly as edit_distance_pairs widens its
+    prefix. Returns (name_a, name_b, edit_dist, n_parts_a, n_parts_b).
+    """
+    names = (
+        part.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(
+            "name",
+            "n_parts",
+            F.regexp_extract("name", r"(\S+)$", 1).alias("blk"),
+        )
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )

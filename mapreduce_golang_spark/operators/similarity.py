@@ -798,3 +798,59 @@ def mmr_diverse_topk(embeddings: DataFrame, k: int = 10, lam: float = MMR_LAMBDA
     return selected.select(
         "rank", "vec_id", F.col("rel").alias("relevance"), F.round("mmr", 6).alias("mmr_score")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semdedup_survivors(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication WITHIN
+    k-means clusters — pairs are compared only inside their cluster,
+    and of any pair with cosine ≥ ``threshold`` the higher vec_id is
+    dropped (keep-lowest, the near_dup_survivors policy). The method's
+    point at 100 TB: clustering bounds the quadratic term to each
+    cluster's population, exactly like LSH buckets bound
+    semantic_dedup_pairs — but with clusters that follow the data's
+    actual density rather than random hyperplanes.
+
+    Scale shape: the fit is the shared Lloyd's loop (broadcast k-row
+    centroid table); the pair stage is an equality self-join on the
+    cluster id (shuffle ∝ corpus, quadratic only within a cluster —
+    at production scale raise k so clusters stay ~10⁴ vectors).
+    Returns the surviving (vec_id, cluster) rows.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    if centroids is None:
+        centroids = _kmeans_fit(vecs, k, updates)
+    assigned = (
+        _kmeans_assign_to(vecs, centroids)
+        .select("vec_id", "e", "cluster")
+        .withColumn("nrm", _norm_expr(F.col("e")))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            F.round(_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.select("vec_id", "cluster").join(dropped, "vec_id", "left_anti")

@@ -1339,3 +1339,146 @@ def rake_keywords(df: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(k)
     )
+
+
+BPE_MERGE_ROUNDS = 5
+
+
+def bpe_learn_merges(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> DataFrame:
+    """An actual multi-round BPE trainer (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules over the word-frequency table —
+    each round counts adjacent symbol pairs (word-frequency-weighted),
+    merges the most frequent pair (ties → lexicographically smallest),
+    and re-segments before the next round. bpe_merge_candidates is one
+    round's COUNT TABLE; this is the training loop itself, the part a
+    tokenizer pipeline persists as the merges file.
+
+    Words are space-joined symbol strings; applying a merge is one
+    string replace of ' a b ' → ' ab ' over the padded word — plain
+    left-to-right non-overlapping replacement, which is exactly BPE's
+    merge application order and identical in Spark and DuckDB (the
+    oracle unrolls the same rounds).
+
+    Scale shape: the corpus collapses ONCE into the distinct-word
+    frequency table (the wordcount exchange — all rounds then operate
+    per distinct word, not per token occurrence); each round is a
+    bounded pair agg + a 1-row argmax broadcast + a narrow replace,
+    with a localCheckpoint keeping the lineage flat (the iterative
+    loop discipline of operators/graph.py). Returns (merge_rank, pair,
+    n) — the learned merge table in order.
+    """
+    toks = F.explode(
+        F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    ).alias("tok")
+    words = (
+        df.select(toks)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+        .where(F.length("tok") >= 2)
+        .select(
+            # ' a b c ' — padded so every symbol boundary is ' x y '
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("tok"), ""), " "),
+                F.lit(" "),
+            ).alias("w"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # CASE guard: a fully-merged word collapses to ONE symbol, and
+    # sequence(1, 0) DESCENDS in Spark (the word_shingles trap) —
+    # single-symbol words must contribute no pairs, not crash
+    pair_expr = (
+        "CASE WHEN size(split(trim(w), ' ')) >= 2 "
+        "THEN transform(sequence(1, size(split(trim(w), ' ')) - 1), "
+        "i -> concat(element_at(split(trim(w), ' '), i), ' ', "
+        "element_at(split(trim(w), ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    merges_df = None
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.select(F.explode(F.expr(pair_expr)).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(rank).cast("long").alias("merge_rank"), "pair", "n")
+            .localCheckpoint(eager=True)
+        )
+        merges_df = best if merges_df is None else merges_df.unionByName(best)
+        # the learned rule comes back as a 1-row broadcast — no driver
+        # collect anywhere in the loop (the graph-loop discipline);
+        # F.replace is plain left-to-right non-overlapping string
+        # replacement, i.e. BPE's own merge-application order
+        rule = best.select(
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("pat"),
+            F.concat(
+                F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+            ).alias("rep"),
+        )
+        words = (
+            words.crossJoin(F.broadcast(rule))
+            .select(F.replace("w", F.col("pat"), F.col("rep")).alias("w"), "wc")
+            .localCheckpoint(eager=True)
+        )
+    return merges_df
+
+
+def ngram_diversity_by_source(df: DataFrame) -> DataFrame:
+    """Per-source n-gram diversity: type-token ratios at the unigram
+    and trigram grain — the lexical-diversity screen that separates
+    template-stamped sources (low TTR) from genuinely varied ones, the
+    corpus-level companion of the per-doc repetition_ratio.
+
+    One narrow map builds tokens AND the in-array trigram list per doc
+    (the word_shingles slice construction, short-doc guarded), then a
+    single explode-per-grain feeds two hash aggs with distinct
+    expansions, joined on the bounded source key. Returns (source,
+    n_tokens, n_unique_tokens, ttr1, n_trigrams, n_unique_trigrams,
+    ttr3), ratios rounded 6.
+    """
+    toks = df.select(
+        "source",
+        F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "").alias("toks"),
+    )
+    tri_arr = F.expr(
+        "CASE WHEN size(toks) >= 3 "
+        "THEN transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' ')) "
+        "ELSE array() END"
+    )
+    uni = (
+        toks.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count_distinct("tok").cast("long").alias("n_unique_tokens"),
+        )
+    )
+    tri = (
+        toks.select("source", F.explode(tri_arr).alias("tri"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.count_distinct("tri").cast("long").alias("n_unique_trigrams"),
+        )
+    )
+    return (
+        uni.join(tri, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "n_unique_tokens",
+            F.round(F.col("n_unique_tokens") / F.col("n_tokens"), 6).alias("ttr1"),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce(F.col("n_unique_trigrams"), F.lit(0)).cast("long").alias("n_unique_trigrams"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_trigrams"), F.lit(0)) > 0,
+                    F.col("n_unique_trigrams") / F.col("n_trigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ttr3"),
+        )
+    )

@@ -730,3 +730,38 @@ def session_duration_histogram(events: DataFrame, bin_minutes: int = 10) -> Data
             "avg_events",
         )
     )
+
+
+def hourly_value_ohlc(events: DataFrame) -> DataFrame:
+    """OHLC bars per (event_type, hour): open/high/low/close of
+    ``value`` plus event count and total — the candlestick rollup every
+    time-series store ships (reference analogue: the per-window reduce
+    of mrapps, SURVEY §2.4 event-time analytics family).
+
+    Open/close use ``min_by``/``max_by`` with the (ts, event_id)
+    struct as the ordering key — event_id uniqueness makes the
+    selection total-ordered and deterministic, and both are ALGEBRAIC
+    aggregates (map-side partials carry one candidate row each), so
+    the whole operator is ONE hash aggregate over the scan: no window
+    sort, no second exchange. total_value sums decimal(18,6) so the
+    result is bit-identical under any partial-aggregation order.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

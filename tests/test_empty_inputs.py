@@ -372,3 +372,49 @@ def test_round6_wave10_ops_on_empty(spark, empty_events):
     r = user_value_pareto(empty_events).collect()
     assert len(r) == 1 and r[0].n_users == 0
     assert session_duration_histogram(empty_events).count() == 0
+
+
+def test_round6_wave11_ops_on_empty(spark, empty_docs, empty_emb):
+    from mapreduce_golang_spark.operators.corpus import dataset_card_report
+    from mapreduce_golang_spark.operators.similarity import semdedup_survivors
+    from mapreduce_golang_spark.operators.text_analysis import bpe_learn_merges
+
+    # no words at all → every round's argmax is empty → empty merges
+    assert bpe_learn_merges(empty_docs, n_merges=2).count() == 0
+    assert semdedup_survivors(empty_emb).count() == 0
+    r = dataset_card_report(empty_docs).collect()
+    assert len(r) == 1 and r[0].n_docs == 0 and r[0].dup_frac == 0.0
+
+
+def test_round6_wave12_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import monthly_metric_unpivot
+    from mapreduce_golang_spark.operators.dedup import part_name_near_matches
+    from mapreduce_golang_spark.operators.text_analysis import ngram_diversity_by_source
+    from mapreduce_golang_spark.operators.windows import hourly_value_ohlc
+
+    part_schema = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    )
+    orders_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    empty_part = spark.createDataFrame([], part_schema)
+    empty_orders = spark.createDataFrame([], orders_schema)
+    assert hourly_value_ohlc(empty_events).count() == 0
+    assert monthly_metric_unpivot(empty_orders).count() == 0
+    assert part_name_near_matches(empty_part).count() == 0
+    assert ngram_diversity_by_source(empty_docs).count() == 0

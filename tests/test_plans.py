@@ -189,6 +189,7 @@ _BOUNDED_NLJ_OK = {
     "value_equidepth_bins": 1,  # 1-row boundary-array broadcast
     "mmr_diverse_topk": 1,  # 1-row centroid broadcast (loop checkpoints truncate)
     "user_value_pareto": 1,  # 1-row percentile-cuts broadcast
+    "semdedup_survivors": 3,  # the one k-row centroid grid, statically tripled (self-join a/b + anti-join legs; AQE reuses the exchange)
 }
 
 
