@@ -1434,6 +1434,26 @@ def _ngram_diversity(spark, sf_dir):
     return text_analysis.ngram_diversity_by_source(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_encode(spark, sf_dir):
+    return text_analysis.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _qual_calib(spark, sf_dir):
+    return text_analysis.quality_dup_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _norm_gain(spark, sf_dir):
+    return dedup.normalized_dedup_gain(load_table(spark, sf_dir, "documents"))
+
+
+def _jl_qa(spark, sf_dir):
+    return similarity.jl_projection_qa(load_table(spark, sf_dir, "embeddings"))
+
+
+def _attribution(spark, sf_dir):
+    return analytics.multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1687,6 +1707,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "monthly_metric_unpivot": _metric_unpivot,
         "part_name_near_matches": _name_matches,
         "ngram_diversity_by_source": _ngram_diversity,
+        "bpe_encode_stats": _bpe_encode,
+        "quality_dup_calibration": _qual_calib,
+        "normalized_dedup_gain": _norm_gain,
+        "jl_projection_qa": _jl_qa,
+        "multi_touch_attribution": _attribution,
     }
 
 
@@ -5978,6 +6003,180 @@ _ORACLES["ngram_diversity_by_source"] = r"""
                  THEN CAST(t.n_unique_trigrams AS DOUBLE) / t.n_trigrams
                  ELSE 0.0 END, 6) AS ttr3
     FROM uni u LEFT JOIN tri t ON u.source = t.source
+"""
+
+def _bpe_encode_oracle() -> str:
+    # operators/text_analysis.py::bpe_encode_stats — the same unrolled
+    # training loop as bpe_learn_merges, but the word CTEs carry tok
+    # (and include 1-char tokens, which contribute no pairs, so the
+    # learned merges are identical), then the final segmentation joins
+    # the per-(source, tok) occurrence counts.
+    from mapreduce_golang_spark.operators.text_analysis import BPE_MERGE_ROUNDS
+
+    steps = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS (
+        SELECT sy[i] || ' ' || sy[i + 1] AS pair, wc
+        FROM (SELECT string_split(trim(w), ' ') AS sy, wc FROM w{r - 1}),
+             unnest(range(1, len(sy))) AS t(i)
+        WHERE len(sy) >= 2
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT pair FROM p{r} GROUP BY pair
+        ORDER BY CAST(sum(wc) AS BIGINT) DESC, pair ASC LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT tok,
+               CASE WHEN (SELECT count(*) FROM best{r}) = 0 THEN w
+                    ELSE replace(w, ' ' || (SELECT pair FROM best{r}) || ' ',
+                                 ' ' || (SELECT replace(pair, ' ', '') FROM best{r}) || ' ')
+               END AS w,
+               wc
+        FROM w{r - 1}
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return rf"""
+    WITH u AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                      x -> x <> '')) AS tok
+        FROM documents
+    ),
+    occ AS MATERIALIZED (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM u GROUP BY source, tok
+    ),
+    w0 AS MATERIALIZED (
+        SELECT tok,
+               ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
+               CAST(sum(cnt) AS BIGINT) AS wc
+        FROM occ GROUP BY tok
+    ),
+    {chained},
+    enc AS (
+        SELECT tok, CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_sym
+        FROM w{BPE_MERGE_ROUNDS}
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * n_sym) AS BIGINT) AS n_symbols,
+           CAST(sum(cnt * length(tok)) AS BIGINT) AS n_chars,
+           round(CAST(sum(cnt * n_sym) AS DOUBLE) / sum(cnt), 6) AS symbols_per_token,
+           round(CAST(sum(cnt * n_sym) AS DOUBLE) / sum(cnt * length(tok)), 6)
+               AS compression_ratio
+    FROM occ JOIN enc USING (tok)
+    GROUP BY source
+"""
+
+
+_ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
+
+_ORACLES["quality_dup_calibration"] = f"""
+    -- operators/text_analysis.py::quality_dup_calibration —
+    -- fixed-width score bins vs exact-dup labels
+    WITH tq AS ({_ORACLES["text_quality"]}),
+    dh AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    sizes AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS grp FROM dh GROUP BY h
+    ),
+    b AS (
+        SELECT floor(tq.quality_score / 0.1) * 0.1 AS bin_lo,
+               CASE WHEN s.grp > 1 THEN 1 ELSE 0 END AS is_dup,
+               CAST(tq.quality_score AS DECIMAL(10,6)) AS q
+        FROM tq JOIN dh USING (doc_id) JOIN sizes s USING (h)
+    )
+    SELECT round(bin_lo, 6) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+           round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_frac,
+           round(CAST(sum(q) / count(*) AS DOUBLE), 6) AS avg_quality
+    FROM b GROUP BY bin_lo
+"""
+
+_ORACLES["normalized_dedup_gain"] = r"""
+    -- operators/dedup.py::normalized_dedup_gain — raw vs normalized
+    -- exact-dup mass per source, one aggregation pass
+    WITH per AS (
+        SELECT source,
+               md5(text) AS h_raw,
+               md5(trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g'))) AS h_norm
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h_raw) AS BIGINT) AS n_uniq_raw,
+           CAST(count(DISTINCT h_norm) AS BIGINT) AS n_uniq_norm,
+           round(1.0 - CAST(count(DISTINCT h_raw) AS DOUBLE) / count(*), 6) AS raw_dup_frac,
+           round(1.0 - CAST(count(DISTINCT h_norm) AS DOUBLE) / count(*), 6) AS norm_dup_frac,
+           round(CAST(count(DISTINCT h_raw) - count(DISTINCT h_norm) AS DOUBLE) / count(*), 6)
+               AS gain_frac
+    FROM per GROUP BY source
+"""
+
+_ORACLES["jl_projection_qa"] = """
+    -- operators/similarity.py::jl_projection_qa — deterministic
+    -- Achlioptas sign projection, distance-ratio stats over the
+    -- hash-thinned sample
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    pv AS (
+        SELECT vec_id, e,
+               list_transform(range(1, 9), j ->
+                   list_sum(list_transform(range(1, len(e) + 1), i ->
+                       e[i] * (CASE CAST(floor((i * 2654435761 + j * 40503) / 256) AS BIGINT) % 6
+                               WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)
+                       * sqrt(3.0 / 8)))) AS p
+        FROM v
+    ),
+    pr AS (
+        SELECT sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i ->
+                   (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))) AS d_orig,
+               sqrt(list_sum(list_transform(range(1, 9), j ->
+                   (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])))) AS d_proj
+        FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+        SELECT round(d_proj / d_orig, 6) AS ratio FROM pr WHERE d_orig > 1e-12
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(ratio AS DECIMAL(12,6))) / count(*) AS DOUBLE), 6) AS avg_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio
+    FROM r
+"""
+
+_ORACLES["multi_touch_attribution"] = """
+    -- operators/analytics.py::multi_touch_attribution — linear credit
+    -- split across the 24h pre-purchase touches
+    WITH purch AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, ts AS t_ts, event_type
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT t.event_type, p.p_id, p.value
+        FROM purch p JOIN touch t ON p.user_id = t.user_id
+         AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+    ),
+    c AS (
+        SELECT event_type,
+               CAST(round(value / (count(*) OVER (PARTITION BY p_id)), 6)
+                    AS DECIMAL(18,6)) AS credit
+        FROM j
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
+    FROM c GROUP BY event_type
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -824,3 +824,47 @@ def monthly_metric_unpivot(orders: DataFrame) -> DataFrame:
     return wide.unpivot(
         ["month"], ["revenue", "n_orders", "n_customers"], "metric", "value"
     )
+
+
+ATTRIBUTION_LOOKBACK_HOURS = 24
+
+
+def multi_touch_attribution(
+    events: DataFrame, lookback_hours: int = ATTRIBUTION_LOOKBACK_HOURS
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the user's non-purchase events in the preceding
+    ``lookback_hours`` — the standard position-agnostic attribution
+    model marketing analytics runs nightly (first/last-touch are
+    degenerate cases of the same join).
+
+    Scale shape: an EQUALITY join on user_id carrying the time-range
+    predicate (per-user fan-out is bounded by a user's activity in the
+    lookback window, never the corpus), one exchange on the purchase
+    id for the touch-count window, then the event_type rollup. Per-
+    touch credits round to 6dp and sum as decimal(18,6), so the total
+    is bit-stable under any partial-agg order. Returns (event_type,
+    n_touches, total_credit).
+    """
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        "value",
+    )
+    touch = events.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), "event_type"
+    )
+    j = purch.join(touch, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_hours} HOURS"))
+    )
+    w = Window.partitionBy("p_id")
+    credited = j.withColumn("n", F.count("*").over(w)).select(
+        "event_type",
+        F.round(F.col("value") / F.col("n"), 6).cast("decimal(18,6)").alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+    )

@@ -1119,3 +1119,42 @@ def part_name_near_matches(part: DataFrame, max_dist: int = 4) -> DataFrame:
         )
         .where(F.col("edit_dist") <= max_dist)
     )
+
+
+def normalized_dedup_gain(df: DataFrame) -> DataFrame:
+    """Per-source normalization-gain report: how much extra duplicate
+    mass a canonicalizing normalizer (lowercase, non-letter runs → one
+    space, trim) surfaces beyond byte-exact hashing — the measurement
+    that justifies (or kills) a normalization pass before exact dedup
+    at corpus scale (CCNet/C4 both normalize before hashing).
+
+    ONE aggregation pass: both hashes are narrow per-row expressions
+    and the two distinct-counts share the same hash agg with distinct
+    expansion — no joins, no second scan. Returns (source, n_docs,
+    n_uniq_raw, n_uniq_norm, raw_dup_frac, norm_dup_frac, gain_frac).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}]+", " "))
+    per_doc = df.select(
+        "source",
+        F.md5(F.col("text")).alias("h_raw"),
+        F.md5(norm).alias("h_norm"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("h_raw").cast("long").alias("n_uniq_raw"),
+            F.count_distinct("h_norm").cast("long").alias("n_uniq_norm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_uniq_raw",
+            "n_uniq_norm",
+            F.round(1.0 - F.col("n_uniq_raw") / F.col("n_docs"), 6).alias("raw_dup_frac"),
+            F.round(1.0 - F.col("n_uniq_norm") / F.col("n_docs"), 6).alias("norm_dup_frac"),
+            F.round(
+                (F.col("n_uniq_raw") - F.col("n_uniq_norm")) / F.col("n_docs"), 6
+            ).alias("gain_frac"),
+        )
+    )

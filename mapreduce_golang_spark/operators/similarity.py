@@ -854,3 +854,68 @@ def semdedup_survivors(
         .distinct()
     )
     return assigned.select("vec_id", "cluster").join(dropped, "vec_id", "left_anti")
+
+
+JL_DIMS = 8
+JL_SAMPLE_MOD = 7
+
+
+def jl_projection_qa(
+    embeddings: DataFrame, k: int = JL_DIMS, sample_mod: int = JL_SAMPLE_MOD
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection QA: project embeddings to ``k``
+    dims with a DETERMINISTIC Achlioptas sparse sign matrix (entries
+    +1/−1/0 with prob 1/6, 1/6, 2/3, scaled √(3/k) — Achlioptas 2003,
+    "Database-friendly random projections") and report how well
+    pairwise L2 distances survive on a hash-thinned vector sample —
+    the go/no-go check before swapping full-width embeddings for a
+    cheap projection in an ANN or dedup pipeline.
+
+    The matrix entry for (i, j) comes from an arithmetic bit mixer
+    (floor-div slices middle bits, so no parity artifact), identical
+    in Spark and DuckDB — no RNG, no driver-side matrix. Scale shape:
+    the projection is a narrow per-row array expression (k·d mults in
+    one codegen stage); the QA pair set is the deterministic
+    ``vec_id % sample_mod`` sample self-joined — a FIXED-size
+    quadratic, independent of corpus growth (raise sample_mod as the
+    corpus grows). Returns one row: (n_pairs, avg_ratio, min_ratio,
+    max_ratio) of projected/original distance, ratios rounded 6.
+    """
+    proj_expr = (
+        f"transform(sequence(1, {k}), j -> "
+        f"aggregate(sequence(1, size(e)), cast(0.0 as double), (acc, i) -> "
+        f"acc + element_at(e, i) * "
+        f"(CASE CAST(floor((i * 2654435761 + j * 40503) / 256) AS BIGINT) % 6 "
+        f"WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END) * sqrt(3.0 / {k})))"
+    )
+    vecs = (
+        embeddings.where(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select("vec_id", "e", F.expr(proj_expr).alias("p"))
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("p").alias("pa")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("p").alias("pb")
+    )
+    dist = "sqrt(aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.expr(dist.format("ea", "eb")).alias("d_orig"),
+            F.expr(dist.format("pa", "pb")).alias("d_proj"),
+        )
+        .where(F.col("d_orig") > 1e-12)
+        .select(F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("ratio"))
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            (F.sum(F.col("ratio").cast("decimal(12,6)")) / F.count("*")).cast("double"),
+            6,
+        ).alias("avg_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )

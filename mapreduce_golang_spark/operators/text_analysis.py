@@ -1386,6 +1386,17 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> DataFra
         )
         .localCheckpoint(eager=True)
     )
+    _words_final, merges_df = _bpe_loop(words, n_merges)
+    return merges_df
+
+
+def _bpe_loop(words, n_merges, carry=()):
+    """The shared BPE merge loop: ``words`` is (w, wc, *carry) with w a
+    space-padded symbol string; runs ``n_merges`` rounds of pair agg →
+    1-row argmax broadcast → narrow replace, carrying ``carry`` columns
+    untouched (they never join the pair counting). Returns the final
+    segmented words plus the learned (merge_rank, pair, n) table.
+    """
     # CASE guard: a fully-merged word collapses to ONE symbol, and
     # sequence(1, 0) DESCENDS in Spark (the word_shingles trap) —
     # single-symbol words must contribute no pairs, not crash
@@ -1411,19 +1422,130 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> DataFra
         # the learned rule comes back as a 1-row broadcast — no driver
         # collect anywhere in the loop (the graph-loop discipline);
         # F.replace is plain left-to-right non-overlapping string
-        # replacement, i.e. BPE's own merge-application order
-        rule = best.select(
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("pat"),
-            F.concat(
-                F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        # replacement, i.e. BPE's own merge-application order. The agg
+        # guarantees EXACTLY one rule row even when the corpus runs out
+        # of pairs before n_merges (best empty → NULL rule → no-op),
+        # so the crossJoin can never annihilate the word table.
+        rule = best.agg(
+            F.max(F.concat(F.lit(" "), F.col("pair"), F.lit(" "))).alias("pat"),
+            F.max(
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                )
             ).alias("rep"),
         )
         words = (
             words.crossJoin(F.broadcast(rule))
-            .select(F.replace("w", F.col("pat"), F.col("rep")).alias("w"), "wc")
+            .select(
+                F.when(F.col("pat").isNull(), F.col("w"))
+                .otherwise(F.replace("w", F.col("pat"), F.col("rep")))
+                .alias("w"),
+                "wc",
+                *carry,
+            )
             .localCheckpoint(eager=True)
         )
-    return merges_df
+    return words, merges_df
+
+
+def bpe_encode_stats(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus and report
+    per-source encoding stats — the consumption half of the tokenizer
+    pipeline (bpe_learn_merges trains; this measures fertility, the
+    symbols-per-token rate a tokenizer's users actually pay).
+
+    The loop runs on the DISTINCT-word table exactly as the trainer
+    does (1-char tokens ride along — they contribute no pairs, so the
+    learned merges are identical); per-(source, token) occurrence
+    counts then join the bounded vocabulary on tok and collapse to one
+    row per source. All sums are integer → bit-stable. Returns
+    (source, n_tokens, n_symbols, n_chars, symbols_per_token,
+    compression_ratio) with ratios rounded 6.
+    """
+    toks = F.explode(
+        F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    ).alias("tok")
+    occ = df.select("source", toks).groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    words = (
+        occ.groupBy("tok")
+        .agg(F.sum("cnt").cast("long").alias("wc"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split(F.col("tok"), ""), " "), F.lit(" ")
+            ).alias("w"),
+            "wc",
+            "tok",
+        )
+        .localCheckpoint(eager=True)
+    )
+    words_final, _ = _bpe_loop(words, n_merges, carry=("tok",))
+    enc = words_final.select(
+        "tok", F.size(F.split(F.trim(F.col("w")), " ")).cast("long").alias("n_sym")
+    )
+    return (
+        occ.join(enc, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_symbols"),
+            F.sum(F.col("cnt") * F.length("tok")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_symbols",
+            "n_chars",
+            F.round(F.col("n_symbols") / F.col("n_tokens"), 6).alias("symbols_per_token"),
+            F.round(F.col("n_symbols") / F.col("n_chars"), 6).alias("compression_ratio"),
+        )
+    )
+
+
+def quality_dup_calibration(df: DataFrame, bin_width: float = 0.1) -> DataFrame:
+    """Calibration curve linking the heuristic quality score to the
+    exact-duplicate label: per fixed-width score bin, the document
+    count and the fraction that are exact duplicates — the sanity
+    check run before trusting a quality scorer to gate training data
+    (a scorer that ranks boilerplate dups HIGH is miscalibrated).
+
+    Fixed-width binning deliberately replaces deciles: no global
+    window sort, just two hash aggs (dup-group sizes on the text hash,
+    then the bin rollup) and one equi-join on the hash — every stage
+    partitions by its key at any corpus size. avg_quality sums
+    decimal(10,6) so the mean is bit-stable. Returns (bin_lo, n_docs,
+    n_dup_docs, dup_frac, avg_quality).
+    """
+    h = F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    scored = text_quality(df.select("doc_id", "text", h), keep_cols=("h",))
+    sizes = scored.groupBy("h").agg(F.count("*").cast("long").alias("grp"))
+    binned = (
+        scored.join(sizes, "h")
+        .select(
+            (
+                F.floor(F.col("quality_score") / F.lit(bin_width)).cast("long")
+                * F.lit(bin_width)
+            ).alias("bin_lo"),
+            (F.col("grp") > 1).cast("long").alias("is_dup"),
+            F.col("quality_score").cast("decimal(10,6)").alias("q"),
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("q").alias("qsum"),
+        )
+    )
+    return binned.select(
+        F.round("bin_lo", 6).alias("bin_lo"),
+        "n_docs",
+        "n_dup_docs",
+        F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_frac"),
+        F.round((F.col("qsum") / F.col("n_docs")).cast("double"), 6).alias("avg_quality"),
+    )
 
 
 def ngram_diversity_by_source(df: DataFrame) -> DataFrame:

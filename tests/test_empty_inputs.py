@@ -418,3 +418,20 @@ def test_round6_wave12_ops_on_empty(spark, empty_docs, empty_events):
     assert monthly_metric_unpivot(empty_orders).count() == 0
     assert part_name_near_matches(empty_part).count() == 0
     assert ngram_diversity_by_source(empty_docs).count() == 0
+
+
+def test_round6_wave13_ops_on_empty(spark, empty_docs, empty_events, empty_emb):
+    from mapreduce_golang_spark.operators.analytics import multi_touch_attribution
+    from mapreduce_golang_spark.operators.dedup import normalized_dedup_gain
+    from mapreduce_golang_spark.operators.similarity import jl_projection_qa
+    from mapreduce_golang_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        quality_dup_calibration,
+    )
+
+    assert bpe_encode_stats(empty_docs, n_merges=2).count() == 0
+    assert quality_dup_calibration(empty_docs).count() == 0
+    assert normalized_dedup_gain(empty_docs).count() == 0
+    assert multi_touch_attribution(empty_events).count() == 0
+    r = jl_projection_qa(empty_emb).collect()
+    assert len(r) == 1 and r[0].n_pairs == 0

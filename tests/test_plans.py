@@ -190,6 +190,7 @@ _BOUNDED_NLJ_OK = {
     "mmr_diverse_topk": 1,  # 1-row centroid broadcast (loop checkpoints truncate)
     "user_value_pareto": 1,  # 1-row percentile-cuts broadcast
     "semdedup_survivors": 3,  # the one k-row centroid grid, statically tripled (self-join a/b + anti-join legs; AQE reuses the exchange)
+    "jl_projection_qa": 1,  # fixed-size hash-thinned sample self-join (bounded quadratic by design, like the ANN query batch)
 }
 
 
