@@ -1454,6 +1454,30 @@ def _attribution(spark, sf_dir):
     return analytics.multi_touch_attribution(load_table(spark, sf_dir, "events"))
 
 
+def _roll_median(spark, sf_dir):
+    return windows.rolling_median_value(load_table(spark, sf_dir, "events"))
+
+
+def _basket_rules(spark, sf_dir):
+    return analytics.order_basket_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+def _k_anon(spark, sf_dir):
+    return analytics.k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+def _benford(spark, sf_dir):
+    return analytics.benford_price_audit(load_table(spark, sf_dir, "orders"))
+
+
+def _stream_ohlc(spark, sf_dir):
+    import uuid
+
+    return events_stream.streaming_hourly_ohlc(
+        spark, sf_dir, f"sohlc_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1712,6 +1736,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "normalized_dedup_gain": _norm_gain,
         "jl_projection_qa": _jl_qa,
         "multi_touch_attribution": _attribution,
+        "rolling_median_value": _roll_median,
+        "order_basket_rules": _basket_rules,
+        "k_anonymity_audit": _k_anon,
+        "benford_price_audit": _benford,
+        "streaming_hourly_ohlc": _stream_ohlc,
     }
 
 
@@ -6177,6 +6206,96 @@ _ORACLES["multi_touch_attribution"] = """
            CAST(count(*) AS BIGINT) AS n_touches,
            round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
     FROM c GROUP BY event_type
+"""
+
+_ORACLES["rolling_median_value"] = """
+    -- operators/windows.py::rolling_median_value — exact median over
+    -- the trailing ROWS frame, total (ts, event_id) ordering
+    SELECT user_id, event_id, value,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS roll_median
+    FROM events
+"""
+
+_ORACLES["order_basket_rules"] = """
+    -- operators/analytics.py::order_basket_rules — market-basket
+    -- support/confidence/lift, top-25 by rounded lift
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    n_o AS (
+        SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items
+    ),
+    singles AS MATERIALIZED (
+        SELECT pkey, CAST(count(*) AS BIGINT) AS n_single FROM items GROUP BY pkey
+    ),
+    pairs AS (
+        SELECT a.pkey AS part_a, b.pkey AS part_b, CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    e AS (
+        SELECT part_a, part_b, n_both,
+               sa.n_single AS n_a, sb.n_single AS n_b,
+               round(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+               round(CAST(n_both AS DOUBLE) / sa.n_single, 6) AS confidence,
+               round(CAST(n_both * n_orders AS DOUBLE) / (sa.n_single * sb.n_single), 6)
+                   AS lift
+        FROM pairs
+        JOIN singles sa ON pairs.part_a = sa.pkey
+        JOIN singles sb ON pairs.part_b = sb.pkey, n_o
+    )
+    SELECT * FROM e ORDER BY lift DESC, part_a, part_b LIMIT 25
+"""
+
+_ORACLES["k_anonymity_audit"] = """
+    -- operators/analytics.py::k_anonymity_audit — equivalence classes
+    -- of the (segment, nation, $1000 balance band) QI below k=5
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+"""
+
+_ORACLES["benford_price_audit"] = """
+    -- operators/analytics.py::benford_price_audit — leading digit via
+    -- the DECIMAL(18,2) rendering (no double→string sci-notation trap)
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / n_total, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+           round(pow(CAST(count(*) AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM d, t GROUP BY digit, n_total
+"""
+
+_ORACLES["streaming_hourly_ohlc"] = """
+    -- streaming/events_stream.py::streaming_hourly_ohlc — tumbling
+    -- 1-hour windows equal the batch OHLC on finite input
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id, value
+        FROM events
+    ), r AS (
+        SELECT e.*,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, hr
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM r GROUP BY 1, 2
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

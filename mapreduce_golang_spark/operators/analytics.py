@@ -868,3 +868,125 @@ def multi_touch_attribution(
         F.count("*").cast("long").alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
     )
+
+
+def order_basket_rules(lineitem: DataFrame, min_both: int = 3, k: int = 25) -> DataFrame:
+    """Association rules over order baskets (Agrawal et al. 1993):
+    top-``k`` part pairs co-purchased in the same order, ranked by
+    lift, with support and confidence — the market-basket staple.
+
+    Scale shape: baskets collapse to DISTINCT (order, part) first;
+    the pair generator is an EQUALITY self-join on l_orderkey whose
+    fan-out is bounded by basket size squared (TPC-H baskets are ≤7
+    lines — at 100 TB cap basket size exactly as dedup caps posting
+    lists); single-part counts are one hash agg; the corpus total is
+    a 1-row broadcast. min_both prunes the pair tail BEFORE the
+    metric joins. Top-k sorts on the ROUNDED lift with a (part_a,
+    part_b) tie-break so the boundary set is engine-independent.
+    Returns (part_a, part_b, n_both, n_a, n_b, support, confidence,
+    lift).
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    singles = items.groupBy("pkey").agg(F.count("*").cast("long").alias("n_single"))
+    a = items.select("okey", F.col("pkey").alias("part_a"))
+    b = items.select("okey", F.col("pkey").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_both)
+    )
+    enriched = (
+        pairs.join(
+            singles.select(F.col("pkey").alias("part_a"), F.col("n_single").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            singles.select(F.col("pkey").alias("part_b"), F.col("n_single").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+    return enriched.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(k)
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the (market segment,
+    nation, account-balance band) quasi-identifier: every equivalence
+    class smaller than ``k`` — the re-identification risk report a
+    governance pass runs before releasing a dimension extract
+    (complements pii_scan, which audits free text). The $1000 balance
+    band is the kind of "harmless" bucketed numeric that actually
+    drives classes below k.
+
+    ONE hash aggregate on the quasi-identifier plus a narrow filter —
+    partitioned by the QI key at any scale. Returns the at-risk
+    classes (c_mktsegment, c_nationkey, acctbal_band, group_size).
+    """
+    return (
+        customer.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+        )
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def benford_price_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit screen on order totals: observed
+    leading-digit distribution vs log10(1 + 1/d), with the per-digit
+    chi-square contribution — the classic fraud/synthetic-data tell
+    (fabricated amounts over-sample middle digits).
+
+    The leading digit comes from the DECIMAL(18,2) string rendering
+    (both engines print decimals identically — no double→string
+    scientific-notation trap, no log10-of-double floor edge). One
+    hash agg on 9 digit keys + a 1-row total broadcast. Returns
+    (digit, n, obs_frac, benford_frac, chi2_term).
+    """
+    digits = orders.where(F.col("o_totalprice") >= 1.0).select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    total = digits.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("obs_frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
+            F.round(
+                F.pow(
+                    F.col("n") / F.col("n_total") - F.log10(1.0 + 1.0 / F.col("digit")),
+                    2,
+                )
+                / F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

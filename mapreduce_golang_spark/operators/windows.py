@@ -765,3 +765,46 @@ def hourly_value_ohlc(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+def rolling_median_value(events: DataFrame, frame: int = 10) -> DataFrame:
+    """Per-user rolling EXACT median of value over the trailing
+    ``frame``+1 events — the robust smoother (median filter) that the
+    EWMA/z-score family can't provide: one wild outlier shifts a mean
+    window for ``frame`` rows but leaves the median untouched.
+
+    One exchange on user_id for the ordered window; the ROWS frame is
+    bounded, so per-row work is O(frame · log frame) regardless of
+    stream length — no global sort, no second shuffle. Spark forbids
+    ordered-set aggregates over a framed window, so the frame is
+    collected (≤ frame+1 doubles) and the median interpolated
+    IN-ARRAY — same even-count midpoint rule as DuckDB's windowed
+    median. (ts, event_id) ordering is total, making the frame
+    contents deterministic. Returns (user_id, event_id, value,
+    roll_median).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame, 0)
+    )
+    med = (
+        "CASE WHEN size(fr) % 2 = 1 "
+        "THEN element_at(array_sort(fr), CAST(size(fr) DIV 2 + 1 AS INT)) "
+        "ELSE (element_at(array_sort(fr), CAST(size(fr) DIV 2 AS INT)) "
+        "      + element_at(array_sort(fr), CAST(size(fr) DIV 2 + 1 AS INT))) / 2.0 END"
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.collect_list("value").over(w).alias("fr"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(F.expr(med), 6).alias("roll_median"),
+        )
+    )

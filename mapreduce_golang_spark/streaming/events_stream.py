@@ -549,3 +549,43 @@ def streaming_distinct_users(
     return spark.table(query_name).select(
         "event_type", F.col("n_users").cast("long").alias("n_users")
     )
+
+
+def streaming_hourly_ohlc(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ohlc"
+) -> DataFrame:
+    """OHLC candlestick bars computed BY THE STREAMING ENGINE: tumbling
+    1-hour event-time windows per event_type, open/close picked by
+    min/max over the (ts, event_id, value) struct — the same ALGEBRAIC
+    trick as the batch operator (windows.py::hourly_value_ohlc), which
+    is exactly what makes it legal in a streaming aggregate: each
+    window's state is one candidate struct per side, merged
+    associatively across micro-batches. Watermark closes windows 1 h
+    past their end, bounding state to (horizon / window) × types. On
+    finite availableNow input equals the batch answer, which the
+    oracle computes directly.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    _run_to_memory(agg, query_name, "complete")
+    return spark.table(query_name).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        F.round(F.col("o.value"), 6).alias("open"),
+        "high",
+        "low",
+        F.round(F.col("c.value"), 6).alias("close"),
+        "n_events",
+        "total_value",
+    )

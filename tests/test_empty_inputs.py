@@ -435,3 +435,53 @@ def test_round6_wave13_ops_on_empty(spark, empty_docs, empty_events, empty_emb):
     assert multi_touch_attribution(empty_events).count() == 0
     r = jl_projection_qa(empty_emb).collect()
     assert len(r) == 1 and r[0].n_pairs == 0
+
+
+def test_round6_wave14_ops_on_empty(spark, empty_events):
+    from pyspark.sql.types import TimestampType as _TS
+
+    from mapreduce_golang_spark.operators.analytics import (
+        benford_price_audit,
+        k_anonymity_audit,
+        order_basket_rules,
+    )
+    from mapreduce_golang_spark.operators.windows import rolling_median_value
+
+    li_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    )
+    cust_schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    orders_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    assert rolling_median_value(empty_events).count() == 0
+    assert order_basket_rules(spark.createDataFrame([], li_schema)).count() == 0
+    assert k_anonymity_audit(spark.createDataFrame([], cust_schema)).count() == 0
+    assert benford_price_audit(spark.createDataFrame([], orders_schema)).count() == 0

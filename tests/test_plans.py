@@ -191,6 +191,9 @@ _BOUNDED_NLJ_OK = {
     "user_value_pareto": 1,  # 1-row percentile-cuts broadcast
     "semdedup_survivors": 3,  # the one k-row centroid grid, statically tripled (self-join a/b + anti-join legs; AQE reuses the exchange)
     "jl_projection_qa": 1,  # fixed-size hash-thinned sample self-join (bounded quadratic by design, like the ANN query batch)
+    "order_basket_rules": 1,  # 1-row corpus-total broadcast
+    "benford_price_audit": 1,  # 1-row total broadcast
+
 }
 
 
