@@ -1478,6 +1478,22 @@ def _stream_ohlc(spark, sf_dir):
     )
 
 
+def _rrf(spark, sf_dir):
+    return text_analysis.rrf_hybrid_ranking(load_table(spark, sf_dir, "documents"))
+
+
+def _psi(spark, sf_dir):
+    return analytics.value_psi_drift(load_table(spark, sf_dir, "events"))
+
+
+def _debounce(spark, sf_dir):
+    return windows.debounced_event_stats(load_table(spark, sf_dir, "events"))
+
+
+def _rate_spikes(spark, sf_dir):
+    return windows.event_rate_spikes(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1741,6 +1757,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "k_anonymity_audit": _k_anon,
         "benford_price_audit": _benford,
         "streaming_hourly_ohlc": _stream_ohlc,
+        "rrf_hybrid_ranking": _rrf,
+        "value_psi_drift": _psi,
+        "debounced_event_stats": _debounce,
+        "event_rate_spikes": _rate_spikes,
     }
 
 
@@ -6296,6 +6316,130 @@ _ORACLES["streaming_hourly_ohlc"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM r GROUP BY 1, 2
+"""
+
+_ORACLES["rrf_hybrid_ranking"] = rf"""
+    -- operators/text_analysis.py::rrf_hybrid_ranking — RRF fusion of
+    -- the BM25 top-100 pool with the quality-prior ranking
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    pd AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+               CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_1,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_2
+        FROM t
+    ),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+               sum(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+               sum(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+               sum(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        FROM pd
+    ),
+    sc AS (
+        SELECT doc_id,
+               round(
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2
+                     / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2
+                     / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2
+                     / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM pd CROSS JOIN st
+    ),
+    cand AS (
+        SELECT doc_id, bm25_rank FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+            FROM sc
+        ) WHERE bm25_rank <= 100
+    ),
+    tq AS ({_ORACLES["text_quality"]}),
+    qr AS (
+        SELECT c.doc_id, c.bm25_rank,
+               row_number() OVER (ORDER BY tq.quality_score DESC, c.doc_id) AS quality_rank
+        FROM cand c JOIN tq ON c.doc_id = tq.doc_id
+    ),
+    f AS (
+        SELECT doc_id, bm25_rank, quality_rank,
+               round(1.0 / (60 + bm25_rank) + 1.0 / (60 + quality_rank), 6) AS rrf_score
+        FROM qr
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(quality_rank AS BIGINT) AS quality_rank, rrf_score
+    FROM (SELECT f.*, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+    WHERE rank <= 20
+"""
+
+_ORACLES["value_psi_drift"] = """
+    -- operators/analytics.py::value_psi_drift — first-vs-second-half
+    -- PSI over equi-width value bins, Laplace-smoothed shares
+    WITH st AS (
+        SELECT (min(epoch_us(ts) / 1000000.0) + max(epoch_us(ts) / 1000000.0)) / 2.0 AS mid,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events
+    ),
+    b AS (
+        SELECT least(greatest(CAST(floor((value - vmin) / ((vmax - vmin) / 10.0)) AS BIGINT), 0), 9) AS bin,
+               CASE WHEN epoch_us(ts) / 1000000.0 <= mid THEN 1 ELSE 0 END AS is_ref
+        FROM events, st
+    ),
+    g AS (
+        SELECT bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        FROM b GROUP BY bin
+    )
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10), 6) AS p_ref,
+           round((n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10), 6) AS p_cur,
+           round(((n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10)
+                  - (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10))
+                 * ln(((n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10))
+                      / ((n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10))), 6) AS psi_term
+    FROM g
+"""
+
+_ORACLES["debounced_event_stats"] = """
+    -- operators/windows.py::debounced_event_stats — throttle-style
+    -- debounce: kept when the previous same-(user,type) raw event is
+    -- > 60 s older
+    WITH k AS (
+        SELECT event_type,
+               CASE WHEN lag(epoch_us(ts) / 1000000.0) OVER w IS NULL
+                         OR epoch_us(ts) / 1000000.0
+                            - lag(epoch_us(ts) / 1000000.0) OVER w > 60
+                    THEN 1 ELSE 0 END AS kept
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*), 6) AS drop_frac
+    FROM k GROUP BY event_type
+"""
+
+_ORACLES["event_rate_spikes"] = """
+    -- operators/windows.py::event_rate_spikes — hourly-count z-score
+    -- vs the trailing 24 observed hours (current excluded)
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    zs AS (
+        SELECT event_type, hour, n_events,
+               avg(n_events) OVER w AS mu,
+               stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n_events, round((n_events - mu) / sd, 6) AS z_score
+    FROM zs WHERE sd > 0 AND round((n_events - mu) / sd, 6) >= 3.0
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -990,3 +990,61 @@ def benford_price_audit(orders: DataFrame) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+PSI_BINS = 10
+
+
+def value_psi_drift(events: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint timestamp): the scorecard-
+    monitoring drift metric (PSI < 0.1 stable, > 0.25 action) that
+    complements the KS/JS drift family with the banked-industry
+    convention. Laplace-smoothed shares so empty bins never produce
+    ±∞ terms.
+
+    Scale shape: ONE 1-row broadcast carries the global (mid_ts, vmin,
+    vmax); half-assignment and equi-width binning are narrow row
+    expressions; the rollup is a ``bins``-row hash agg whose share
+    normalization runs as a window over those ``bins`` rows — bounded
+    single-partition work. Returns (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term), floats rounded 6.
+    """
+    stats = F.broadcast(
+        events.agg(
+            ((F.min(F.col("ts").cast("double")) + F.max(F.col("ts").cast("double"))) / 2.0).alias("mid"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(bins))
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("long"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    binned = (
+        events.select(F.col("ts").cast("double").alias("tsd"), "value")
+        .crossJoin(stats)
+        .select(
+            bin_.alias("bin"),
+            (F.col("tsd") <= F.col("mid")).cast("long").alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w) + 0.5 * bins)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 0.5 * bins)
+    return binned.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -1604,3 +1604,44 @@ def ngram_diversity_by_source(df: DataFrame) -> DataFrame:
             ).alias("ttr3"),
         )
     )
+
+
+RRF_K = 60
+
+
+def rrf_hybrid_ranking(
+    df: DataFrame, k: int = 20, n_cand: int = 100, rrf_k: int = RRF_K
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    signals: the BM25 lexical ranking and the heuristic quality prior
+    — the standard hybrid-search combiner (score-free, so calibration
+    between signals never matters). rrf = Σ 1/(rrf_k + rank_i) over
+    the bm25 top-``n_cand`` candidate pool.
+
+    Scale shape: the candidate pool is a real TakeOrderedAndProject
+    (bm25_top_docs), so both rank windows and the fusion sort run on
+    ``n_cand`` rows — bounded single-partition work by construction,
+    the same k-row trick bm25 itself uses. Returns (rank, doc_id,
+    bm25_rank, quality_rank, rrf_score).
+    """
+    cand = bm25_top_docs(df, k=n_cand).select(
+        F.col("rank").alias("bm25_rank"), "doc_id"
+    )
+    q = text_quality(df).select("doc_id", "quality_score")
+    pool = cand.join(q, "doc_id")
+    wq = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    fused = pool.withColumn("quality_rank", F.row_number().over(wq).cast("long")).select(
+        "doc_id",
+        "bm25_rank",
+        "quality_rank",
+        F.round(
+            1.0 / (rrf_k + F.col("bm25_rank")) + 1.0 / (rrf_k + F.col("quality_rank")),
+            6,
+        ).alias("rrf_score"),
+    )
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "bm25_rank", "quality_rank", "rrf_score")
+    )

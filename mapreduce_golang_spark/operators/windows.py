@@ -808,3 +808,71 @@ def rolling_median_value(events: DataFrame, frame: int = 10) -> DataFrame:
             F.round(F.expr(med), 6).alias("roll_median"),
         )
     )
+
+
+DEBOUNCE_SECONDS = 60
+
+
+def debounced_event_stats(
+    events: DataFrame, gap_seconds: int = DEBOUNCE_SECONDS
+) -> DataFrame:
+    """Throttle-style debounce report: an event is KEPT when the
+    previous event of the same (user, type) is more than
+    ``gap_seconds`` older (gap measured from the previous RAW event —
+    the one-window approximation; chain-from-last-kept debounce is the
+    stateful streaming variant). The dedup every click-ingest runs to
+    strip double-fires before counting.
+
+    One exchange on (user_id, event_type) for the lag window, then a
+    hash agg per type. Returns (event_type, n_events, n_kept,
+    drop_frac).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    kept = (gap.isNull() | (gap > gap_seconds)).cast("long")
+    return (
+        events.select("event_type", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            F.round(1.0 - F.col("n_kept") / F.col("n_events"), 6).alias("drop_frac"),
+        )
+    )
+
+
+def event_rate_spikes(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Poisson-style rate-spike detector: per event type, hourly counts
+    whose z-score against the TRAILING 24 observed hours (mean/stddev,
+    current hour excluded) reaches ``z_thresh`` — the volume-anomaly
+    complement of the per-event value z-score operator (a bot burst
+    moves counts, not values). Hours with zero events are absent from
+    the series (observed-hours convention, stated here on purpose).
+
+    One hash agg to the (type, hour) series — tiny vs the event scan —
+    then one bounded-frame window per type; no second full exchange.
+    Flags on the ROUNDED z so the boundary set is engine-stable.
+    Returns (event_type, hour, n_events, z_score).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    z = F.round((F.col("n_events") - mu) / sd, 6)
+    return (
+        hourly.select("event_type", "hour", "n_events", sd.alias("sd"), z.alias("z_score"))
+        .where(F.col("sd") > 0)
+        .where(F.col("z_score") >= z_thresh)
+        .select("event_type", "hour", "n_events", "z_score")
+    )

@@ -485,3 +485,17 @@ def test_round6_wave14_ops_on_empty(spark, empty_events):
     assert order_basket_rules(spark.createDataFrame([], li_schema)).count() == 0
     assert k_anonymity_audit(spark.createDataFrame([], cust_schema)).count() == 0
     assert benford_price_audit(spark.createDataFrame([], orders_schema)).count() == 0
+
+
+def test_round6_wave15_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import value_psi_drift
+    from mapreduce_golang_spark.operators.text_analysis import rrf_hybrid_ranking
+    from mapreduce_golang_spark.operators.windows import (
+        debounced_event_stats,
+        event_rate_spikes,
+    )
+
+    assert rrf_hybrid_ranking(empty_docs).count() == 0
+    assert value_psi_drift(empty_events).count() == 0
+    assert debounced_event_stats(empty_events).count() == 0
+    assert event_rate_spikes(empty_events).count() == 0

@@ -193,6 +193,8 @@ _BOUNDED_NLJ_OK = {
     "jl_projection_qa": 1,  # fixed-size hash-thinned sample self-join (bounded quadratic by design, like the ANN query batch)
     "order_basket_rules": 1,  # 1-row corpus-total broadcast
     "benford_price_audit": 1,  # 1-row total broadcast
+    "rrf_hybrid_ranking": 1,  # bm25_top_docs' inherited 1-row stats broadcast
+    "value_psi_drift": 1,  # 1-row (mid-ts, value-range) broadcast
 
 }
 
