@@ -1494,6 +1494,28 @@ def _rate_spikes(spark, sf_dir):
     return windows.event_rate_spikes(load_table(spark, sf_dir, "events"))
 
 
+def _share_shift(spark, sf_dir):
+    return joins.nation_share_shift(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _ship_latency(spark, sf_dir):
+    return joins.order_ship_latency(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _bootstrap_ci(spark, sf_dir):
+    return analytics.bootstrap_mean_ci(load_table(spark, sf_dir, "events"))
+
+
+def _skyline(spark, sf_dir):
+    return analytics.part_price_size_skyline(load_table(spark, sf_dir, "part"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1761,6 +1783,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "value_psi_drift": _psi,
         "debounced_event_stats": _debounce,
         "event_rate_spikes": _rate_spikes,
+        "nation_share_shift": _share_shift,
+        "order_ship_latency": _ship_latency,
+        "bootstrap_mean_ci": _bootstrap_ci,
+        "part_price_size_skyline": _skyline,
     }
 
 
@@ -6440,6 +6466,90 @@ _ORACLES["event_rate_spikes"] = """
     )
     SELECT event_type, hour, n_events, round((n_events - mu) / sd, 6) AS z_score
     FROM zs WHERE sd > 0 AND round((n_events - mu) / sd, 6) >= 3.0
+"""
+
+_ORACLES["nation_share_shift"] = """
+    -- operators/joins.py::nation_share_shift — yearly revenue share
+    -- per nation plus YoY share delta (first years excluded)
+    WITH rev AS (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT n_name, o_year,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS share
+        FROM rev
+    ),
+    d AS (
+        SELECT s.*, lag(share) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_share
+        FROM s
+    )
+    SELECT n_name, o_year, revenue, share,
+           round(share - prev_share, 6) AS share_shift
+    FROM d WHERE prev_share IS NOT NULL
+"""
+
+_ORACLES["order_ship_latency"] = """
+    -- operators/joins.py::order_ship_latency — order-to-first-ship
+    -- latency percentiles per priority (agg lineitem BEFORE the join)
+    WITH fs AS (
+        SELECT l_orderkey AS okey, min(l_shipdate) AS ship_ts
+        FROM lineitem GROUP BY 1
+    ),
+    lat AS (
+        SELECT o.o_orderpriority,
+               (epoch_us(fs.ship_ts) - epoch_us(o.o_orderdate)) / 86400000000.0 AS lat_days
+        FROM orders o JOIN fs ON o.o_orderkey = fs.okey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(lat_days, 0.5), 6) AS p50,
+           round(quantile_cont(lat_days, 0.9), 6) AS p90,
+           round(quantile_cont(lat_days, 0.99), 6) AS p99
+    FROM lat GROUP BY 1
+"""
+
+_ORACLES["bootstrap_mean_ci"] = """
+    -- operators/analytics.py::bootstrap_mean_ci — deterministic
+    -- Poissonized bootstrap, CI from exact replicate-mean percentiles
+    WITH rep AS (
+        SELECT event_type, bi, value,
+               CASE CAST(floor((event_id * 2654435761 + bi * 40503) / 256) AS BIGINT) % 4
+                    WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS w
+        FROM events, unnest(range(1, 33)) AS t(bi)
+    ),
+    m AS (
+        SELECT event_type,
+               round(CAST(sum(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / sum(w), 6) AS m
+        FROM rep GROUP BY event_type, bi HAVING sum(w) > 0
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_boot,
+           round(CAST(sum(CAST(m AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS boot_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM m GROUP BY event_type
+"""
+
+_ORACLES["part_price_size_skyline"] = """
+    -- operators/analytics.py::part_price_size_skyline — 2-D Pareto
+    -- frontier via the sorted running-max trick over DISTINCT points
+    WITH pts AS (
+        SELECT p_retailprice, p_size, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2
+    ),
+    rm AS (
+        SELECT pts.*,
+               max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        FROM pts
+    )
+    SELECT p_retailprice, p_size, n_parts
+    FROM rm WHERE run_max IS NULL OR p_size > run_max
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

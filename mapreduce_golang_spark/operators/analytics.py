@@ -1048,3 +1048,87 @@ def value_psi_drift(events: DataFrame, bins: int = PSI_BINS) -> DataFrame:
         F.round(q, 6).alias("p_cur"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+BOOTSTRAP_REPLICATES = 32
+
+
+def bootstrap_mean_ci(events: DataFrame, b: int = BOOTSTRAP_REPLICATES) -> DataFrame:
+    """Deterministic Poisson-style bootstrap of the per-type mean
+    value: ``b`` resample replicates whose per-event multiplicity
+    (0, 1, or 2 — mean 1, the Poissonized bootstrap approximation)
+    comes from the same arithmetic bit mixer as jl_projection_qa, so
+    the whole resampling plan is reproducible on any engine with NO
+    RNG and no driver-side sampling. CI bounds are the 2.5/97.5
+    percentiles of the replicate means — exact sort-based percentiles,
+    immune to partial-aggregation order (the reason this avoids a
+    replicate stddev entirely).
+
+    Scale shape: the ``b``-way expansion is one in-row explode
+    (sequence literal), the replicate means are a (type, b) hash agg
+    with decimal sums, and the CI collapse is a b-row-per-type agg.
+    Returns (event_type, n_boot, boot_mean, ci_lo, ci_hi).
+    """
+    rep = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.expr(f"sequence(1, {b})")).alias("bi"),
+    ).select(
+        "event_type",
+        "bi",
+        "value",
+        F.expr(
+            "CASE CAST(floor((event_id * 2654435761 + bi * 40503) / 256) AS BIGINT) % 4 "
+            "WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END"
+        ).alias("w"),
+    )
+    means = (
+        rep.groupBy("event_type", "bi")
+        .agg(
+            F.sum(F.col("w") * F.col("value").cast("decimal(18,6)")).alias("swv"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.round(F.col("swv").cast("double") / F.col("sw"), 6).alias("m"),
+        )
+    )
+    return means.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_boot"),
+        F.round(
+            F.sum(F.col("m").cast("decimal(12,6)")).cast("double") / F.count("*"), 6
+        ).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+
+
+def part_price_size_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline (Börzsönyi et al. 2001) of the part catalog:
+    DISTINCT (price, size) points not dominated by any other point
+    (cheaper-or-equal AND bigger-or-equal, strictly better somewhere)
+    — the Pareto-frontier query of the skyline-operator literature,
+    over minimize-price / maximize-size.
+
+    The single-pass trick: sort points by (price asc, size desc) and
+    keep a point iff its size strictly exceeds the running max size of
+    all STRICTLY PRECEDING points — equal-price ties resolve correctly
+    because the biggest size of a price group is judged only against
+    cheaper points. The global sort runs on DISTINCT dimension points
+    (bounded by the catalog's price×size grid, never the row count).
+    Returns (p_retailprice, p_size, n_parts).
+    """
+    pts = part.groupBy("p_retailprice", "p_size").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    w = (
+        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("run_max", F.max("p_size").over(w))
+        .where(F.col("run_max").isNull() | (F.col("p_size") > F.col("run_max")))
+        .select("p_retailprice", "p_size", "n_parts")
+    )

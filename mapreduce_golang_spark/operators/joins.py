@@ -835,3 +835,81 @@ def q21_suppliers_kept_waiting(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def nation_share_shift(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Market-share shift report: each nation's share of yearly order
+    revenue and its year-over-year share delta — the percent-of-total
+    + lag composition every BI rollup ships (the share *shift* is what
+    an analyst actually reads; absolute revenue is q5's job).
+
+    Plan: the fact table collapses to a (nation, year) decimal
+    aggregate FIRST (broadcast dims), so both windows — the per-year
+    total and the per-nation lag — run over the tiny rollup, not the
+    fact stream. First-year rows (no prior share) are excluded rather
+    than emitted as NULLs. Returns (n_name, o_year, revenue, share,
+    share_shift).
+    """
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    wy = Window.partitionBy("o_year")
+    wn = Window.partitionBy("n_name").orderBy("o_year")
+    shared = rev.select(
+        "n_name",
+        "o_year",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        # both sides cast double BEFORE dividing: a decimal÷decimal
+        # quotient's engine-specific scale could pre-round below 6dp
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wy).cast("double"), 6
+        ).alias("share"),
+    )
+    return (
+        shared.withColumn("prev_share", F.lag("share").over(wn))
+        .where(F.col("prev_share").isNotNull())
+        .select(
+            "n_name",
+            "o_year",
+            "revenue",
+            "share",
+            F.round(F.col("share") - F.col("prev_share"), 6).alias("share_shift"),
+        )
+    )
+
+
+def order_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-first-ship latency percentiles per order priority — the
+    fulfillment-SLA readout (p50/p90/p99 in days from order date to
+    the earliest line shipment).
+
+    The lineitem stream collapses to min(l_shipdate) per order BEFORE
+    joining orders (agg then join — the join carries one row per
+    order, not per line); latency is an exact integer-microsecond
+    difference scaled to days; percentiles are exact interpolated
+    aggregates per priority. Returns (o_orderpriority, n_orders, p50,
+    p90, p99), days rounded 6.
+    """
+    first_ship = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.min("l_shipdate").alias("ship_ts")
+    )
+    lat = orders.join(first_ship, orders.o_orderkey == first_ship.okey).select(
+        "o_orderpriority",
+        (
+            (F.unix_micros("ship_ts") - F.unix_micros("o_orderdate"))
+            / F.lit(86_400_000_000.0)
+        ).alias("lat_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.percentile("lat_days", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("lat_days", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("lat_days", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -499,3 +499,70 @@ def test_round6_wave15_ops_on_empty(spark, empty_docs, empty_events):
     assert value_psi_drift(empty_events).count() == 0
     assert debounced_event_stats(empty_events).count() == 0
     assert event_rate_spikes(empty_events).count() == 0
+
+
+def test_round6_wave16_ops_on_empty(spark, empty_events):
+    from mapreduce_golang_spark.operators.analytics import (
+        bootstrap_mean_ci,
+        part_price_size_skyline,
+    )
+    from mapreduce_golang_spark.operators.joins import (
+        nation_share_shift,
+        order_ship_latency,
+    )
+
+    part_schema = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    )
+    orders_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    li_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    )
+    cust_schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    nation_schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    empty_orders = spark.createDataFrame([], orders_schema)
+    assert (
+        nation_share_shift(
+            empty_orders,
+            spark.createDataFrame([], cust_schema),
+            spark.createDataFrame([], nation_schema),
+        ).count()
+        == 0
+    )
+    assert order_ship_latency(empty_orders, spark.createDataFrame([], li_schema)).count() == 0
+    assert bootstrap_mean_ci(empty_events).count() == 0
+    assert part_price_size_skyline(spark.createDataFrame([], part_schema)).count() == 0
