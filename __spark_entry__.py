@@ -1516,6 +1516,26 @@ def _skyline(spark, sf_dir):
     return analytics.part_price_size_skyline(load_table(spark, sf_dir, "part"))
 
 
+def _curriculum(spark, sf_dir):
+    return corpus.curriculum_phases(load_table(spark, sf_dir, "documents"))
+
+
+def _stopword_sim(spark, sf_dir):
+    return text_analysis.source_stopword_similarity(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _km_survival(spark, sf_dir):
+    return windows.km_gap_survival(load_table(spark, sf_dir, "events"))
+
+
+def _ab_ztest(spark, sf_dir):
+    return analytics.ab_conversion_ztest(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1787,6 +1807,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "order_ship_latency": _ship_latency,
         "bootstrap_mean_ci": _bootstrap_ci,
         "part_price_size_skyline": _skyline,
+        "curriculum_phases": _curriculum,
+        "source_stopword_similarity": _stopword_sim,
+        "km_gap_survival": _km_survival,
+        "ab_conversion_ztest": _ab_ztest,
     }
 
 
@@ -6550,6 +6574,134 @@ _ORACLES["part_price_size_skyline"] = """
     )
     SELECT p_retailprice, p_size, n_parts
     FROM rm WHERE run_max IS NULL OR p_size > run_max
+"""
+
+_ORACLES["curriculum_phases"] = f"""
+    -- operators/corpus.py::curriculum_phases — quality quartile
+    -- phases via exact percentile cuts (1-row broadcast pattern)
+    WITH tq AS ({_ORACLES["text_quality"]}),
+    cuts AS (
+        SELECT quantile_cont(quality_score, 0.25) AS c1,
+               quantile_cont(quality_score, 0.5) AS c2,
+               quantile_cont(quality_score, 0.75) AS c3
+        FROM tq
+    ),
+    p AS (
+        SELECT CAST(1 + (CASE WHEN quality_score > c1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN quality_score > c2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN quality_score > c3 THEN 1 ELSE 0 END) AS BIGINT) AS phase,
+               n_tokens,
+               CAST(quality_score AS DECIMAL(10,6)) AS q
+        FROM tq, cuts
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
+    FROM p GROUP BY phase
+"""
+
+_ORACLES["source_stopword_similarity"] = rf"""
+    -- operators/text_analysis.py::source_stopword_similarity —
+    -- function-word profile cosine via the stopword inverted index
+    WITH c AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                          x -> x <> '')) AS tok
+            FROM documents
+        ) WHERE tok IN ({_stopword_list()})
+        GROUP BY source, tok
+    ),
+    t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tot FROM c GROUP BY source),
+    f AS (
+        SELECT c.source, c.tok,
+               CAST(round(CAST(c.n AS DOUBLE) / t.n_tot, 6) AS DECIMAL(12,6)) AS f
+        FROM c JOIN t ON c.source = t.source
+    ),
+    nm AS (SELECT source, sqrt(CAST(sum(f * f) AS DOUBLE)) AS nrm FROM f GROUP BY source),
+    d AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(a.f * b.f) AS DOUBLE) AS dot
+        FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+    FROM d
+    JOIN nm na ON d.source_a = na.source
+    JOIN nm nb ON d.source_b = nb.source
+"""
+
+_ORACLES["km_gap_survival"] = """
+    -- operators/windows.py::km_gap_survival — right-censored KM over
+    -- per-user inter-event gap minutes
+    WITH h AS (SELECT max(epoch_us(ts) / 1000000.0) AS h FROM events),
+    g AS (
+        SELECT CAST(floor((coalesce(nxt, h.h) - tsd) / 60.0) AS BIGINT) AS gap_min,
+               CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+        FROM (
+            SELECT user_id, epoch_us(ts) / 1000000.0 AS tsd,
+                   lead(epoch_us(ts) / 1000000.0)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ), h
+    ),
+    b AS (
+        SELECT gap_min, CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+               CAST(sum(censored) AS BIGINT) AS n_censored
+        FROM g GROUP BY gap_min
+    ),
+    r AS (
+        SELECT b.*,
+               CAST(sum(n_deaths + n_censored) OVER ()
+                    - coalesce(sum(n_deaths + n_censored)
+                               OVER (ORDER BY gap_min
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM b
+    )
+    SELECT gap_min, n_at_risk, n_deaths, n_censored,
+           round(exp(sum(CASE WHEN n_deaths = n_at_risk THEN -1e9
+                         ELSE ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk) END)
+                     OVER (ORDER BY gap_min)), 6) AS survival
+    FROM r
+"""
+
+_ORACLES["ab_conversion_ztest"] = """
+    -- operators/analytics.py::ab_conversion_ztest — parity-arm
+    -- two-proportion pooled z-test per segment (conv = ≥14 purchases)
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               u.user_id % 2 AS arm, u.conv
+        FROM u LEFT JOIN customer c ON u.user_id = c.c_custkey
+    ),
+    p AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x_a,
+               sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x_b
+        FROM s GROUP BY segment
+    ),
+    z AS (
+        SELECT segment, n_a, n_b,
+               round(CAST(x_a AS DOUBLE) / n_a, 6) AS conv_a,
+               round(CAST(x_b AS DOUBLE) / n_b, 6) AS conv_b,
+               round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        FROM p WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+              AND x_a + x_b < n_a + n_b
+    )
+    SELECT segment, n_a, n_b, conv_a, conv_b, z_score,
+           CASE WHEN abs(z_score) >= 1.96 THEN 1 ELSE 0 END AS significant
+    FROM z
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -1132,3 +1132,63 @@ def part_price_size_skyline(part: DataFrame) -> DataFrame:
         .where(F.col("run_max").isNull() | (F.col("p_size") > F.col("run_max")))
         .select("p_retailprice", "p_size", "n_parts")
     )
+
+
+def ab_conversion_ztest(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Deterministic A/B experiment readout: users split into arms by
+    user_id parity (the no-RNG stand-in for an assignment service),
+    conversion = "≥ 14 purchase events" (the fixture's median is ~13,
+    so the rate sits mid-range instead of saturating at 1.0), compared
+    per market segment with the two-proportion pooled z-test — the
+    experimentation harness every growth team runs; significance flags
+    on the ROUNDED z at the 1.96 two-sided threshold so the boundary
+    is engine-stable.
+
+    One hash agg collapses events to (user, converted) — the z math
+    then runs on per-segment scalar counts (broadcast dim join, no
+    float sums anywhere). Returns (segment, n_a, n_b, conv_a, conv_b,
+    z_score, significant).
+    """
+    users = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("long").alias("conv")
+    )
+    seg = users.join(
+        F.broadcast(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        ),
+        "user_id",
+        "left",
+    ).select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        (F.col("user_id") % 2).alias("arm"),
+        "conv",
+    )
+    per = seg.groupBy("segment").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("x_b"),
+    )
+    p_a = F.col("x_a") / F.col("n_a")
+    p_b = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.round((p_a - p_b) / se, 6)
+    # degenerate segments (nobody or everybody converted → se = 0, an
+    # ANSI divide-by-zero) carry no test signal and are excluded
+    return per.where(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    ).select(
+        "segment",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p_a, 6).alias("conv_a"),
+        F.round(p_b, 6).alias("conv_b"),
+        z.alias("z_score"),
+        (F.abs(z) >= 1.96).cast("long").alias("significant"),
+    )

@@ -364,3 +364,47 @@ def dataset_card_report(df: DataFrame) -> DataFrame:
             6,
         ).alias("avg_doc_tokens"),
     )
+
+
+def curriculum_phases(df: DataFrame, n_phases: int = 4) -> DataFrame:
+    """Curriculum-learning phase assignment: documents bucketed into
+    ``n_phases`` quality quartiles (phase 1 = lowest-quality fed
+    first, phase ``n_phases`` = highest saved for late training — the
+    easy-to-hard ordering of curriculum pretraining schedules), with
+    per-phase volume so the schedule's token budget is visible up
+    front.
+
+    EXACT percentile cuts ride ONE 1-row broadcast (the Pareto-report
+    pattern — no global sort touches the corpus); phase assignment is
+    a narrow comparison chain; the rollup is an ``n_phases``-row hash
+    agg with decimal quality sums. Returns (phase, n_docs, total_tokens,
+    avg_quality).
+    """
+    from mapreduce_golang_spark.operators.text_analysis import text_quality
+
+    scored = text_quality(df).select("doc_id", "n_tokens", "quality_score")
+    cuts = F.broadcast(
+        scored.agg(
+            *[
+                F.percentile("quality_score", F.lit(i / n_phases)).alias(f"c{i}")
+                for i in range(1, n_phases)
+            ]
+        )
+    )
+    phase = F.lit(1)
+    for i in range(1, n_phases):
+        phase = phase + (F.col("quality_score") > F.col(f"c{i}")).cast("long")
+    return (
+        scored.crossJoin(cuts)
+        .select(
+            phase.alias("phase"),
+            "n_tokens",
+            F.col("quality_score").cast("decimal(10,6)").alias("q"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("q").cast("double") / F.count("*"), 6).alias("avg_quality"),
+        )
+    )

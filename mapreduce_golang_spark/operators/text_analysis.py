@@ -1645,3 +1645,58 @@ def rrf_hybrid_ranking(
         .where(F.col("rank") <= k)
         .select("rank", "doc_id", "bm25_rank", "quality_rank", "rrf_score")
     )
+
+
+def source_stopword_similarity(df: DataFrame) -> DataFrame:
+    """Function-word fingerprint similarity between sources: each
+    source's stopword-frequency profile (the 8 QUALITY_STOPWORDS —
+    function words are topic-free, so profile distance reads as
+    STYLE/origin difference, the classic authorship-attribution
+    signal), compared pairwise by cosine.
+
+    Sparse-cosine-via-inverted-index shape: profiles meet through an
+    EQUALITY join on the stopword key (never a source×source×word
+    cube), and the pair rollup is bounded by sources² — independent of
+    corpus size. Source pairs with NO shared stopword have dot 0 and
+    are omitted entirely (the sparse-dot convention). Frequencies
+    round to 6dp decimals BEFORE the dot/norm sums, so every sum is
+    exact and engine-independent. Returns (source_a, source_b,
+    cosine_sim).
+    """
+    counts = (
+        df.select(
+            "source",
+            F.explode(
+                F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isin(*QUALITY_STOPWORDS))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("n").cast("long").alias("n_tot"))
+    freqs = counts.join(tot, "source").select(
+        "source",
+        "tok",
+        F.round(F.col("n") / F.col("n_tot"), 6).cast("decimal(12,6)").alias("f"),
+    )
+    norms = freqs.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("f") * F.col("f")).cast("double")).alias("nrm")
+    )
+    a = freqs.select(F.col("source").alias("source_a"), "tok", F.col("f").alias("fa"))
+    b = freqs.select(F.col("source").alias("source_b"), "tok", F.col("f").alias("fb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("na")), "source_a")
+        .join(norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
+        )
+    )

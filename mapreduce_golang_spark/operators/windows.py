@@ -876,3 +876,69 @@ def event_rate_spikes(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
         .where(F.col("z_score") >= z_thresh)
         .select("event_type", "hour", "n_events", "z_score")
     )
+
+
+def km_gap_survival(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier survival curve of per-user inter-event gaps WITH
+    right-censoring: each event's time-to-next-event is a "death" at
+    its observed gap, except a user's last event, which is CENSORED at
+    the stream horizon (max ts) — dropping those rows (the naive ECDF)
+    biases the curve toward short gaps; KM is the estimator that uses
+    them correctly. Gaps bucket to whole minutes.
+
+    One exchange on user_id for the lead window, one 1-row broadcast
+    for the horizon, then a minute-bucket hash agg; the survival
+    product runs as exp(Σ ln(1 − d/n)) over the ORDERED bucket series
+    — a window over rows proportional to distinct gap minutes, never
+    events. Returns (gap_min, n_at_risk, n_deaths, n_censored,
+    survival).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    horizon = F.broadcast(events.agg(F.max(F.col("ts").cast("double")).alias("h")))
+    gaps = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("double").alias("tsd"),
+            F.lead(F.col("ts").cast("double")).over(w).alias("nxt"),
+        )
+        .crossJoin(horizon)
+        .select(
+            F.floor(
+                (F.coalesce(F.col("nxt"), F.col("h")) - F.col("tsd")) / 60.0
+            ).cast("long").alias("gap_min"),
+            F.col("nxt").isNull().cast("long").alias("censored"),
+        )
+    )
+    buckets = gaps.groupBy("gap_min").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_deaths"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    wt = Window.orderBy("gap_min")
+    prior = Window.orderBy("gap_min").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    at_risk = (
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(total)
+        - F.coalesce(F.sum(F.col("n_deaths") + F.col("n_censored")).over(prior), F.lit(0))
+    )
+    return (
+        buckets.withColumn("n_at_risk", at_risk.cast("long"))
+        .withColumn(
+            "survival",
+            # the final bucket can kill everyone at risk (d == n):
+            # ln(0) is an error in DuckDB and -inf in Spark — a -1e9
+            # sentinel underflows exp() to an exact 0.0 in BOTH
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("n_deaths") == F.col("n_at_risk"), F.lit(-1e9)
+                        ).otherwise(
+                            F.log(1.0 - F.col("n_deaths") / F.col("n_at_risk"))
+                        )
+                    ).over(wt)
+                ),
+                6,
+            ),
+        )
+        .select("gap_min", "n_at_risk", "n_deaths", "n_censored", "survival")
+    )

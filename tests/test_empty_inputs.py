@@ -566,3 +566,27 @@ def test_round6_wave16_ops_on_empty(spark, empty_events):
     assert order_ship_latency(empty_orders, spark.createDataFrame([], li_schema)).count() == 0
     assert bootstrap_mean_ci(empty_events).count() == 0
     assert part_price_size_skyline(spark.createDataFrame([], part_schema)).count() == 0
+
+
+def test_round6_wave17_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import ab_conversion_ztest
+    from mapreduce_golang_spark.operators.corpus import curriculum_phases
+    from mapreduce_golang_spark.operators.text_analysis import source_stopword_similarity
+    from mapreduce_golang_spark.operators.windows import km_gap_survival
+
+    cust_schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    assert curriculum_phases(empty_docs).count() == 0
+    assert source_stopword_similarity(empty_docs).count() == 0
+    assert km_gap_survival(empty_events).count() == 0
+    assert (
+        ab_conversion_ztest(empty_events, spark.createDataFrame([], cust_schema)).count()
+        == 0
+    )

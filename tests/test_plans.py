@@ -195,6 +195,8 @@ _BOUNDED_NLJ_OK = {
     "benford_price_audit": 1,  # 1-row total broadcast
     "rrf_hybrid_ranking": 1,  # bm25_top_docs' inherited 1-row stats broadcast
     "value_psi_drift": 1,  # 1-row (mid-ts, value-range) broadcast
+    "curriculum_phases": 1,  # 1-row percentile-cuts broadcast
+    "km_gap_survival": 1,  # 1-row stream-horizon broadcast
 
 }
 
