@@ -1536,6 +1536,18 @@ def _ab_ztest(spark, sf_dir):
     )
 
 
+def _bpe_roundtrip(spark, sf_dir):
+    return text_analysis.bpe_roundtrip_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _hour_regression(spark, sf_dir):
+    return analytics.value_hour_regression(load_table(spark, sf_dir, "events"))
+
+
+def _qq_drift(spark, sf_dir):
+    return analytics.value_qq_drift(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1811,6 +1823,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "source_stopword_similarity": _stopword_sim,
         "km_gap_survival": _km_survival,
         "ab_conversion_ztest": _ab_ztest,
+        "bpe_roundtrip_audit": _bpe_roundtrip,
+        "value_hour_regression": _hour_regression,
+        "value_qq_drift": _qq_drift,
     }
 
 
@@ -6703,6 +6718,130 @@ _ORACLES["ab_conversion_ztest"] = """
            CASE WHEN abs(z_score) >= 1.96 THEN 1 ELSE 0 END AS significant
     FROM z
 """
+
+def _bpe_roundtrip_oracle() -> str:
+    # operators/text_analysis.py::bpe_roundtrip_audit — the encode
+    # chain (tok carried, exhaustion-guarded) plus the lossless check
+    from mapreduce_golang_spark.operators.text_analysis import BPE_MERGE_ROUNDS
+
+    steps = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS (
+        SELECT sy[i] || ' ' || sy[i + 1] AS pair, wc
+        FROM (SELECT string_split(trim(w), ' ') AS sy, wc FROM w{r - 1}),
+             unnest(range(1, len(sy))) AS t(i)
+        WHERE len(sy) >= 2
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT pair FROM p{r} GROUP BY pair
+        ORDER BY CAST(sum(wc) AS BIGINT) DESC, pair ASC LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT tok,
+               CASE WHEN (SELECT count(*) FROM best{r}) = 0 THEN w
+                    ELSE replace(w, ' ' || (SELECT pair FROM best{r}) || ' ',
+                                 ' ' || (SELECT replace(pair, ' ', '') FROM best{r}) || ' ')
+               END AS w,
+               wc
+        FROM w{r - 1}
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return rf"""
+    WITH wf AS (
+        SELECT tok, count(*) AS wc
+        FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                   x -> x <> '')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    w0 AS MATERIALIZED (
+        SELECT tok, ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w, wc
+        FROM wf
+    ),
+    {chained},
+    audited AS MATERIALIZED (
+        SELECT tok, string_split(trim(w), ' ') AS syms
+        FROM w{BPE_MERGE_ROUNDS}
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN array_to_string(syms, '') = tok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_roundtrip_ok,
+               CAST(sum(CASE WHEN len(syms) = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_single_symbol
+        FROM audited
+    ),
+    v AS (
+        SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_vocab_symbols
+        FROM (SELECT unnest(syms) AS s FROM audited)
+    )
+    SELECT c.*, v.* FROM c, v
+"""
+
+
+_ORACLES["bpe_roundtrip_audit"] = _bpe_roundtrip_oracle()
+
+_ORACLES["value_hour_regression"] = """
+    -- operators/analytics.py::value_hour_regression — closed-form OLS
+    -- from exact decimal/integer sums
+    WITH xy AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def _qq_drift_oracle() -> str:
+    qcols = ",\n               ".join(
+        f"round(quantile_cont(value, {i / 10.0}) FILTER (is_ref), 6) AS r{i},\n"
+        f"               round(quantile_cont(value, {i / 10.0}) FILTER (NOT is_ref), 6) AS c{i}"
+        for i in range(1, 10)
+    )
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS decile, r{i} AS q_ref, c{i} AS q_cur FROM a"
+        for i in range(1, 10)
+    )
+    return f"""
+    -- operators/analytics.py::value_qq_drift — per-decile Q-Q table
+    -- between stream halves (both halves' deciles in ONE aggregate)
+    WITH st AS (
+        SELECT (min(epoch_us(ts) / 1000000.0) + max(epoch_us(ts) / 1000000.0)) / 2.0 AS mid
+        FROM events
+    ),
+    h AS (
+        SELECT value, epoch_us(ts) / 1000000.0 <= mid AS is_ref FROM events, st
+    ),
+    a AS (
+        SELECT {qcols}
+        FROM h
+    )
+    SELECT decile, q_ref, q_cur, round(q_cur - q_ref, 6) AS gap
+    FROM ({rows})
+"""
+
+
+_ORACLES["value_qq_drift"] = _qq_drift_oracle()
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -1192,3 +1192,94 @@ def ab_conversion_ztest(events: DataFrame, customer: DataFrame) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) >= 1.96).cast("long").alias("significant"),
     )
+
+
+def value_hour_regression(events: DataFrame) -> DataFrame:
+    """Per-type OLS of value on hour-of-day (closed form): slope,
+    intercept, and R² — the grouped-regression screen ("does this
+    metric drift across the day?") that runs as PURE ALGEBRAIC
+    aggregates, no ML library, no iteration.
+
+    Every Σ is exact — x is a small integer, y sums as decimal(18,6),
+    xy/y² as exact decimal products — so the closed-form arithmetic
+    starts from bit-identical sums on any engine and any partial-agg
+    order; only the final double division can round, identically.
+    Degenerate groups (zero x-variance or zero y-variance) are
+    excluded. Returns (event_type, n, slope, intercept, r2).
+    """
+    xy = events.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / dx
+    return s.where((dx > 0) & (dy > 0)).select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round((cov * cov) / (dx * dy), 6).alias("r2"),
+    )
+
+
+def value_qq_drift(events: DataFrame) -> DataFrame:
+    """Q-Q drift readout between the first and second half of the
+    stream (midpoint-ts split): exact deciles of `value` in each half,
+    side by side with the per-decile gap — the quantile-level view the
+    scalar PSI can't give (PSI says "drifted"; the Q-Q table says
+    WHERE in the distribution).
+
+    One 1-row broadcast for the midpoint, then a single conditional
+    percentile aggregate (both halves' deciles in one pass), unpivoted
+    to 9 rows via an inline explode. Returns (decile, q_ref, q_cur,
+    gap), all rounded 6.
+    """
+    mid = F.broadcast(
+        events.agg(
+            (
+                (F.min(F.col("ts").cast("double")) + F.max(F.col("ts").cast("double")))
+                / 2.0
+            ).alias("mid")
+        )
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    halves = events.crossJoin(mid).select(
+        "value", (F.col("ts").cast("double") <= F.col("mid")).alias("is_ref")
+    )
+    agg = halves.agg(
+        *[
+            F.round(
+                F.percentile(F.when(F.col("is_ref"), F.col("value")), F.lit(q)), 6
+            ).alias(f"r{i}")
+            for i, q in enumerate(qs, start=1)
+        ],
+        *[
+            F.round(
+                F.percentile(F.when(~F.col("is_ref"), F.col("value")), F.lit(q)), 6
+            ).alias(f"c{i}")
+            for i, q in enumerate(qs, start=1)
+        ],
+    )
+    pairs = ", ".join(
+        f"named_struct('decile', {i}L, 'q_ref', r{i}, 'q_cur', c{i})"
+        for i in range(1, 10)
+    )
+    return agg.select(
+        F.explode(F.expr(f"array({pairs})")).alias("t")
+    ).select(
+        F.col("t.decile").alias("decile"),
+        F.col("t.q_ref").alias("q_ref"),
+        F.col("t.q_cur").alias("q_cur"),
+        F.round(F.col("t.q_cur") - F.col("t.q_ref"), 6).alias("gap"),
+    )

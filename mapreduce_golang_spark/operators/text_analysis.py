@@ -1700,3 +1700,53 @@ def source_stopword_similarity(df: DataFrame) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
     )
+
+
+def bpe_roundtrip_audit(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> DataFrame:
+    """Tokenizer-QA closure for the BPE family: prove the learned
+    segmentation is LOSSLESS (symbols re-concatenate to every original
+    token) and report the symbol-vocabulary footprint — the audit a
+    tokenizer release runs before the merges file ships (a lossy
+    segmentation corrupts every downstream token count silently).
+
+    Same distinct-word loop as the trainer/encoder; the audit itself
+    is three narrow expressions over the final word table plus one
+    distinct-count over exploded symbols (bounded by vocab × symbol
+    count, not the corpus). Returns one row: (n_words, n_roundtrip_ok,
+    n_single_symbol, n_vocab_symbols).
+    """
+    toks = F.explode(
+        F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    ).alias("tok")
+    words = (
+        df.select(toks)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split(F.col("tok"), ""), " "), F.lit(" ")
+            ).alias("w"),
+            "wc",
+            "tok",
+        )
+        .localCheckpoint(eager=True)
+    )
+    final, _ = _bpe_loop(words, n_merges, carry=("tok",))
+    audited = final.select(
+        "tok",
+        F.split(F.trim(F.col("w")), " ").alias("syms"),
+    ).select(
+        "tok",
+        "syms",
+        (F.array_join(F.col("syms"), "") == F.col("tok")).cast("long").alias("ok"),
+        (F.size("syms") == 1).cast("long").alias("single"),
+    )
+    counts = audited.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("ok").cast("long").alias("n_roundtrip_ok"),
+        F.sum("single").cast("long").alias("n_single_symbol"),
+    )
+    vocab = audited.select(F.explode("syms").alias("s")).agg(
+        F.count_distinct("s").cast("long").alias("n_vocab_symbols")
+    )
+    return counts.crossJoin(F.broadcast(vocab))

@@ -590,3 +590,18 @@ def test_round6_wave17_ops_on_empty(spark, empty_docs, empty_events):
         ab_conversion_ztest(empty_events, spark.createDataFrame([], cust_schema)).count()
         == 0
     )
+
+
+def test_round6_wave18_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import (
+        value_hour_regression,
+        value_qq_drift,
+    )
+    from mapreduce_golang_spark.operators.text_analysis import bpe_roundtrip_audit
+
+    r = bpe_roundtrip_audit(empty_docs, n_merges=2).collect()
+    assert len(r) == 1 and r[0].n_words == 0 and r[0].n_vocab_symbols == 0
+    assert value_hour_regression(empty_events).count() == 0
+    # empty halves → all 18 percentiles NULL, rows still emitted
+    qq = value_qq_drift(empty_events).collect()
+    assert len(qq) == 9 and all(r.q_ref is None and r.q_cur is None for r in qq)

@@ -197,6 +197,8 @@ _BOUNDED_NLJ_OK = {
     "value_psi_drift": 1,  # 1-row (mid-ts, value-range) broadcast
     "curriculum_phases": 1,  # 1-row percentile-cuts broadcast
     "km_gap_survival": 1,  # 1-row stream-horizon broadcast
+    "bpe_roundtrip_audit": 1,  # 1-row × 1-row counts/vocab join
+    "value_qq_drift": 1,  # 1-row midpoint broadcast
 
 }
 
