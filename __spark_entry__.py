@@ -1574,6 +1574,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # further additions must register BELOW slot 50 (full-gate coverage this
 # round, driver rotation next round). The HLL sketch stays rows-only by
 # design.
+# ROUND-7 ROTATION LIST (the 35 round-6 queries past slot 50, in
+# registration order — rotate into the head next round, oldest first):
+# waves 10-18: orders_monthly_growth, user_value_pareto, part_brand_hhi,
+# session_duration_histogram, bpe_learn_merges, semdedup_survivors,
+# dataset_card_report, hourly_value_ohlc, monthly_metric_unpivot,
+# part_name_near_matches, ngram_diversity_by_source, bpe_encode_stats,
+# quality_dup_calibration, normalized_dedup_gain, jl_projection_qa,
+# multi_touch_attribution, rolling_median_value, order_basket_rules,
+# k_anonymity_audit, benford_price_audit, streaming_hourly_ohlc,
+# rrf_hybrid_ranking, value_psi_drift, debounced_event_stats,
+# event_rate_spikes, nation_share_shift, order_ship_latency,
+# bootstrap_mean_ci, part_price_size_skyline, curriculum_phases,
+# source_stopword_similarity, km_gap_survival, ab_conversion_ztest,
+# bpe_roundtrip_audit, value_hour_regression, value_qq_drift (36 incl.
+# wave 10's four; 50-slot window fits 47 critical + pads — prioritize
+# never-graded over re-grades).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
