@@ -1548,6 +1548,22 @@ def _qq_drift(spark, sf_dir):
     return analytics.value_qq_drift(load_table(spark, sf_dir, "events"))
 
 
+def _kwic(spark, sf_dir):
+    return text_analysis.kwic_snippets(load_table(spark, sf_dir, "documents"))
+
+
+def _template_report(spark, sf_dir):
+    return text_analysis.template_opening_report(load_table(spark, sf_dir, "documents"))
+
+
+def _abc(spark, sf_dir):
+    return analytics.part_abc_classification(load_table(spark, sf_dir, "lineitem"))
+
+
+def _type_corr(spark, sf_dir):
+    return analytics.type_hourly_correlation(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1842,6 +1858,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_roundtrip_audit": _bpe_roundtrip,
         "value_hour_regression": _hour_regression,
         "value_qq_drift": _qq_drift,
+        "kwic_snippets": _kwic,
+        "template_opening_report": _template_report,
+        "part_abc_classification": _abc,
+        "type_hourly_correlation": _type_corr,
     }
 
 
@@ -6858,6 +6878,79 @@ def _qq_drift_oracle() -> str:
 
 
 _ORACLES["value_qq_drift"] = _qq_drift_oracle()
+
+_ORACLES["kwic_snippets"] = """
+    -- operators/text_analysis.py::kwic_snippets — ±30-char concordance
+    -- around the first 'spark' hit, first 20 docs
+    SELECT doc_id,
+           CAST(strpos(lower(text), 'spark') AS BIGINT) AS pos,
+           substring(text,
+                     CAST(greatest(1, strpos(lower(text), 'spark') - 30) AS INT),
+                     65) AS snippet
+    FROM documents
+    WHERE strpos(lower(text), 'spark') > 0
+    ORDER BY doc_id LIMIT 20
+"""
+
+_ORACLES["template_opening_report"] = r"""
+    -- operators/text_analysis.py::template_opening_report — shared
+    -- 2-token openers covering >= 3 docs (fixture-calibrated defaults)
+    WITH o AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 2 THEN array_to_string(toks[1:2], ' ') END AS opening
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        )
+    )
+    SELECT opening, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM o WHERE opening IS NOT NULL
+    GROUP BY opening HAVING count(*) >= 3
+"""
+
+_ORACLES["part_abc_classification"] = """
+    -- operators/analytics.py::part_abc_classification — cumulative
+    -- revenue-share cuts over the part dimension (decimal cum-sums)
+    WITH pp AS (
+        SELECT l_partkey AS pkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT rev,
+               CASE WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, pkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / CAST(sum(rev) OVER () AS DOUBLE) <= 0.80 THEN 'A'
+                    WHEN CAST(sum(rev) OVER (ORDER BY rev DESC, pkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / CAST(sum(rev) OVER () AS DOUBLE) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM pp
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS total_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(sum(sum(rev)) OVER () AS DOUBLE), 6)
+               AS revenue_share
+    FROM c GROUP BY abc_class
+"""
+
+_ORACLES["type_hourly_correlation"] = """
+    -- operators/analytics.py::type_hourly_correlation — Pearson r of
+    -- hourly count series per type pair (observed hours, inner join)
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(a.n, b.n), 6) AS pearson_r
+    FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

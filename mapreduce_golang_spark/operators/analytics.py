@@ -1283,3 +1283,74 @@ def value_qq_drift(events: DataFrame) -> DataFrame:
         F.col("t.q_cur").alias("q_cur"),
         F.round(F.col("t.q_cur") - F.col("t.q_ref"), 6).alias("gap"),
     )
+
+
+def part_abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, split at
+    the classic cumulative-share cuts (A ≤ 80%, B ≤ 95%, C the tail) —
+    the Pareto workhorse of inventory/SKU management, reported at the
+    class grain.
+
+    The fact stream collapses to the part rollup FIRST (decimal
+    revenue sums); the cumulative share is one window over the BOUNDED
+    part dimension ordered by (revenue desc, partkey); the class
+    report is a 3-row agg. Cumulative sums run on decimals, so the
+    cut assignment is bit-stable. Returns (abc_class, n_parts,
+    total_revenue, revenue_share).
+    """
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("pkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum_share = (
+        F.sum("rev").over(w).cast("double") / F.sum("rev").over(tot).cast("double")
+    )
+    classed = per_part.select(
+        "rev",
+        F.when(cum_share <= 0.80, F.lit("A"))
+        .when(cum_share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.sum(F.sum("rev")).over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+def type_hourly_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation matrix of hourly event-count series between
+    event types — do errors co-move with clicks? — the co-monitoring
+    screen behind alert-grouping heuristics. Hours where either type
+    is absent count as zero for neither series (inner join on observed
+    hours; documented convention).
+
+    One hash agg to the tiny (type, hour) series, an equality
+    self-join on hour (bounded by types² × hours), and one corr
+    aggregate per pair. Returns (type_a, type_b, n_hours, corr).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "hour", F.col("n").alias("na")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "hour", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "hour")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.corr("na", "nb"), 6).alias("pearson_r"),
+        )
+    )

@@ -1750,3 +1750,69 @@ def bpe_roundtrip_audit(df: DataFrame, n_merges: int = BPE_MERGE_ROUNDS) -> Data
         F.count_distinct("s").cast("long").alias("n_vocab_symbols")
     )
     return counts.crossJoin(F.broadcast(vocab))
+
+
+KWIC_TERM = "spark"
+
+
+def kwic_snippets(df: DataFrame, term: str = KWIC_TERM, radius: int = 30, k: int = 20) -> DataFrame:
+    """Keyword-in-context extraction: a ±``radius``-char snippet around
+    the FIRST occurrence of ``term`` in each matching document — the
+    concordance view every search/eval UI renders next to a hit (and
+    the spot-check tool for corpus auditors chasing a contamination
+    term through matched documents).
+
+    Narrow end to end: a contains-filter (pushable), one instr + two
+    substrings per surviving row, then a deterministic doc_id top-k
+    (TakeOrderedAndProject). Returns (doc_id, pos, snippet), first
+    ``k`` docs by id.
+    """
+    pos = F.instr(F.lower(F.col("text")), term.lower())
+    start = F.greatest(F.lit(1), pos - radius)
+    return (
+        df.where(F.instr(F.lower(F.col("text")), term.lower()) > 0)
+        .select(
+            "doc_id",
+            pos.cast("long").alias("pos"),
+            F.substring(F.col("text"), start.cast("int"), radius * 2 + len(term)).alias(
+                "snippet"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+TEMPLATE_OPEN_TOKENS = 2
+TEMPLATE_MIN_DOCS = 3
+
+
+def template_opening_report(
+    df: DataFrame, n_tokens: int = TEMPLATE_OPEN_TOKENS, min_docs: int = TEMPLATE_MIN_DOCS
+) -> DataFrame:
+    """Boilerplate-opener detection: documents sharing the same first
+    ``n_tokens`` words are template-stamped (form letters, scraped
+    shells) — the cheap structural screen run BEFORE the expensive
+    shingle dedup, because a shared opener prunes candidates at a
+    fraction of the cost.
+
+    One narrow prefix-key build (in-array slice, short-doc guarded) and
+    one hash agg; the report keeps openers covering ≥ ``min_docs``.
+    Returns (opening, n_docs, n_sources, min_doc_id).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col("text")), LETTERS_ONLY_RE), "")
+    opening = F.when(
+        F.size(toks) >= n_tokens,
+        F.array_join(F.slice(toks, 1, n_tokens), " "),
+    )
+    return (
+        df.select("doc_id", "source", opening.alias("opening"))
+        .where(F.col("opening").isNotNull())
+        .groupBy("opening")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

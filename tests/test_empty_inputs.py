@@ -605,3 +605,26 @@ def test_round6_wave18_ops_on_empty(spark, empty_docs, empty_events):
     # empty halves → all 18 percentiles NULL, rows still emitted
     qq = value_qq_drift(empty_events).collect()
     assert len(qq) == 9 and all(r.q_ref is None and r.q_cur is None for r in qq)
+
+
+def test_round6_wave19_ops_on_empty(spark, empty_docs, empty_events):
+    from mapreduce_golang_spark.operators.analytics import (
+        part_abc_classification,
+        type_hourly_correlation,
+    )
+    from mapreduce_golang_spark.operators.text_analysis import (
+        kwic_snippets,
+        template_opening_report,
+    )
+
+    li_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_extendedprice", DoubleType()),
+        ]
+    )
+    assert kwic_snippets(empty_docs).count() == 0
+    assert template_opening_report(empty_docs).count() == 0
+    assert part_abc_classification(spark.createDataFrame([], li_schema)).count() == 0
+    assert type_hourly_correlation(empty_events).count() == 0
