@@ -1564,6 +1564,81 @@ def _type_corr(spark, sf_dir):
     return analytics.type_hourly_correlation(load_table(spark, sf_dir, "events"))
 
 
+def _try_functions(spark, sf_dir):
+    """Error-safe arithmetic surface (try_divide/try_add/try_multiply):
+    ANSI mode raises on 0-division and overflow; the try_* family
+    returns NULL instead — the form a pipeline uses when dirty rows
+    must degrade, not abort. All outputs cast double so NULLs render
+    identically (NaN) in both engines' pandas bridges."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = F.lit(9223372036854775807).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 6).alias(
+            "price_per_disc"
+        ),
+        F.try_add(big, F.col("l_orderkey")).cast("double").alias("add_overflow"),
+        F.try_multiply(F.col("l_orderkey"), big).cast("double").alias("mul_overflow"),
+    )
+
+
+def _posexplode_tokens(spark, sf_dir):
+    """Generator-function surface: posexplode (explode WITH ORDINALITY)
+    over the token array of the first docs — position-aware flattening,
+    the API a token-offset consumer needs."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"[^\p{L}]+"), "")
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+def _map_functions(spark, sf_dir):
+    """MapType surface: per-user map of event_type → count built with
+    map_from_entries, then interrogated with size/map_filter/
+    element_at — the collection algebra the reference's KV model lacks
+    entirely. Map semantics are order-insensitive, so the
+    collect_list ordering never leaks into the output."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").cast("long").alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.size(F.map_filter("m", lambda k, v: v >= 3)).cast("long").alias("n_heavy_types"),
+        F.element_at("m", "click").cast("double").alias("n_clicks"),
+    )
+
+
+def _metric_transpose(spark, sf_dir):
+    """DataFrame.transpose (Spark 4): the per-type metric table flipped
+    to one row per metric with event types as columns — the
+    presentation pivot `transpose` ships natively; metrics are cast to
+    one common double type as the API requires."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "total_value"
+        ),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_value"),
+    )
+    return wide.transpose()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1862,6 +1937,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "template_opening_report": _template_report,
         "part_abc_classification": _abc,
         "type_hourly_correlation": _type_corr,
+        "try_arithmetic_functions": _try_functions,
+        "posexplode_tokens": _posexplode_tokens,
+        "map_functions_pack": _map_functions,
+        "event_metric_transpose": _metric_transpose,
     }
 
 
@@ -6951,6 +7030,72 @@ _ORACLES["type_hourly_correlation"] = """
     FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type
     GROUP BY 1, 2
 """
+
+_ORACLES["try_arithmetic_functions"] = """
+    -- __spark_entry__.py::_try_functions — try_* NULL-on-error
+    -- semantics expressed as explicit CASE guards
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 6) END AS price_per_disc,
+           CASE WHEN l_orderkey = 0 THEN CAST(9223372036854775807 AS DOUBLE)
+                ELSE NULL END AS add_overflow,
+           CASE WHEN l_orderkey = 0 THEN 0.0
+                WHEN l_orderkey = 1 THEN CAST(9223372036854775807 AS DOUBLE)
+                ELSE NULL END AS mul_overflow
+    FROM lineitem
+"""
+
+_ORACLES["posexplode_tokens"] = r"""
+    -- __spark_entry__.py::_posexplode_tokens — aligned ordinality via
+    -- generate_subscripts (0-based like posexplode)
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS tok
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 50
+    )
+"""
+
+_ORACLES["map_functions_pack"] = """
+    -- __spark_entry__.py::_map_functions — the map interrogations as
+    -- plain conditional aggregates
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_types,
+           CAST(max(CASE WHEN event_type = 'click' THEN n END) AS DOUBLE) AS n_clicks
+    FROM per GROUP BY user_id
+"""
+
+
+def _transpose_oracle() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    n_row = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS DOUBLE) AS {t}" for t in types
+    )
+    tot = lambda t: f"CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = '{t}') AS DOUBLE)"
+    t_row = ", ".join(f"round({tot(t)}, 2) AS {t}" for t in types)
+    a_row = ", ".join(
+        f"round({tot(t)} / count(*) FILTER (event_type = '{t}'), 6) AS {t}" for t in types
+    )
+    return f"""
+    -- __spark_entry__.py::_metric_transpose — DataFrame.transpose's
+    -- output reconstructed as three conditional-aggregate arms
+    SELECT 'n_events' AS key, {n_row} FROM events
+    UNION ALL
+    SELECT 'total_value' AS key, {t_row} FROM events
+    UNION ALL
+    SELECT 'avg_value' AS key, {a_row} FROM events
+"""
+
+
+_ORACLES["event_metric_transpose"] = _transpose_oracle()
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are
