@@ -1639,6 +1639,30 @@ def _metric_transpose(spark, sf_dir):
     return wide.transpose()
 
 
+def _hourly_acf(spark, sf_dir):
+    from mapreduce_golang_spark.operators import windows as W
+
+    return W.hourly_acf(load_table(spark, sf_dir, "events"))
+
+
+def _crosscorr_leadlag(spark, sf_dir):
+    from mapreduce_golang_spark.operators import windows as W
+
+    return W.type_crosscorr_leadlag(load_table(spark, sf_dir, "events"))
+
+
+def _day_streaks(spark, sf_dir):
+    from mapreduce_golang_spark.operators import windows as W
+
+    return W.user_active_day_streaks(load_table(spark, sf_dir, "events"))
+
+
+def _max_concurrency(spark, sf_dir):
+    from mapreduce_golang_spark.operators import windows as W
+
+    return W.max_concurrent_sessions(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1941,6 +1965,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "posexplode_tokens": _posexplode_tokens,
         "map_functions_pack": _map_functions,
         "event_metric_transpose": _metric_transpose,
+        "hourly_acf": _hourly_acf,
+        "type_crosscorr_leadlag": _crosscorr_leadlag,
+        "user_active_day_streaks": _day_streaks,
+        "max_concurrent_sessions": _max_concurrency,
     }
 
 
@@ -7096,6 +7124,133 @@ def _transpose_oracle() -> str:
 
 
 _ORACLES["event_metric_transpose"] = _transpose_oracle()
+
+_ORACLES["hourly_acf"] = """
+    -- operators/windows.py::hourly_acf — dense-spine sample ACF as
+    -- an explicit lag equi-join
+    WITH hours AS (SELECT date_trunc('hour', ts) AS hour FROM events),
+    bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hours),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    counts AS (SELECT hour, count(*) AS n FROM hours GROUP BY 1),
+    series AS (
+        SELECT CAST(floor(epoch(s.hour) / 3600) AS BIGINT) AS h,
+               CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+        FROM spine s LEFT JOIN counts c USING (hour)
+    ),
+    lags AS (SELECT CAST(unnest([1, 2, 3, 6, 12, 24]) AS INTEGER) AS lag_hours)
+    SELECT l.lag_hours,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.n, b.n), 6) AS acf
+    FROM lags l
+    JOIN series a ON true
+    JOIN series b ON a.h = b.h + l.lag_hours
+    GROUP BY 1
+"""
+
+_ORACLES["type_crosscorr_leadlag"] = """
+    -- operators/windows.py::type_crosscorr_leadlag — zero-filled
+    -- lead-lag correlation, corr(a[t], b[t+lag])
+    WITH bounds AS (
+        SELECT min(date_trunc('hour', ts)) AS mn,
+               max(date_trunc('hour', ts)) AS mx
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events WHERE event_type IN ('click', 'error')
+        GROUP BY 1, 2
+    ),
+    sa AS (
+        SELECT CAST(floor(epoch(s.hour) / 3600) AS BIGINT) AS h,
+               CAST(coalesce(c.n, 0) AS DOUBLE) AS na
+        FROM spine s
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = 'click'
+    ),
+    sb AS (
+        SELECT CAST(floor(epoch(s.hour) / 3600) AS BIGINT) AS h,
+               CAST(coalesce(c.n, 0) AS DOUBLE) AS nb
+        FROM spine s
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = 'error'
+    ),
+    lags AS (SELECT CAST(unnest(generate_series(-6, 6)) AS INTEGER) AS lag_hours)
+    SELECT l.lag_hours,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.na, b.nb), 6) AS xcorr
+    FROM lags l
+    JOIN sa a ON true
+    JOIN sb b ON a.h + l.lag_hours = b.h
+    GROUP BY 1
+"""
+
+_ORACLES["user_active_day_streaks"] = """
+    -- operators/windows.py::user_active_day_streaks — gaps-and-islands
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS day_num
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               day_num - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day_num) AS island
+        FROM days
+    ),
+    st AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    ),
+    best AS (SELECT user_id, max(len) AS streak_days FROM st GROUP BY 1)
+    SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
+"""
+
+_ORACLES["max_concurrent_sessions"] = """
+    -- operators/windows.py::max_concurrent_sessions — sweep line over
+    -- sessionized intervals; END sorts before START at equal ts
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) / 1000000.0
+                         - lag(epoch_us(ts) / 1000000.0) OVER w > 1800.0
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_no, min(ts) AS t_start, max(ts) AS t_end
+        FROM numbered GROUP BY 1, 2
+    ),
+    sweep AS (
+        SELECT t_start AS t, 1 AS delta, user_id, sess_no FROM sessions
+        UNION ALL
+        SELECT t_end AS t, -1 AS delta, user_id, sess_no FROM sessions
+    ),
+    running AS (
+        SELECT t, delta,
+               sum(delta) OVER (
+                   ORDER BY t, delta, user_id, sess_no
+                   ROWS UNBOUNDED PRECEDING) AS cur
+        FROM sweep
+    )
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           CAST(max(cur) AS BIGINT) AS max_concurrent
+    FROM running WHERE delta = 1
+    GROUP BY 1
+"""
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

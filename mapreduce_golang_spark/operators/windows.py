@@ -942,3 +942,202 @@ def km_gap_survival(events: DataFrame) -> DataFrame:
         )
         .select("gap_min", "n_at_risk", "n_deaths", "n_censored", "survival")
     )
+
+
+def hourly_acf(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24)) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at the
+    given lags — the periodicity diagnostic run before picking a
+    seasonal window for forecasting or anomaly baselines (a strong
+    lag-24 says "daily cycle"; lag-1 says "bursty").
+
+    Convention: the Pearson-on-lagged-pairs estimator (corr of the
+    series against itself shifted by k), computed over a DENSE hour
+    spine — silent hours count as 0, not as missing rows, because a
+    gap IS signal for a rate series.
+
+    Scale shape: one hash agg to the tiny hour series, the spine from
+    a 1-row min/max agg exploded via sequence() (no join), lags fanned
+    out with a per-row explode of a constant array, and the shift is
+    an EQUI-join on the integer hour index — bounded by hours × lags.
+    Returns (lag_hours, n_pairs, acf).
+    """
+    hours = events.select(F.date_trunc("hour", "ts").alias("hour"))
+    spine = (
+        hours.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour")
+        )
+    )
+    counts = hours.groupBy("hour").agg(F.count("*").cast("long").alias("n"))
+    series = (
+        spine.join(counts, "hour", "left")
+        .select(
+            F.floor(F.col("hour").cast("double") / 3600).cast("long").alias("h"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n"),
+        )
+    )
+    lag_col = F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag_hours")
+    cur = series.select(F.col("h"), F.col("n").alias("n_t"), lag_col)
+    past = series.select(
+        F.col("h").alias("h_past"), F.col("n").alias("n_lag")
+    )
+    # (h - lag) keeps every join-key term on the probe side, so
+    # Catalyst extracts a hash-joinable equi-key (h_past + lag would
+    # mix sides and degrade to a nested loop)
+    return (
+        cur.join(past, (cur["h"] - F.col("lag_hours")) == F.col("h_past"))
+        .groupBy("lag_hours")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("n_t", "n_lag"), 6).alias("acf"),
+        )
+    )
+
+
+def type_crosscorr_leadlag(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "error",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event types' hourly
+    series: corr(a[t], b[t+lag]) for lag in [-max_lag, +max_lag] — a
+    positive-lag peak means a LEADS b (clicks now, errors later), the
+    directional version of the lag-0 matrix in
+    ``type_hourly_correlation``. Zero-filled on the dense hour spine
+    for the same reason as ``hourly_acf``.
+
+    Same bounded shape: tiny zero-filled series per type, a constant
+    lag fan-out, one equi-join per (hour, lag), one corr per lag.
+    Returns (lag_hours, n_pairs, xcorr) ordered by lag at the caller.
+    """
+    hours = events.where(F.col("event_type").isin(type_a, type_b)).select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    spine = (
+        events.select(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour")
+        )
+    )
+    counts = hours.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    def _series(t: str, out: str) -> DataFrame:
+        return (
+            spine.join(counts.where(F.col("event_type") == t), "hour", "left")
+            .select(
+                F.floor(F.col("hour").cast("double") / 3600).cast("long").alias("h"),
+                F.coalesce(F.col("n"), F.lit(0)).cast("double").alias(out),
+            )
+        )
+
+    lag_vals = list(range(-max_lag, max_lag + 1))
+    a = _series(type_a, "na").select(
+        "h",
+        "na",
+        F.explode(F.array(*[F.lit(int(k)) for k in lag_vals])).alias("lag_hours"),
+    )
+    b = _series(type_b, "nb").select(F.col("h").alias("hb"), "nb")
+    return (
+        a.join(b, (F.col("h") + F.col("lag_hours")) == F.col("hb"))
+        .groupBy("lag_hours")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("na", "nb"), 6).alias("xcorr"),
+        )
+    )
+
+
+def user_active_day_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    histogram (streak_days → n_users) — the engagement-stickiness cut
+    every retention dashboard carries, and the canonical
+    gaps-and-islands window pattern (day_index minus row_number is
+    constant within a run of consecutive days).
+
+    Scale shape: distinct (user, day) first (one hash agg, the stream
+    shrinks to ≤ users × days), ONE exchange on user_id for the
+    row_number, then two more hash aggs — never a self-join.
+    Returns (streak_days, n_users).
+    """
+    days = events.select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = days.select(
+        "user_id",
+        (F.col("day_num") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return best.groupBy("streak_days").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def max_concurrent_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line (+1 at
+    session start, −1 at session end, running sum) — the capacity
+    figure a serving team sizes connection pools against, and an
+    interval-stabbing aggregate no plain group-by expresses.
+
+    Conventions: sessions use the same ``gap_minutes`` inactivity rule
+    as ``sessionize``; at an equal timestamp an END is processed
+    before a START (half-open intervals — back-to-back sessions never
+    double-count); ties beyond that break on (user_id, session_no) so
+    the running sum is deterministic in both engines.
+
+    Scale shape: the sweep stream is exactly 2 rows per session —
+    orders of magnitude smaller than events — so the single global
+    ordered window is a deliberate, documented narrow-data choice (at
+    extreme scale: partition the sweep by day and carry in the open-
+    session count per day boundary). Returns (day, max_concurrent).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.when(
+                (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w))
+                > gap_minutes * 60,
+                1,
+            )
+            .otherwise(0)
+        ).alias("new_sess"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_no"),
+    )
+    sessions = numbered.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    starts = sessions.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta"), "user_id", "sess_no"
+    )
+    ends = sessions.select(
+        F.col("t_end").alias("t"), F.lit(-1).alias("delta"), "user_id", "sess_no"
+    )
+    sweep = starts.unionByName(ends)
+    ws = Window.orderBy("t", "delta", "user_id", "sess_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = sweep.select(
+        "t", "delta", F.sum("delta").over(ws).alias("cur")
+    )
+    return (
+        running.where(F.col("delta") == 1)
+        .groupBy(F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day"))
+        .agg(F.max("cur").cast("long").alias("max_concurrent"))
+    )
