@@ -1663,6 +1663,32 @@ def _max_concurrency(spark, sf_dir):
     return W.max_concurrent_sessions(load_table(spark, sf_dir, "events"))
 
 
+def _bigram_xent(spark, sf_dir):
+    from mapreduce_golang_spark.operators import text_analysis as T
+
+    return T.source_bigram_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _l_diversity(spark, sf_dir):
+    from mapreduce_golang_spark.operators import analytics
+
+    return analytics.l_diversity_audit(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _mwu(spark, sf_dir):
+    from mapreduce_golang_spark.operators import analytics
+
+    return analytics.mann_whitney_u(load_table(spark, sf_dir, "events"))
+
+
+def _journeys(spark, sf_dir):
+    from mapreduce_golang_spark.operators import windows as W
+
+    return W.user_journey_signatures(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         name: _shipped(fn)
@@ -1969,6 +1995,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "type_crosscorr_leadlag": _crosscorr_leadlag,
         "user_active_day_streaks": _day_streaks,
         "max_concurrent_sessions": _max_concurrency,
+        "source_bigram_cross_entropy": _bigram_xent,
+        "l_diversity_audit": _l_diversity,
+        "mann_whitney_u": _mwu,
+        "user_journey_signatures": _journeys,
     }
 
 
@@ -7124,6 +7154,121 @@ def _transpose_oracle() -> str:
 
 
 _ORACLES["event_metric_transpose"] = _transpose_oracle()
+
+_ORACLES["source_bigram_cross_entropy"] = r"""
+    -- operators/text_analysis.py::source_bigram_cross_entropy —
+    -- add-one bigram LM per source, scored cross-source
+    WITH tok AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT source, toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n
+        FROM (
+            SELECT source, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok WHERE len(toks) >= 2
+        )
+        GROUP BY 1, 2, 3
+    ),
+    ctx AS (SELECT source, w1, sum(n) AS c1 FROM b GROUP BY 1, 2),
+    vocab AS (
+        SELECT source, count(DISTINCT tok) AS v
+        FROM (SELECT source, unnest(toks) AS tok FROM tok)
+        GROUP BY 1
+    ),
+    srcs AS (SELECT DISTINCT source AS lm_source FROM documents),
+    grid AS (
+        SELECT e.source AS eval_source, e.w1, e.w2, e.n AS n_e, s.lm_source
+        FROM b e CROSS JOIN srcs s
+    )
+    SELECT g.lm_source, g.eval_source,
+           CAST(sum(g.n_e) AS BIGINT) AS n_bigrams,
+           round(-sum(g.n_e * ln(
+               CAST(coalesce(bl.n, 0) + 1 AS DOUBLE)
+               / CAST(coalesce(c.c1, 0) + v.v AS DOUBLE)
+           )) / sum(g.n_e), 6) AS cross_entropy
+    FROM grid g
+    LEFT JOIN b bl ON bl.source = g.lm_source AND bl.w1 = g.w1 AND bl.w2 = g.w2
+    LEFT JOIN ctx c ON c.source = g.lm_source AND c.w1 = g.w1
+    JOIN vocab v ON v.source = g.lm_source
+    GROUP BY 1, 2
+"""
+
+_ORACLES["l_diversity_audit"] = """
+    -- operators/analytics.py::l_diversity_audit — homogeneity risk
+    -- over the k-anonymity QI with order priority as sensitive attr
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT o_orderpriority) < 3
+"""
+
+_ORACLES["mann_whitney_u"] = """
+    -- operators/analytics.py::mann_whitney_u — midranks from the
+    -- per-distinct-value tie table, tie-corrected variance
+    WITH per_v AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na_v,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb_v
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT na_v, nb_v,
+               CAST(coalesce(sum(na_v + nb_v) OVER (
+                   ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS DOUBLE)
+                 + (CAST(na_v + nb_v AS DOUBLE) + 1.0) / 2.0 AS avg_rank,
+               CAST((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+                    - (na_v + nb_v) AS DOUBLE) AS tie_term
+        FROM per_v
+    ),
+    agg AS (
+        SELECT CAST(sum(na_v) AS DOUBLE) AS n1,
+               CAST(sum(nb_v) AS DOUBLE) AS n2,
+               sum(na_v * avg_rank) AS r1,
+               sum(tie_term) AS ties
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u_stat,
+           CASE WHEN n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+                     - ties / ((n1 + n2) * (n1 + n2 - 1.0))) > 0
+                THEN round((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)
+                           / sqrt(n1 * n2 / 12.0
+                                  * ((n1 + n2 + 1.0)
+                                     - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+           END AS z_score
+    FROM agg
+"""
+
+_ORACLES["user_journey_signatures"] = """
+    -- operators/windows.py::user_journey_signatures — LISTAGG-style
+    -- ordered path prefix, top-20 with text tiebreak
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    sig AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS signature
+        FROM ranked WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT signature, CAST(count(*) AS BIGINT) AS n_users
+    FROM sig GROUP BY 1
+    ORDER BY n_users DESC, signature
+    LIMIT 20
+"""
 
 _ORACLES["hourly_acf"] = """
     -- operators/windows.py::hourly_acf — dense-spine sample ACF as

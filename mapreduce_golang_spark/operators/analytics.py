@@ -1354,3 +1354,95 @@ def type_hourly_correlation(events: DataFrame) -> DataFrame:
             F.round(F.corr("na", "nb"), 6).alias("pearson_r"),
         )
     )
+
+
+def l_diversity_audit(customer: DataFrame, orders: DataFrame, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the follow-on to
+    ``k_anonymity_audit``: a quasi-identifier class can be large (k-
+    anonymous) yet still leak if everyone in it shares the same
+    sensitive value. Over the same (market segment, nation, balance
+    band) QI with order priority as the sensitive attribute: classes
+    whose orders span fewer than ``l`` distinct priorities are
+    homogeneity-attack risks.
+
+    One equi-join customer→orders on the key both tables are sized
+    for, one hash agg on the QI, a narrow filter. Returns
+    (c_mktsegment, c_nationkey, acctbal_band, n_customers, n_orders,
+    n_priorities) for at-risk classes.
+    """
+    qi = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    )
+    j = qi.join(orders, qi["c_custkey"] == orders["o_custkey"])
+    return (
+        j.groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(
+            F.count_distinct("c_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+        )
+        .where(F.col("n_priorities") < l)
+    )
+
+
+def mann_whitney_u(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event types' value
+    distributions — the nonparametric sibling of ``ab_conversion_ztest``
+    (no normality assumption), the test a metrics review reaches for
+    when value distributions are heavy-tailed. Midranks for ties and
+    the tie-corrected normal-approximation variance, so the statistic
+    is exact and deterministic in both engines — no tiebreak column.
+
+    Scale shape: ranks are NOT assigned per row; the stream collapses
+    to the per-distinct-value tie table first (one hash agg), and the
+    prefix sum runs over that aggregated table (the documented narrow-
+    data global window — at extreme scale, range-partitioned ranking).
+    Returns one row (n_a, n_b, u_stat, z_score).
+    """
+    per_v = (
+        events.where(F.col("event_type").isin(type_a, type_b))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == type_a).cast("long")).alias("na_v"),
+            F.sum((F.col("event_type") == type_b).cast("long")).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("na_v") + F.col("nb_v")
+    ranked = per_v.select(
+        "na_v",
+        "nb_v",
+        (
+            F.coalesce(F.sum(t).over(w), F.lit(0)).cast("double")
+            + (t.cast("double") + 1.0) / 2.0
+        ).alias("avg_rank"),
+        (t * t * t - t).cast("double").alias("tie_term"),
+    )
+    agg = ranked.agg(
+        F.sum("na_v").cast("double").alias("n1"),
+        F.sum("nb_v").cast("double").alias("n2"),
+        F.sum(F.col("na_v") * F.col("avg_rank")).alias("r1"),
+        F.sum("tie_term").alias("ties"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    var = (
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1.0) - F.col("ties") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(u1, 6).alias("u_stat"),
+        # every value tied → zero variance → z undefined; NULL, not a
+        # 0/0 ANSI abort
+        F.round(F.when(var > 0, (u1 - mu) / F.sqrt(var)), 6).alias("z_score"),
+    )

@@ -1816,3 +1816,85 @@ def template_opening_report(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def source_bigram_cross_entropy(df: DataFrame) -> DataFrame:
+    """Source-pair similarity via language-model cross-entropy: train
+    an add-one-smoothed bigram LM per source, score every source's
+    bigram stream under every LM, report avg negative log-likelihood
+    per bigram — the "how surprising is corpus B to a model of corpus
+    A" matrix a data-mixing pass uses to pick nearest-domain weights
+    (same instrument as CCNet's perplexity buckets, but corpus-vs-
+    corpus instead of doc-vs-reference). The diagonal is each source's
+    self-entropy and must be the row minimum — a built-in sanity check.
+
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with V the source's unigram
+    vocabulary; unseen contexts degrade to 1/V, so the log argument is
+    never 0 in either engine.
+
+    Scale shape: everything runs on the AGGREGATED bigram table (one
+    hash agg from the token stream), the LM fan-out is a crossJoin
+    against the broadcast ≤|sources|-row list (bounded NLJ, plan-audit
+    whitelisted), and the three LM lookups are hash equi-joins on
+    (source, w1[, w2]). Shuffle ∝ distinct bigrams × sources — never
+    documents². Returns (lm_source, eval_source, n_bigrams,
+    cross_entropy).
+    """
+    toks = _clean_tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        df.where(n >= 2)
+        .select("source", F.explode(pairs).alias("p"))
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("source", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ctx = bg.groupBy("source", "w1").agg(F.sum("n").alias("c1"))
+    vocab = (
+        df.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lms = df.select(F.col("source").alias("lm_source")).distinct()
+    ev = bg.select(
+        F.col("source").alias("eval_source"),
+        F.col("w1").alias("ew1"),
+        F.col("w2").alias("ew2"),
+        F.col("n").alias("n_e"),
+    )
+    grid = ev.crossJoin(F.broadcast(lms))
+    joined = (
+        grid.join(
+            bg,
+            (bg["source"] == grid["lm_source"])
+            & (bg["w1"] == grid["ew1"])
+            & (bg["w2"] == grid["ew2"]),
+            "left",
+        )
+        .drop("source", "w1", "w2")
+        .join(
+            ctx,
+            (ctx["source"] == grid["lm_source"]) & (ctx["w1"] == grid["ew1"]),
+            "left",
+        )
+        .drop("source", "w1")
+        .join(vocab.withColumnRenamed("source", "vs"), F.col("vs") == grid["lm_source"])
+    )
+    logp = F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    return (
+        joined.groupBy("lm_source", "eval_source")
+        .agg(
+            F.sum("n_e").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.col("n_e") * logp) / F.sum("n_e"), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -1141,3 +1141,43 @@ def max_concurrent_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFra
         .groupBy(F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day"))
         .agg(F.max("cur").cast("long").alias("max_concurrent"))
     )
+
+
+def user_journey_signatures(
+    events: DataFrame, prefix_len: int = 8, k: int = 20
+) -> DataFrame:
+    """Top-k user journey signatures: each user's first ``prefix_len``
+    event types in time order, joined into one path string, counted
+    across users — the ordered-string-aggregation surface (SQL
+    LISTAGG ... WITHIN GROUP) the funnel team uses to find dominant
+    onboarding paths before committing to a funnel definition.
+
+    Order inside the aggregate is made deterministic WITHOUT a window:
+    collect_list into (ts, event_id, type) structs, array_sort (struct
+    comparison = lexicographic on ts then event_id), slice to the
+    prefix, transform+array_join — all narrow expressions after ONE
+    exchange on user_id. Top-k is orderBy+limit (TakeOrderedAndProject;
+    ties at the boundary break on the signature text).
+    Returns (signature, n_users).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    prefix_len,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("signature")
+    )
+    return (
+        per_user.groupBy("signature")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("signature"))
+        .limit(k)
+    )

@@ -199,6 +199,7 @@ _BOUNDED_NLJ_OK = {
     "km_gap_survival": 1,  # 1-row stream-horizon broadcast
     "bpe_roundtrip_audit": 1,  # 1-row × 1-row counts/vocab join
     "value_qq_drift": 1,  # 1-row midpoint broadcast
+    "source_bigram_cross_entropy": 1,  # ≤|sources|-row LM-list broadcast
 
 }
 
