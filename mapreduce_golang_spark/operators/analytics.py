@@ -103,7 +103,7 @@ def lineitem_price_stats(lineitem: DataFrame) -> DataFrame:
     sample covariance, stddev — single-pass algebraic aggregates."""
     return lineitem.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("stddev_price"),
     )
@@ -1227,8 +1227,8 @@ def value_hour_regression(events: DataFrame) -> DataFrame:
     return s.where((dx > 0) & (dy > 0)).select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6) + F.lit(0.0)).alias("intercept"),
         F.round((cov * cov) / (dx * dy), 6).alias("r2"),
     )
 
@@ -1351,7 +1351,7 @@ def type_hourly_correlation(events: DataFrame) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(
             F.count("*").cast("long").alias("n_hours"),
-            F.round(F.corr("na", "nb"), 6).alias("pearson_r"),
+            (F.round(F.corr("na", "nb"), 6) + F.lit(0.0)).alias("pearson_r"),
         )
     )
 

@@ -617,7 +617,7 @@ def zipf_slope(df: DataFrame) -> DataFrame:
     ranked = counts.withColumn("rk", F.row_number().over(w))
     return ranked.groupBy("source").agg(
         F.count("*").cast("long").alias("n_types"),
-        F.round(F.expr("regr_slope(ln(cnt), ln(rk))"), 6).alias("slope"),
+        (F.round(F.expr("regr_slope(ln(cnt), ln(rk))"), 6) + F.lit(0.0)).alias("slope"),
     )
 
 

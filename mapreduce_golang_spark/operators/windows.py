@@ -989,7 +989,7 @@ def hourly_acf(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24)) 
         .groupBy("lag_hours")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.corr("n_t", "n_lag"), 6).alias("acf"),
+            (F.round(F.corr("n_t", "n_lag"), 6) + F.lit(0.0)).alias("acf"),
         )
     )
 
@@ -1046,7 +1046,7 @@ def type_crosscorr_leadlag(
         .groupBy("lag_hours")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.corr("na", "nb"), 6).alias("xcorr"),
+            (F.round(F.corr("na", "nb"), 6) + F.lit(0.0)).alias("xcorr"),
         )
     )
 

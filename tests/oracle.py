@@ -41,6 +41,10 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # IEEE -0.0 == 0.0 but reprs differ ("-0" vs "0"); DuckDB's
+            # round(corr(...)) can emit -0.0 where Spark emits +0.0.
+            v = 0.0
         # 12 significant digits: queries are expected to round their
         # float outputs explicitly; this only canonicalizes repr noise.
         return f"{v:.12g}"
