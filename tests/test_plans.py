@@ -329,6 +329,48 @@ _PAIR_GRAPH_CONSUMERS = [
 ]
 
 
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The third AQE leg (skew split and bloom injection are asserted
+    elsewhere): runtime partition COALESCING. A 100 TB session sets
+    spark.sql.shuffle.partitions for its biggest shuffle; every smaller
+    aggregate in the same session would otherwise fan one row into
+    hundreds of near-empty reducers and pay scheduler latency per task.
+    AQE must fold those into a few right-sized partitions at runtime —
+    `AQEShuffleRead coalesced` in the final plan, result partitions far
+    below the static setting, identical results."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.shuffle.partitions": "200",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            spark.range(100000)
+            .select((F.col("id") % 1000).alias("k"), (F.col("id") % 7).alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan
+        n_parts = agg.rdd.getNumPartitions()
+        assert n_parts < 20, f"expected runtime coalescing far below 200, got {n_parts}"
+        assert len(rows) == 1000
+        expect = {k: sum((k + 1000 * i) % 7 for i in range(100)) for k in range(1000)}
+        assert {r.k: r.s for r in rows} == expect
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_pair_graph_consumers_skip_shingle_derivation(spark, sf_dir):
     """VERDICT r4 item 5: the expensive pair-graph subplan must appear
     exactly ONCE across the surface — i.e., never inside a consumer's
