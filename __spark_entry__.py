@@ -1731,6 +1731,10 @@ _ROUND7_HEAD: list[str] = [
 ]
 
 
+def _embedding_stats_arrow(spark, sf_dir):
+    return similarity.embedding_stats_arrow(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1765,7 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never received a driver CORRECTNESS row (waves 10-22, registration
 # order). ROUND-8 ROTATION LIST (the 2-query remainder — put these first
 # in the round-8 window, then any round-7 additions registered below
-# slot 50): mann_whitney_u, user_journey_signatures.
+# slot 50): mann_whitney_u, user_journey_signatures,
+# embedding_stats_arrow.
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2034,6 +2039,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "l_diversity_audit": _l_diversity,
         "mann_whitney_u": _mwu,
         "user_journey_signatures": _journeys,
+        # --- round-7 additions (below slot 50; ROUND-8 window) ---
+        "embedding_stats_arrow": _embedding_stats_arrow,
     }
 
 
@@ -6235,6 +6242,17 @@ def _semdedup_oracle() -> str:
 
 
 _ORACLES["semdedup_survivors"] = _semdedup_oracle()
+
+# operators/similarity.py::embedding_stats_arrow — the mapInArrow
+# kernel's SQL twin: per-vector dim/L2/mean from the unnested values.
+_ORACLES["embedding_stats_arrow"] = """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS l2_norm,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_val
+    FROM (SELECT vec_id, embedding, unnest(embedding) AS v FROM embeddings)
+    GROUP BY vec_id, embedding
+"""
 
 # operators/corpus.py::dataset_card_report — one-pass corpus card.
 _ORACLES["dataset_card_report"] = r"""

@@ -945,3 +945,60 @@ def jl_projection_qa(
         F.round(F.min("ratio"), 6).alias("min_ratio"),
         F.round(F.max("ratio"), 6).alias("max_ratio"),
     )
+
+
+def embedding_stats_arrow(embeddings: DataFrame) -> DataFrame:
+    """Per-vector stats (dim, L2 norm, mean) computed in a pyarrow
+    RecordBatch kernel via ``DataFrame.mapInArrow`` — Spark 4's
+    lowest-overhead Python boundary: Arrow batches flow to the worker
+    and back with ZERO pandas materialization (mapInPandas pays a
+    pandas.Series build per column per batch; the multimodal family
+    uses that path, this is its leaner sibling for pure-numeric
+    kernels).
+
+    The kernel is one vectorized numpy pass per batch: list offsets →
+    segment lengths, ``np.add.reduceat`` for per-vector sums over the
+    flattened values — no per-row Python, ragged-safe (dims read from
+    offsets, not assumed). At 100 TB this is the shape a Python
+    feature-extraction stage must have: narrow (no exchange), batch-
+    vectorized, and streaming (one batch in flight per task).
+
+    Returns (vec_id, dim, l2_norm, mean_val), floats rounded to 6.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(b.schema.get_field_index("vec_id"))
+            emb = b.column(b.schema.get_field_index("embedding"))
+            # combine_chunks not needed: RecordBatch columns are flat Arrays
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = np.diff(offsets)
+            starts = offsets[:-1]
+            sums = np.add.reduceat(flat, starts) if len(flat) else np.zeros(0)
+            sqsums = np.add.reduceat(flat * flat, starts) if len(flat) else np.zeros(0)
+            # reduceat quirk: a zero-length segment returns the NEXT
+            # element's value — zero those out explicitly
+            empty = lens == 0
+            sums[empty] = 0.0
+            sqsums[empty] = 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens.astype("int64")),
+                    pa.array(np.round(np.sqrt(sqsums), 6)),
+                    pa.array(
+                        np.round(np.divide(sums, lens, out=np.zeros_like(sums), where=lens > 0), 6)
+                    ),
+                ],
+                names=["vec_id", "dim", "l2_norm", "mean_val"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, dim long, l2_norm double, mean_val double"
+    )
