@@ -1735,6 +1735,10 @@ def _embedding_stats_arrow(spark, sf_dir):
     return similarity.embedding_stats_arrow(load_table(spark, sf_dir, "embeddings"))
 
 
+def _label_centroids_arrow(spark, sf_dir):
+    return similarity.label_centroids_arrow(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1770,7 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order). ROUND-8 ROTATION LIST (the 2-query remainder — put these first
 # in the round-8 window, then any round-7 additions registered below
 # slot 50): mann_whitney_u, user_journey_signatures,
-# embedding_stats_arrow.
+# embedding_stats_arrow, label_centroids_arrow.
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2041,6 +2045,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_journey_signatures": _journeys,
         # --- round-7 additions (below slot 50; ROUND-8 window) ---
         "embedding_stats_arrow": _embedding_stats_arrow,
+        "label_centroids_arrow": _label_centroids_arrow,
     }
 
 
@@ -6245,6 +6250,20 @@ _ORACLES["semdedup_survivors"] = _semdedup_oracle()
 
 # operators/similarity.py::embedding_stats_arrow — the mapInArrow
 # kernel's SQL twin: per-vector dim/L2/mean from the unnested values.
+# operators/similarity.py::label_centroids_arrow — per-label per-dim
+# mean of the vector population (the applyInArrow kernel's SQL twin);
+# + 0.0 canonicalizes -0.0 like every signed rounded float here.
+from mapreduce_golang_spark.operators.similarity import EMBEDDING_DIM as _EMBEDDING_DIM
+
+_ORACLES["label_centroids_arrow"] = f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i - 1 AS BIGINT) AS dim_idx,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) + 0.0 AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings, unnest(generate_series(1, {_EMBEDDING_DIM})) AS t(i)
+    GROUP BY label, i
+"""
+
 _ORACLES["embedding_stats_arrow"] = """
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,

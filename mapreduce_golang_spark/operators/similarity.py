@@ -1002,3 +1002,64 @@ def embedding_stats_arrow(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInArrow(
         kernel, "vec_id long, dim long, l2_norm double, mean_val double"
     )
+
+
+def label_centroids_arrow(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid vectors via ``GroupedData.applyInArrow`` —
+    the GROUPED Arrow-native boundary (embedding_stats_arrow covers the
+    ungrouped map). Each label's vectors arrive as one pyarrow Table;
+    the kernel reshapes the flattened list values to (n, dim) and takes
+    a column mean — one BLAS-friendly numpy reduction per group, no
+    pandas, no per-row Python.
+
+    Scale shape: one hash exchange on the label (unavoidable — the
+    group IS the unit of work), bounded output (labels × dim rows).
+    Groups are per-label vector populations; if a label's population
+    outgrows executor memory, pre-aggregate per-partition sums with
+    mapInArrow and merge — the documented escape hatch, same shape as
+    salted aggregation. Returns (label, dim_idx, centroid_val, n_vectors)
+    exploded one row per dimension so the result is flat SQL.
+    """
+
+    def kernel(table):
+        import numpy as np
+        import pyarrow as pa
+
+        emb = table.column("embedding").combine_chunks()
+        n = len(emb)
+        offsets = emb.offsets.to_numpy(zero_copy_only=False)
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dims = np.diff(offsets)
+        dim = int(dims[0]) if n else 0
+        label = table.column("label")[0].as_py()
+        if n == 0 or dim == 0 or not (dims == dim).all():
+            # ragged group: no meaningful centroid — emit nothing
+            return pa.table(
+                {"label": [], "dim_idx": [], "centroid_val": [], "n_vectors": []},
+                schema=pa.schema(
+                    [
+                        ("label", pa.int64()),
+                        ("dim_idx", pa.int64()),
+                        ("centroid_val", pa.float64()),
+                        ("n_vectors", pa.int64()),
+                    ]
+                ),
+            )
+        # + 0.0 canonicalizes -0.0 (np.round(-1e-9, 6) is negative zero)
+        mean = np.round(flat.reshape(n, dim).mean(axis=0), 6) + 0.0
+        return pa.table(
+            {
+                "label": pa.array([label] * dim, pa.int64()),
+                "dim_idx": pa.array(np.arange(dim, dtype="int64")),
+                "centroid_val": pa.array(mean),
+                "n_vectors": pa.array(np.full(dim, n, dtype="int64")),
+            }
+        )
+
+    return (
+        embeddings.select(F.col("label").cast("long").alias("label"), "embedding")
+        .groupBy("label")
+        .applyInArrow(
+            kernel, "label long, dim_idx long, centroid_val double, n_vectors long"
+        )
+    )

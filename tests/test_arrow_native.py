@@ -59,3 +59,39 @@ def test_plan_is_arrow_map_not_batch_eval(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # narrow: a per-row kernel must not introduce an exchange
     assert "Exchange" not in plan
+
+
+def test_label_centroids_arrow_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["label_centroids_arrow"],
+        entrymod.oracle_sql()["label_centroids_arrow"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_label_centroids_arrow_shape_and_counts(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        label_centroids_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroids_arrow(emb).collect()
+    labels = {r.label for r in out}
+    n_labels = emb.select("label").distinct().count()
+    assert len(labels) == n_labels
+    assert len(out) == n_labels * EMBEDDING_DIM
+    # n_vectors per label must equal the actual population
+    pops = {r.label: r.n_vectors for r in out}
+    want = {r.label: r.n for r in emb.groupBy(emb.label.cast("long").alias("label")).agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert pops == want
+
+
+def test_label_centroids_arrow_empty_input(spark, sf_dir):
+    from mapreduce_golang_spark.operators.similarity import label_centroids_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 0")
+    assert label_centroids_arrow(emb).count() == 0
