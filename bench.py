@@ -117,6 +117,9 @@ def main() -> None:
         "rake_keywords",
         "kmeans_silhouette",
         "event_type_cooccurrence",
+        # round-7: the de-fanged try_* demo and the Arrow-native kernel
+        "try_arithmetic_functions",
+        "embedding_stats_arrow",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}
