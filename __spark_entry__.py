@@ -1739,6 +1739,14 @@ def _label_centroids_arrow(spark, sf_dir):
     return similarity.label_centroids_arrow(load_table(spark, sf_dir, "embeddings"))
 
 
+def _source_shingle_overlap(spark, sf_dir):
+    return dedup.source_shingle_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _trigram_novelty(spark, sf_dir):
+    return text_analysis.trigram_novelty_curve(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1774,7 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order). ROUND-8 ROTATION LIST (the 2-query remainder — put these first
 # in the round-8 window, then any round-7 additions registered below
 # slot 50): mann_whitney_u, user_journey_signatures,
-# embedding_stats_arrow, label_centroids_arrow.
+# embedding_stats_arrow, label_centroids_arrow, source_shingle_overlap,
+# trigram_novelty_curve.
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2046,6 +2055,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-7 additions (below slot 50; ROUND-8 window) ---
         "embedding_stats_arrow": _embedding_stats_arrow,
         "label_centroids_arrow": _label_centroids_arrow,
+        "source_shingle_overlap": _source_shingle_overlap,
+        "trigram_novelty_curve": _trigram_novelty,
     }
 
 
@@ -6254,6 +6265,62 @@ _ORACLES["semdedup_survivors"] = _semdedup_oracle()
 # mean of the vector population (the applyInArrow kernel's SQL twin);
 # + 0.0 canonicalizes -0.0 like every signed rounded float here.
 from mapreduce_golang_spark.operators.similarity import EMBEDDING_DIM as _EMBEDDING_DIM
+
+_SHINGLE_TOKS = r"""
+    toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) AS pos
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, source,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+"""
+
+# operators/dedup.py::source_shingle_overlap — per-source DISTINCT
+# 3-shingle inventories, inverted-index self-join, containment both ways
+_ORACLES["source_shingle_overlap"] = f"""
+    WITH {_SHINGLE_TOKS},
+    shn AS (SELECT DISTINCT source, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    sizes AS (SELECT source, count(*) AS n_sh FROM shn GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment_a_in_b,
+           round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS containment_b_in_a
+    FROM common
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+"""
+
+# operators/text_analysis.py::trigram_novelty_curve — first-decile-of-
+# appearance per distinct shingle; both engines bucket via IEEE double
+# divide + floor on identical integer operands
+_ORACLES["trigram_novelty_curve"] = f"""
+    WITH {_SHINGLE_TOKS},
+    shn AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM shn GROUP BY shingle),
+    nd AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    pb AS (
+        SELECT CAST(least(9, CAST(floor(first_doc * 10 / n_docs) AS BIGINT)) AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_new_shingles
+        FROM firsts, nd
+        GROUP BY 1
+    )
+    SELECT decile, n_new_shingles,
+           CAST(sum(n_new_shingles) OVER (ORDER BY decile) AS BIGINT) AS cum_new_shingles,
+           round(CAST(n_new_shingles AS DOUBLE) / sum(n_new_shingles) OVER (), 6) AS new_share
+    FROM pb
+"""
 
 _ORACLES["label_centroids_arrow"] = f"""
     SELECT CAST(label AS BIGINT) AS label,

@@ -1158,3 +1158,52 @@ def normalized_dedup_gain(df: DataFrame) -> DataFrame:
             ).alias("gain_frac"),
         )
     )
+
+
+def source_shingle_overlap(df: DataFrame, k: int = 3) -> DataFrame:
+    """Cross-SOURCE shingle containment matrix — the corpus-curation
+    diagnostic one grain above doc-pair Jaccard: how much of source A's
+    distinct k-shingle inventory also appears in source B (crawl snapshots
+    duplicating a feed, a "books" slice leaking into "web", mirrored
+    sites across domains). Doc-level near-dup (ngram_jaccard_pairs)
+    finds individual copies; this finds WHOLESALE overlap between
+    corpus slices, which drives source mixing weights rather than
+    per-doc drops.
+
+    Scale shape: per-source distinct shingle inventories (explode +
+    hash agg), then an inverted-index equality self-join on the
+    shingle. Posting lists are per-source-DISTINCT, so a shingle's
+    list is bounded by the number of sources (a fixed catalog, not a
+    corpus-scaling quantity) — the hot-shingle blowup that doc-grain
+    pair joins must cap away (``max_doc_freq``) cannot happen at this
+    grain. Returns (source_a, source_b, n_common, jaccard,
+    containment_a_in_b, containment_b_in_a), floats rounded to 6.
+    """
+    sh = (
+        word_shingles(df, k=k, id_col="source")
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias("jaccard"),
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment_a_in_b"),
+            F.round(F.col("n_common") / F.col("nb"), 6).alias("containment_b_in_a"),
+        )
+    )

@@ -1898,3 +1898,51 @@ def source_bigram_cross_entropy(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def trigram_novelty_curve(df: DataFrame, k: int = 3, n_buckets: int = 10) -> DataFrame:
+    """Corpus novelty saturation: bucket documents into ``n_buckets``
+    deciles by ingestion order (doc_id) and count how many k-shingles
+    appear for the FIRST time in each decile — the "does the next 10%
+    of data still contribute new content?" curve that decides when
+    more of a source stops buying diversity (vocab_growth answers the
+    per-source unigram version; this is the corpus-order n-gram one).
+
+    Scale shape: distinct shingles per doc (zero-exchange in-array
+    dedup), one hash agg taking min(doc_id) per shingle, a 1-row max
+    broadcast for the bucket width, and a bounded n_buckets aggregate;
+    the running total is a window over ≤ n_buckets rows. Returns
+    (decile, n_new_shingles, cum_new_shingles, new_share) with
+    new_share = decile's fraction of all distinct shingles, rounded 6.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    first = (
+        word_shingles(df, k=k)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bound = df.agg((F.max("doc_id") + 1).alias("n_docs"))
+    per_bucket = (
+        first.crossJoin(F.broadcast(bound))
+        .select(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(F.col("first_doc") * n_buckets / F.col("n_docs")),
+            )
+            .cast("long")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_new_shingles"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bucket.select(
+        "decile",
+        "n_new_shingles",
+        F.sum("n_new_shingles").over(w).cast("long").alias("cum_new_shingles"),
+        F.round(F.col("n_new_shingles") / F.sum("n_new_shingles").over(total), 6).alias("new_share"),
+    )

@@ -200,6 +200,7 @@ _BOUNDED_NLJ_OK = {
     "bpe_roundtrip_audit": 1,  # 1-row × 1-row counts/vocab join
     "value_qq_drift": 1,  # 1-row midpoint broadcast
     "source_bigram_cross_entropy": 1,  # ≤|sources|-row LM-list broadcast
+    "trigram_novelty_curve": 1,  # 1-row max-doc broadcast (bucket width)
 
 }
 
