@@ -1653,27 +1653,19 @@ def _metric_transpose(spark, sf_dir):
 
 
 def _hourly_acf(spark, sf_dir):
-    from mapreduce_golang_spark.operators import windows as W
-
-    return W.hourly_acf(load_table(spark, sf_dir, "events"))
+    return windows.hourly_acf(load_table(spark, sf_dir, "events"))
 
 
 def _crosscorr_leadlag(spark, sf_dir):
-    from mapreduce_golang_spark.operators import windows as W
-
-    return W.type_crosscorr_leadlag(load_table(spark, sf_dir, "events"))
+    return windows.type_crosscorr_leadlag(load_table(spark, sf_dir, "events"))
 
 
 def _day_streaks(spark, sf_dir):
-    from mapreduce_golang_spark.operators import windows as W
-
-    return W.user_active_day_streaks(load_table(spark, sf_dir, "events"))
+    return windows.user_active_day_streaks(load_table(spark, sf_dir, "events"))
 
 
 def _max_concurrency(spark, sf_dir):
-    from mapreduce_golang_spark.operators import windows as W
-
-    return W.max_concurrent_sessions(load_table(spark, sf_dir, "events"))
+    return windows.max_concurrent_sessions(load_table(spark, sf_dir, "events"))
 
 
 def _bigram_xent(spark, sf_dir):
@@ -1747,6 +1739,52 @@ def _trigram_novelty(spark, sf_dir):
     return text_analysis.trigram_novelty_curve(load_table(spark, sf_dir, "documents"))
 
 
+# --- wave 23: nonparametric stats / seasonal time-series / span-dup ---
+
+def _spearman(spark, sf_dir):
+    return analytics.spearman_time_value(load_table(spark, sf_dir, "events"))
+
+
+def _kendall(spark, sf_dir):
+    return analytics.kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
+def _theil_sen(spark, sf_dir):
+    return analytics.theil_sen_daily_trend(load_table(spark, sf_dir, "events"))
+
+
+def _kruskal(spark, sf_dir):
+    return analytics.kruskal_wallis_value(load_table(spark, sf_dir, "events"))
+
+
+def _cusum(spark, sf_dir):
+    return windows.cusum_hourly_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def _seasonality_profile(spark, sf_dir):
+    return windows.hourly_seasonality_profile(load_table(spark, sf_dir, "events"))
+
+
+def _seasonal_anomalies(spark, sf_dir):
+    return windows.seasonal_adjusted_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _seasonal_backtest(spark, sf_dir):
+    return windows.seasonal_naive_backtest(load_table(spark, sf_dir, "events"))
+
+
+def _dup_shingle_fraction(spark, sf_dir):
+    return text_analysis.duplicate_shingle_fraction(load_table(spark, sf_dir, "documents"))
+
+
+def _truncation_loss(spark, sf_dir):
+    return text_analysis.truncation_loss_report(load_table(spark, sf_dir, "documents"))
+
+
+def _token_fertility(spark, sf_dir):
+    return text_analysis.token_fertility_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1783,7 +1821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # in the round-8 window, then any round-7 additions registered below
 # slot 50): mann_whitney_u, user_journey_signatures,
 # embedding_stats_arrow, label_centroids_arrow, source_shingle_overlap,
-# trigram_novelty_curve.
+# trigram_novelty_curve, then wave 23: spearman_time_value,
+# kendall_tau_daily, theil_sen_daily_trend, kruskal_wallis_value,
+# cusum_hourly_changepoint, hourly_seasonality_profile,
+# seasonal_adjusted_anomalies, seasonal_naive_backtest,
+# duplicate_shingle_fraction, truncation_loss_report,
+# token_fertility_by_source (17 total — pad to 50 with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2057,6 +2100,18 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "label_centroids_arrow": _label_centroids_arrow,
         "source_shingle_overlap": _source_shingle_overlap,
         "trigram_novelty_curve": _trigram_novelty,
+        # --- wave 23 (below slot 50; ROUND-8 window) ---
+        "spearman_time_value": _spearman,
+        "kendall_tau_daily": _kendall,
+        "theil_sen_daily_trend": _theil_sen,
+        "kruskal_wallis_value": _kruskal,
+        "cusum_hourly_changepoint": _cusum,
+        "hourly_seasonality_profile": _seasonality_profile,
+        "seasonal_adjusted_anomalies": _seasonal_anomalies,
+        "seasonal_naive_backtest": _seasonal_backtest,
+        "duplicate_shingle_fraction": _dup_shingle_fraction,
+        "truncation_loss_report": _truncation_loss,
+        "token_fertility_by_source": _token_fertility,
     }
 
 
@@ -7556,6 +7611,310 @@ _ORACLES["max_concurrent_sessions"] = """
            CAST(max(cur) AS BIGINT) AS max_concurrent
     FROM running WHERE delta = 1
     GROUP BY 1
+"""
+
+# --- wave 23 oracles -------------------------------------------------------
+
+_ORACLES["spearman_time_value"] = """
+    -- operators/analytics.py::spearman_time_value — midranks on both
+    -- axes (rank + tie-count), Pearson corr of ranks per group
+    WITH ranked AS (
+        SELECT event_type,
+               rank() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+                 + (count(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1) / 2.0 AS r_ts,
+               rank() OVER (PARTITION BY event_type ORDER BY value)
+                 + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS r_v
+        FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(corr(r_ts, r_v), 6) + 0.0 AS rho
+    FROM ranked GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_ORACLES["kendall_tau_daily"] = """
+    -- operators/analytics.py::kendall_tau_daily — tau-b over the
+    -- calendar-bounded day-pair grid, decimal-sum stabilized daily mean
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n0,
+               CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+               CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+               CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS tx,
+               CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ty
+        FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           round(CASE WHEN sqrt((n0 - tx) * (n0 - ty)) > 0
+                      THEN (c - d) / sqrt((n0 - tx) * (n0 - ty)) END, 6) + 0.0 AS tau_b
+    FROM agg
+"""
+
+_ORACLES["theil_sen_daily_trend"] = """
+    -- operators/analytics.py::theil_sen_daily_trend — median pairwise
+    -- slope per group, median-of-residuals intercept
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS d,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+        SELECT a.event_type, (b.cnt - a.cnt) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    sen AS (
+        SELECT event_type, quantile_cont(slope, 0.5) AS sen_slope
+        FROM slopes GROUP BY event_type
+    )
+    SELECT daily.event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(any_value(sen.sen_slope), 6) + 0.0 AS sen_slope,
+           round(quantile_cont(cnt - sen.sen_slope * d, 0.5), 6) + 0.0 AS intercept
+    FROM daily JOIN sen ON daily.event_type = sen.event_type
+    GROUP BY daily.event_type ORDER BY daily.event_type
+"""
+
+_ORACLES["kruskal_wallis_value"] = """
+    -- operators/analytics.py::kruskal_wallis_value — k-group midrank
+    -- sums from the per-distinct-value tie table, tie-corrected H
+    WITH per_vg AS (
+        SELECT value, event_type, CAST(count(*) AS BIGINT) AS n_vg
+        FROM events GROUP BY 1, 2
+    ),
+    per_v AS (SELECT value, sum(n_vg) AS t FROM per_vg GROUP BY 1),
+    ranked_v AS (
+        SELECT value,
+               CAST(coalesce(sum(t) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                 + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS avg_rank,
+               CAST(t * t * t - t AS DOUBLE) AS tie_term
+        FROM per_v
+    ),
+    by_group AS (
+        SELECT g.event_type,
+               CAST(sum(g.n_vg) AS DOUBLE) AS n_g,
+               sum(g.n_vg * r.avg_rank) AS r_g
+        FROM per_vg g JOIN ranked_v r ON g.value = r.value
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups, sum(n_g) AS n,
+               sum(r_g * r_g / n_g) AS rr,
+               (SELECT sum(tie_term) FROM ranked_v) AS tie_sum
+        FROM by_group
+    )
+    SELECT k_groups, CAST(n AS BIGINT) AS n_total,
+           round(12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0), 6) + 0.0 AS h_stat,
+           round(CASE WHEN 1.0 - tie_sum / (n * n * n - n) > 0
+                      THEN (12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0))
+                           / (1.0 - tie_sum / (n * n * n - n)) END, 6) + 0.0 AS h_corrected
+    FROM agg
+"""
+
+# operators/windows.py::_dense_hourly_counts — the shared dense hour x
+# event_type grid (zero-filled) the seasonal/changepoint oracles run on
+_DENSE_HOURS_CTE = """
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    etypes AS (SELECT DISTINCT event_type FROM events),
+    hcounts AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type, s.hour,
+               CAST(extract(hour FROM s.hour) AS INTEGER) AS hod,
+               CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        FROM spine s CROSS JOIN etypes t
+        LEFT JOIN hcounts c ON c.hour = s.hour AND c.event_type = t.event_type
+    )
+"""
+
+_ORACLES["cusum_hourly_changepoint"] = f"""
+    -- operators/windows.py::cusum_hourly_changepoint — peak |CUSUM| of
+    -- standardized dense hourly counts, 6dp-rounded before the argmax
+    WITH {_DENSE_HOURS_CTE},
+    z AS (
+        SELECT event_type, hour,
+               CASE WHEN stddev_pop(cnt) OVER (PARTITION BY event_type) > 0
+                    THEN (cnt - avg(cnt) OVER (PARTITION BY event_type))
+                         / stddev_pop(cnt) OVER (PARTITION BY event_type)
+                    ELSE 0.0 END AS zv
+        FROM dense
+    ),
+    cusum AS (
+        SELECT event_type, hour,
+               round(sum(zv) OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS s6
+        FROM z
+    ),
+    ranked AS (
+        SELECT event_type, hour, s6,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s6) DESC, hour ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_hours
+        FROM cusum
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS peak_hour,
+           s6 AS peak_cusum
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+_ORACLES["hourly_seasonality_profile"] = f"""
+    -- operators/windows.py::hourly_seasonality_profile — hour-of-day
+    -- means and multiplicative seasonal index over the dense grid
+    WITH {_DENSE_HOURS_CTE},
+    prof AS (
+        SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_hours,
+               sum(cnt) AS sum_cnt
+        FROM dense GROUP BY 1, 2
+    )
+    SELECT event_type, hod, n_hours,
+           round(sum_cnt / n_hours, 6) AS mean_cnt,
+           round(CASE WHEN sum(sum_cnt) OVER (PARTITION BY event_type)
+                           / sum(n_hours) OVER (PARTITION BY event_type) > 0
+                      THEN (sum_cnt / n_hours)
+                           / (sum(sum_cnt) OVER (PARTITION BY event_type)
+                              / sum(n_hours) OVER (PARTITION BY event_type))
+                      ELSE 0.0 END, 6) AS seasonal_index
+    FROM prof ORDER BY event_type, hod
+"""
+
+_ORACLES["seasonal_adjusted_anomalies"] = f"""
+    -- operators/windows.py::seasonal_adjusted_anomalies — z vs own
+    -- (type, hour-of-day) moments on the dense grid, |z| >= 3
+    WITH {_DENSE_HOURS_CTE},
+    scored AS (
+        SELECT event_type, hour, hod, cnt,
+               CASE WHEN stddev_pop(cnt) OVER (PARTITION BY event_type, hod) > 0
+                    THEN (cnt - avg(cnt) OVER (PARTITION BY event_type, hod))
+                         / stddev_pop(cnt) OVER (PARTITION BY event_type, hod)
+                    END AS z
+        FROM dense
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, hod,
+           CAST(cnt AS BIGINT) AS cnt, round(z, 6) + 0.0 AS z
+    FROM scored WHERE abs(z) >= 3.0
+    ORDER BY event_type, hour
+"""
+
+_ORACLES["seasonal_naive_backtest"] = f"""
+    -- operators/windows.py::seasonal_naive_backtest — lag-1 vs lag-24
+    -- one-step errors on the dense grid, paired eval window
+    WITH {_DENSE_HOURS_CTE},
+    scored AS (
+        SELECT event_type, cnt,
+               lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY hour) AS f_naive,
+               lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY hour) AS f_seasonal
+        FROM dense
+    ),
+    agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+               avg(abs(cnt - f_naive)) AS mae_n,
+               sqrt(avg((cnt - f_naive) * (cnt - f_naive))) AS rmse_n,
+               avg(abs(cnt - f_seasonal)) AS mae_s,
+               sqrt(avg((cnt - f_seasonal) * (cnt - f_seasonal))) AS rmse_s
+        FROM scored WHERE f_seasonal IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_type, n_eval,
+           round(mae_n, 6) AS mae_naive, round(rmse_n, 6) AS rmse_naive,
+           round(mae_s, 6) AS mae_seasonal, round(rmse_s, 6) AS rmse_seasonal,
+           round(CASE WHEN mae_n > 0 THEN 1.0 - mae_s / mae_n END, 6) + 0.0 AS skill
+    FROM agg ORDER BY event_type
+"""
+
+_ORACLES["duplicate_shingle_fraction"] = f"""
+    -- operators/text_analysis.py::duplicate_shingle_fraction — per-doc
+    -- fraction of distinct 3-shingles with corpus doc-frequency >= 2
+    WITH {_SHINGLES_CTE},
+    docfreq AS (SELECT shingle, count(*) AS df FROM shn GROUP BY 1),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS dup_frac
+        FROM shn s JOIN docfreq f ON s.shingle = f.shingle
+        GROUP BY 1
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p.dup_frac), 6) AS mean_dup_frac,
+           round(max(p.dup_frac), 6) AS max_dup_frac,
+           CAST(sum(CASE WHEN p.dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES["truncation_loss_report"] = r"""
+    -- operators/text_analysis.py::truncation_loss_report — corpus token
+    -- survival at each candidate context length
+    WITH per_doc AS (
+        SELECT CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    grid AS (
+        SELECT n_tok, context_len
+        FROM per_doc, (VALUES (CAST(128 AS INTEGER)), (CAST(512 AS INTEGER)),
+                              (CAST(2048 AS INTEGER))) AS ls(context_len)
+    )
+    SELECT context_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > context_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(least(n_tok, CAST(context_len AS BIGINT))) AS BIGINT) AS kept_tokens,
+           round(CASE WHEN sum(n_tok) > 0
+                      THEN 1.0 - CAST(sum(least(n_tok, CAST(context_len AS BIGINT))) AS DOUBLE)
+                           / CAST(sum(n_tok) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS loss_frac
+    FROM grid GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES["token_fertility_by_source"] = r"""
+    -- operators/text_analysis.py::token_fertility_by_source — chars and
+    -- UTF-8 bytes per letters-only token, one hash agg on source
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                        x -> x <> '')) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs, total_tokens, total_chars, total_bytes,
+           round(CASE WHEN total_tokens > 0
+                      THEN CAST(total_chars AS DOUBLE) / total_tokens
+                      ELSE 0.0 END, 6) AS chars_per_token,
+           round(CASE WHEN total_tokens > 0
+                      THEN CAST(total_bytes AS DOUBLE) / total_tokens
+                      ELSE 0.0 END, 6) AS bytes_per_token,
+           round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS tokens_per_doc
+    FROM agg ORDER BY source
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -1446,3 +1446,207 @@ def mann_whitney_u(
         # 0/0 ANSI abort
         F.round(F.when(var > 0, (u1 - mu) / F.sqrt(var)), 6).alias("z_score"),
     )
+
+
+def spearman_time_value(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between event time and value per
+    event_type — "is the metric trending over the period?" answered
+    rank-based, robust to the heavy-tailed value distribution that
+    makes Pearson (``value_hour_regression``) unstable. Midranks for
+    ties on BOTH axes, so rho is exact and engine-deterministic.
+
+    Scale shape: the rank assignment is the documented narrow-data
+    global window per group (rank + tie-count, one sort exchange per
+    axis); at extreme scale this becomes range-partitioned ranking.
+    rho itself is one hash agg over the ranked stream. Returns one
+    row per event_type (n, rho).
+    """
+    w_ts = Window.partitionBy("event_type").orderBy("ts_us")
+    w_ts_tie = Window.partitionBy("event_type", "ts_us")
+    w_v = Window.partitionBy("event_type").orderBy("value")
+    w_v_tie = Window.partitionBy("event_type", "value")
+    ranked = events.select(
+        "event_type",
+        F.col("ts").cast("double").alias("ts_us"),
+        "value",
+    ).select(
+        "event_type",
+        (
+            F.rank().over(w_ts).cast("double")
+            + (F.count("*").over(w_ts_tie).cast("double") - 1.0) / 2.0
+        ).alias("r_ts"),
+        (
+            F.rank().over(w_v).cast("double")
+            + (F.count("*").over(w_v_tie).cast("double") - 1.0) / 2.0
+        ).alias("r_v"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            # corr can land on a signed zero after rounding — +0.0
+            # canonicalizes (-0.0 + 0.0 == +0.0 in IEEE)
+            (F.round(F.corr("r_ts", "r_v"), 6) + F.lit(0.0)).alias("rho"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall tau-b between daily event volume and daily mean value —
+    the concordance view of "do busy days run hotter?", with the full
+    tie correction (tau-b), one corpus-level row (n_days, concordant,
+    discordant, tau_b).
+
+    Scale shape: events collapse to ONE row per day first (single hash
+    agg — the only pass over the raw stream); the O(days^2) pairwise
+    comparison runs on that calendar-bounded table (30 days -> 435
+    pairs; a DECADE is ~6.7M pairs), so the quadratic term grows with
+    the time span, never with corpus size. The day-pair join is a
+    broadcast nested-loop on the tiny aggregate BY DESIGN (listed in
+    the bounded-NLJ allowlist).
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("double").alias("x"),
+            # decimal-sum before the divide so the mean is bit-stable
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("y"),
+        )
+    )
+    pairs = (
+        daily.alias("a")
+        .crossJoin(daily.alias("b"))
+        .where(F.col("a.day") < F.col("b.day"))
+    )
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    agg = pairs.agg(
+        F.count("*").cast("double").alias("n0"),
+        F.sum(((dx * dy) > 0).cast("long")).cast("double").alias("c"),
+        F.sum(((dx * dy) < 0).cast("long")).cast("double").alias("d"),
+        F.sum(((dx == 0) & (dy != 0)).cast("long")).cast("double").alias("tx"),
+        F.sum(((dy == 0) & (dx != 0)).cast("long")).cast("double").alias("ty"),
+    )
+    denom = F.sqrt((F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty")))
+    return daily.agg(F.count("*").cast("long").alias("n_days")).crossJoin(
+        agg.select(
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (
+                F.round(
+                    F.when(denom > 0, (F.col("c") - F.col("d")) / denom), 6
+                )
+                + F.lit(0.0)
+            ).alias("tau_b"),
+        )
+    )
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of daily event counts per event_type:
+    the MEDIAN of all pairwise slopes — up to ~29% contaminated days
+    (outages, backfills) cannot move it, unlike the OLS slope in
+    ``value_hour_regression``. Returns (event_type, n_days, sen_slope,
+    intercept) with the median-of-residuals intercept.
+
+    Scale shape: same two-tier plan as ``kendall_tau_daily`` — one
+    hash agg collapses events to the per-(type, day) table, and the
+    pairwise slope grid is equi-joined ON event_type (hash join, no
+    NLJ) with the day inequality as a post-join filter; the quadratic
+    is calendar-bounded. Exact median via percentile on the bounded
+    grid.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01")).cast("double").alias("d"),
+        "cnt",
+    )
+    slopes = (
+        daily.alias("a")
+        .join(daily.alias("b"), "event_type")
+        .where(F.col("a.d") < F.col("b.d"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.cnt") - F.col("a.cnt"))
+                / (F.col("b.d") - F.col("a.d"))
+            ).alias("slope"),
+        )
+    )
+    sen = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("sen_slope")
+    )
+    resid = daily.join(sen, "event_type").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.first("sen_slope").alias("sen_slope"),
+        F.percentile(
+            F.col("cnt") - F.col("sen_slope") * F.col("d"), F.lit(0.5)
+        ).alias("intercept"),
+    )
+    return resid.select(
+        "event_type",
+        "n_days",
+        (F.round("sen_slope", 6) + F.lit(0.0)).alias("sen_slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    ).orderBy("event_type")
+
+
+def kruskal_wallis_value(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    the k-group generalization of ``mann_whitney_u`` ("do the five
+    event types draw value from one distribution?"), midranks + the
+    standard tie correction. One row: (k_groups, n_total, h_stat,
+    h_corrected).
+
+    Scale shape: identical rank economics to mann_whitney_u — the raw
+    stream collapses to the per-distinct-value tie table (counts per
+    value x group) in one hash agg, the midrank prefix-sum runs over
+    distinct values only (narrow-data global window), and rank sums
+    per group are one more hash agg. Shuffle is proportional to
+    DISTINCT values, never rows.
+    """
+    per_vg = events.groupBy("value", "event_type").agg(
+        F.count("*").cast("long").alias("n_vg")
+    )
+    per_v = per_vg.groupBy("value").agg(F.sum("n_vg").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_v = per_v.select(
+        "value",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0)).cast("double")
+            + (F.col("t").cast("double") + 1.0) / 2.0
+        ).alias("avg_rank"),
+        (F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_term"),
+    )
+    by_group = (
+        per_vg.join(ranked_v, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_vg").cast("double").alias("n_g"),
+            F.sum(F.col("n_vg") * F.col("avg_rank")).alias("r_g"),
+        )
+    )
+    ties = ranked_v.agg(F.sum("tie_term").alias("tie_sum"))
+    agg = by_group.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"),
+    ).crossJoin(ties)
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1.0)) * F.col("rr") - 3.0 * (n + 1.0)
+    c = 1.0 - F.col("tie_sum") / (n * n * n - n)
+    return agg.select(
+        "k_groups",
+        n.cast("long").alias("n_total"),
+        (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round(F.when(c > 0, h / c), 6) + F.lit(0.0)).alias("h_corrected"),
+    )

@@ -1946,3 +1946,142 @@ def trigram_novelty_curve(df: DataFrame, k: int = 3, n_buckets: int = 10) -> Dat
         F.sum("n_new_shingles").over(w).cast("long").alias("cum_new_shingles"),
         F.round(F.col("n_new_shingles") / F.sum("n_new_shingles").over(total), 6).alias("new_share"),
     )
+
+
+def duplicate_shingle_fraction(df: DataFrame, k: int = 3) -> DataFrame:
+    """Span-level duplication rate per source: for each doc, the
+    fraction of its DISTINCT k-word shingles that also occur in some
+    OTHER document, averaged per source (plus the max and the count of
+    docs that are >50% span-duplicated). Doc-level near-dup passes
+    (MinHash, SimHash) miss partial copies — a doc that embeds one
+    viral paragraph; this is the span-granular audit (the statistic
+    behind substring-dedup decisions, in the spirit of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022). Docs with zero shingles (< k tokens) are excluded.
+
+    Scale shape: shingles come from the zero-exchange ``word_shingles``
+    narrow map; corpus-wide doc-frequency is ONE hash agg on the
+    shingle hash, joined back shingle-to-shingle (shuffle proportional
+    to distinct shingle occurrences, never pairs); per-doc and
+    per-source rollups are two more hash aggs on shrinking keys.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, k=k).select("doc_id", F.md5("shingle").alias("h"))
+    docfreq = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    per_doc = (
+        sh.join(docfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_dup") / F.col("n_sh")).alias("dup_frac"),
+        )
+    )
+    src = df.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("mean_dup_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+            F.sum((F.col("dup_frac") > 0.5).cast("long")).alias("n_mostly_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+def truncation_loss_report(
+    df: DataFrame, context_lens: tuple = (128, 512, 2048)
+) -> DataFrame:
+    """Token-budget truncation audit: for each candidate context
+    length L, how many corpus tokens survive "truncate every doc to
+    its first L tokens" — the curve a pretraining-data owner reads to
+    pick sequence length (loss_frac at L=512 is the fraction of the
+    corpus a 512-token pipeline silently discards). Tokens are the
+    letters-only convention. Returns one row per L: (context_len,
+    n_docs, n_truncated, total_tokens, kept_tokens, loss_frac).
+
+    Scale shape: ONE narrow pass computes per-doc token counts
+    (size of the split array — the text is never exploded), each doc
+    emits |context_lens| tiny rows via an in-array explode, and the
+    rollup is a hash agg on the bounded L key. No joins, no windows.
+    """
+    lens = F.array(*[F.lit(int(x)) for x in context_lens])
+    per_doc = df.select(
+        F.size(_clean_tokens(F.col("text"))).cast("long").alias("n_tok")
+    ).select("n_tok", F.explode(lens).alias("context_len"))
+    kept = F.least(F.col("n_tok"), F.col("context_len").cast("long"))
+    return (
+        per_doc.groupBy("context_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > F.col("context_len")).cast("long")).alias(
+                "n_truncated"
+            ),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "context_len",
+            "n_docs",
+            "n_truncated",
+            "total_tokens",
+            "kept_tokens",
+            F.round(
+                F.when(
+                    F.col("total_tokens") > 0,
+                    1.0 - F.col("kept_tokens") / F.col("total_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("loss_frac"),
+        )
+        .orderBy("context_len")
+    )
+
+
+def token_fertility_by_source(df: DataFrame) -> DataFrame:
+    """Tokenizer fertility profile per source: characters and UTF-8
+    bytes per letters-only token — the compression-rate lens used to
+    compare corpus slices before tokenizer training (byte-heavy
+    sources inflate sequence length; a bytes/token outlier usually
+    means markup or non-Latin script). Returns (source, n_docs,
+    total_tokens, total_chars, total_bytes, chars_per_token,
+    bytes_per_token, tokens_per_doc).
+
+    Scale shape: single narrow projection (array size + two length
+    functions, no explode) followed by one hash agg on source.
+    """
+    per_doc = df.select(
+        "source",
+        F.size(_clean_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    tok = F.col("total_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "total_bytes",
+        F.round(
+            F.when(tok > 0, F.col("total_chars") / tok).otherwise(F.lit(0.0)), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.when(tok > 0, F.col("total_bytes") / tok).otherwise(F.lit(0.0)), 6
+        ).alias("bytes_per_token"),
+        F.round(F.col("total_tokens") / F.col("n_docs").cast("double"), 6).alias(
+            "tokens_per_doc"
+        ),
+    ).orderBy("source")

@@ -1181,3 +1181,204 @@ def user_journey_signatures(
         .orderBy(F.desc("n_users"), F.asc("signature"))
         .limit(k)
     )
+
+
+def _dense_hourly_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour, hod, cnt) over the DENSE hour grid — every
+    hour from the corpus min to max hour appears for every observed
+    event type, zero-filled. Seasonal/changepoint operators need the
+    dense series: lag(24) over a sparse series silently compares
+    different hours-of-day.
+
+    Scale shape: the spine is built from a 1-row min/max aggregate
+    (sequence + explode — no join against data), and the spine x type
+    grid is a broadcast nested-loop BY DESIGN, bounded by time-span x
+    |event types| (30 days -> 720 x 5 rows; a DECADE of hours is
+    ~88k): it grows with the calendar, never with corpus size. The
+    only data-sized pass is the single hourly hash agg.
+    """
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.hour("hour").alias("hod"),
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("cnt"),
+        )
+    )
+
+
+def cusum_hourly_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM level-shift detector on the dense hourly count series per
+    event_type: standardize each hour against the series mean/std,
+    accumulate, and report the peak |CUSUM| and the hour it occurs —
+    the classic "when did the rate change?" statistic (the peak of the
+    CUSUM curve is the maximum-likelihood single changepoint under a
+    mean-shift model). Returns (event_type, n_hours, peak_hour,
+    peak_cusum).
+
+    Scale shape: one data-sized hash agg (hourly counts), then every
+    window runs over the calendar-bounded dense series. The peak pick
+    ranks on the 6dp-ROUNDED |CUSUM| with the hour as tiebreak, so the
+    argmax is engine-deterministic even when two hours are fp-close.
+    """
+    dense = _dense_hourly_counts(events)
+    wt = Window.partitionBy("event_type")
+    z = F.when(
+        F.stddev_pop("cnt").over(wt) > 0,
+        (F.col("cnt") - F.avg("cnt").over(wt)) / F.stddev_pop("cnt").over(wt),
+    ).otherwise(F.lit(0.0))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dense.select(
+        "event_type", "hour", F.sum(z).over(wc).alias("s")
+    ).select(
+        "event_type",
+        "hour",
+        (F.round("s", 6) + F.lit(0.0)).alias("s6"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s6")).desc(), F.col("hour").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_hours", F.count("*").over(Window.partitionBy("event_type")))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.date_format("hour", _TS_FMT).alias("peak_hour"),
+            F.col("s6").alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_seasonality_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal profile per event_type over the dense
+    hourly series: mean count at each of the 24 hours-of-day and the
+    seasonal index (hour-of-day mean / overall hourly mean) — the
+    multiplicative decomposition a capacity planner reads ("3am runs
+    at 0.2x, noon at 1.8x"). Returns 24 rows per type: (event_type,
+    hod, n_hours, mean_cnt, seasonal_index).
+
+    Scale shape: the per-(type, hod) aggregate runs over the calendar-
+    bounded dense grid; the overall mean is a window total over the
+    24-row profile — no second pass over data.
+    """
+    dense = _dense_hourly_counts(events)
+    prof = dense.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("cnt").alias("sum_cnt"),
+    )
+    wt = Window.partitionBy("event_type")
+    mean_cnt = F.col("sum_cnt") / F.col("n_hours")
+    overall = F.sum("sum_cnt").over(wt) / F.sum("n_hours").over(wt)
+    return (
+        prof.select(
+            "event_type",
+            "hod",
+            "n_hours",
+            F.round(mean_cnt, 6).alias("mean_cnt"),
+            F.round(
+                F.when(overall > 0, mean_cnt / overall).otherwise(F.lit(0.0)), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+def seasonal_adjusted_anomalies(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Hours whose count is anomalous AFTER seasonal adjustment: z-score
+    each dense hourly count against the mean/std of ITS OWN hour-of-day
+    within its event_type, keep |z| >= threshold. The raw z-score pass
+    (``value_mad_anomalies`` cousin) flags every busy noon; this one
+    flags the noon that is busy FOR A NOON. Returns (event_type, hour,
+    hod, cnt, z).
+
+    Scale shape: same dense-grid economics as the profile; the
+    per-(type, hod) moments come from one window over the grid, and
+    the threshold filter is applied before any ordering.
+    """
+    dense = _dense_hourly_counts(events)
+    wg = Window.partitionBy("event_type", "hod")
+    z = F.when(
+        F.stddev_pop("cnt").over(wg) > 0,
+        (F.col("cnt") - F.avg("cnt").over(wg)) / F.stddev_pop("cnt").over(wg),
+    )
+    return (
+        dense.withColumn("z", z)
+        .where(F.abs(F.col("z")) >= threshold)
+        .select(
+            "event_type",
+            F.date_format("hour", _TS_FMT).alias("hour"),
+            "hod",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.round("z", 6) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def seasonal_naive_backtest(events: DataFrame) -> DataFrame:
+    """One-step forecast backtest on the dense hourly count series per
+    event_type: naive (last hour) vs seasonal-naive (same hour
+    yesterday, lag 24), MAE + RMSE over the common evaluation window
+    and the skill score 1 - MAE_seasonal/MAE_naive — the standard
+    "does seasonality beat persistence?" check run before shipping any
+    fancier forecaster. Returns (event_type, n_eval, mae_naive,
+    rmse_naive, mae_seasonal, rmse_seasonal, skill).
+
+    Scale shape: two lags over the calendar-bounded dense series, one
+    tiny agg; evaluation is restricted to hours where BOTH forecasts
+    exist so the comparison is paired.
+    """
+    dense = _dense_hourly_counts(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    scored = dense.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("f_naive"),
+        F.lag("cnt", 24).over(w).alias("f_seasonal"),
+    ).where(F.col("f_seasonal").isNotNull())
+    e_n = F.col("cnt") - F.col("f_naive")
+    e_s = F.col("cnt") - F.col("f_seasonal")
+    agg = scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.avg(F.abs(e_n)).alias("mae_n"),
+        F.sqrt(F.avg(e_n * e_n)).alias("rmse_n"),
+        F.avg(F.abs(e_s)).alias("mae_s"),
+        F.sqrt(F.avg(e_s * e_s)).alias("rmse_s"),
+    )
+    return agg.select(
+        "event_type",
+        "n_eval",
+        F.round("mae_n", 6).alias("mae_naive"),
+        F.round("rmse_n", 6).alias("rmse_naive"),
+        F.round("mae_s", 6).alias("mae_seasonal"),
+        F.round("rmse_s", 6).alias("rmse_seasonal"),
+        (
+            F.round(
+                F.when(
+                    F.col("mae_n") > 0, 1.0 - F.col("mae_s") / F.col("mae_n")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("skill"),
+    ).orderBy("event_type")

@@ -363,7 +363,7 @@ def streaming_user_stats_tws(
     than crashing the streaming query mid-flight). The older
     applyInPandasWithState operator above has no such dependency and
     remains the always-available stateful surface.
-    (Probed each round; still absent as of round 7, 2026-08-14.)
+    (Probed each round; still absent as of round 7, 2026-08-15.)
     """
     try:
         import google.protobuf  # noqa: F401

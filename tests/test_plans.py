@@ -201,7 +201,15 @@ _BOUNDED_NLJ_OK = {
     "value_qq_drift": 1,  # 1-row midpoint broadcast
     "source_bigram_cross_entropy": 1,  # ≤|sources|-row LM-list broadcast
     "trigram_novelty_curve": 1,  # 1-row max-doc broadcast (bucket width)
-
+    # wave 23: calendar-bounded grids (see _dense_hourly_counts and
+    # kendall_tau_daily docstrings — spans grow with the time range,
+    # never with corpus size)
+    "kendall_tau_daily": 2,  # day-pair grid + 1-row n_days×stats join
+    "kruskal_wallis_value": 1,  # 1-row tie-sum broadcast
+    "cusum_hourly_changepoint": 1,  # hour-spine × event-type grid
+    "hourly_seasonality_profile": 1,  # hour-spine × event-type grid
+    "seasonal_adjusted_anomalies": 1,  # hour-spine × event-type grid
+    "seasonal_naive_backtest": 1,  # hour-spine × event-type grid
 }
 
 
