@@ -1785,6 +1785,74 @@ def _token_fertility(spark, sf_dir):
     return text_analysis.token_fertility_by_source(load_table(spark, sf_dir, "documents"))
 
 
+# --- wave 24: data-quality profiling / embedding geometry / Heaps fit ---
+
+def _column_profile(spark, sf_dir):
+    return analytics.lineitem_column_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+def _constraint_audit(spark, sf_dir):
+    return analytics.orders_constraint_audit(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def _isotropy(spark, sf_dir):
+    return similarity.embedding_isotropy_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _norm_deciles(spark, sf_dir):
+    return similarity.embedding_norm_deciles(load_table(spark, sf_dir, "embeddings"))
+
+
+def _heaps_fit(spark, sf_dir):
+    return text_analysis.heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+# --- wave 25: prefix-filter join / arrival-process stats / decile drift ---
+
+def _prefix_filter_pairs(spark, sf_dir):
+    return dedup.prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _interarrival(spark, sf_dir):
+    return windows.interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
+def _fano(spark, sf_dir):
+    return windows.hourly_fano_burstiness(load_table(spark, sf_dir, "events"))
+
+
+def _decile_drift(spark, sf_dir):
+    return text_analysis.decile_shingle_drift(load_table(spark, sf_dir, "documents"))
+
+
+# --- wave 26: association & agreement pack ---
+
+def _cramers_v(spark, sf_dir):
+    return analytics.cramers_v_order_attrs(load_table(spark, sf_dir, "orders"))
+
+
+def _mi_source_lang(spark, sf_dir):
+    return text_analysis.mutual_information_source_lang(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _cohens_kappa(spark, sf_dir):
+    return text_analysis.cohens_kappa_langid(load_table(spark, sf_dir, "documents"))
+
+
+def _theil_u(spark, sf_dir):
+    return windows.theil_u_event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _sign_bucket_purity(spark, sf_dir):
+    return similarity.embedding_sign_bucket_purity(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1826,7 +1894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # cusum_hourly_changepoint, hourly_seasonality_profile,
 # seasonal_adjusted_anomalies, seasonal_naive_backtest,
 # duplicate_shingle_fraction, truncation_loss_report,
-# token_fertility_by_source (17 total — pad to 50 with already-green).
+# token_fertility_by_source, then wave 24: lineitem_column_profile,
+# orders_constraint_audit, embedding_isotropy_report,
+# embedding_norm_deciles, heaps_law_fit, then wave 25:
+# prefix_filter_jaccard_pairs, interarrival_stats,
+# hourly_fano_burstiness, decile_shingle_drift (26 total — pad to 50
+# with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2112,6 +2185,23 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "duplicate_shingle_fraction": _dup_shingle_fraction,
         "truncation_loss_report": _truncation_loss,
         "token_fertility_by_source": _token_fertility,
+        # --- wave 24 (below slot 50; ROUND-8 window) ---
+        "lineitem_column_profile": _column_profile,
+        "orders_constraint_audit": _constraint_audit,
+        "embedding_isotropy_report": _isotropy,
+        "embedding_norm_deciles": _norm_deciles,
+        "heaps_law_fit": _heaps_fit,
+        # --- wave 25 (below slot 50; ROUND-8 window) ---
+        "prefix_filter_jaccard_pairs": _prefix_filter_pairs,
+        "interarrival_stats": _interarrival,
+        "hourly_fano_burstiness": _fano,
+        "decile_shingle_drift": _decile_drift,
+        # --- wave 26 (below slot 50; ROUND-8 window) ---
+        "cramers_v_order_attrs": _cramers_v,
+        "mutual_information_source_lang": _mi_source_lang,
+        "cohens_kappa_langid": _cohens_kappa,
+        "theil_u_event_transitions": _theil_u,
+        "embedding_sign_bucket_purity": _sign_bucket_purity,
     }
 
 
@@ -7915,6 +8005,492 @@ _ORACLES["token_fertility_by_source"] = r"""
                       ELSE 0.0 END, 6) AS bytes_per_token,
            round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS tokens_per_doc
     FROM agg ORDER BY source
+"""
+
+# --- wave 24 oracles -------------------------------------------------------
+
+_ORACLES["lineitem_column_profile"] = """
+    -- operators/analytics.py::lineitem_column_profile — Deequ-style
+    -- column stats; exact decimal sums for the means (bit-stable)
+    SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_val,
+           round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_val,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_quantity), 6) AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(CAST(min(l_extendedprice) AS DOUBLE), 6),
+           round(CAST(max(l_extendedprice) AS DOUBLE), 6),
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(CAST(min(l_discount) AS DOUBLE), 6),
+           round(CAST(max(l_discount) AS DOUBLE), 6),
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           round(CAST(min(l_tax) AS DOUBLE), 6),
+           round(CAST(max(l_tax) AS DOUBLE), 6),
+           round(CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_tax), 6)
+    FROM lineitem
+"""
+
+_ORACLES["orders_constraint_audit"] = """
+    -- operators/analytics.py::orders_constraint_audit — one left join
+    -- on custkey (FK check) + one agg folds every rule; 4-row unpivot
+    WITH j AS (
+        SELECT o.*, c.c_custkey AS ck
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_positive_total,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v_status_domain,
+               CAST(sum(CASE WHEN o_orderdate NOT BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v_date_range,
+               CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_customer_fk
+        FROM j
+    )
+    SELECT 'positive_total' AS rule, n_checked, v_positive_total AS n_violations,
+           round(CAST(v_positive_total AS DOUBLE) / n_checked, 6) AS violation_rate
+    FROM w
+    UNION ALL
+    SELECT 'status_domain', n_checked, v_status_domain,
+           round(CAST(v_status_domain AS DOUBLE) / n_checked, 6) FROM w
+    UNION ALL
+    SELECT 'date_range', n_checked, v_date_range,
+           round(CAST(v_date_range AS DOUBLE) / n_checked, 6) FROM w
+    UNION ALL
+    SELECT 'customer_fk', n_checked, v_customer_fk,
+           round(CAST(v_customer_fk AS DOUBLE) / n_checked, 6) FROM w
+"""
+
+_ORACLES["embedding_isotropy_report"] = """
+    -- operators/similarity.py::embedding_isotropy_report — mean pairwise
+    -- cosine via the closed form (||sum of unit vecs||^2 - n)/(n(n-1));
+    -- shuffle ~ labels x dim, never pairs
+    WITH base AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    nz AS (SELECT label, e, nrm, len(e) AS dim FROM base WHERE nrm > 0),
+    unitx AS (
+        SELECT label,
+               unnest(list_transform(e, x -> x / nrm)) AS uv,
+               generate_subscripts(e, 1) AS dim_idx
+        FROM nz
+    ),
+    per_dim AS (
+        SELECT label, dim_idx, sum(uv) AS s FROM unitx GROUP BY 1, 2
+    ),
+    sums AS (SELECT label, sum(s * s) AS snormsq FROM per_dim GROUP BY 1),
+    stats AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(max(dim) AS BIGINT) AS dim,
+               round(avg(nrm), 6) AS avg_norm
+        FROM nz GROUP BY 1
+    )
+    SELECT t.label, t.n_vectors, t.dim, t.avg_norm,
+           round(CASE WHEN t.n_vectors > 1
+                      THEN (s.snormsq - t.n_vectors)
+                           / (t.n_vectors * (t.n_vectors - 1.0)) END, 6)
+               + 0.0 AS avg_pairwise_cosine
+    FROM stats t JOIN sums s ON t.label = s.label
+"""
+
+_ORACLES["embedding_norm_deciles"] = """
+    -- operators/similarity.py::embedding_norm_deciles — ntile over
+    -- (norm, vec_id); vec_id tiebreak keeps the assignment deterministic
+    WITH nrm AS (
+        SELECT vec_id AS vid,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    d AS (
+        SELECT nrm, CAST(ntile(10) OVER (ORDER BY nrm, vid) AS INTEGER) AS decile
+        FROM nrm
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS avg_norm
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES["heaps_law_fit"] = r"""
+    -- operators/text_analysis.py::heaps_law_fit — log-log OLS over the
+    -- per-source cumulative (tokens, types) growth curve
+    WITH words AS (
+        SELECT source, doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                      x -> x <> '')) AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source, doc_id, CAST(count(*) AS BIGINT) AS toks
+        FROM words GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT source, word, min(doc_id) AS doc_id FROM words GROUP BY 1, 2
+    ),
+    news AS (
+        SELECT source, doc_id, CAST(count(*) AS BIGINT) AS news
+        FROM firsts GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT p.source,
+               sum(p.toks) OVER (PARTITION BY p.source ORDER BY p.doc_id) AS cum_toks,
+               sum(coalesce(n.news, 0)) OVER (PARTITION BY p.source ORDER BY p.doc_id)
+                   AS cum_types
+        FROM per_doc p
+        LEFT JOIN news n ON p.source = n.source AND p.doc_id = n.doc_id
+    ),
+    pts AS (
+        SELECT source, ln(CAST(cum_toks AS DOUBLE)) AS x,
+               ln(CAST(cum_types AS DOUBLE)) AS y
+        FROM curve WHERE cum_toks > 0 AND cum_types > 0
+    ),
+    s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx,
+               sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts GROUP BY 1
+    )
+    SELECT source, n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               + 0.0 AS ln_k,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s WHERE n * sxx - sx * sx > 1e-9 AND n * syy - sy * sy > 1e-9
+"""
+
+# --- wave 25 oracles -------------------------------------------------------
+
+_ORACLES["prefix_filter_jaccard_pairs"] = f"""
+    -- operators/dedup.py::prefix_filter_jaccard_pairs — PPJoin-style
+    -- prefix filtering at tau = 4/5; integer prefix length
+    -- n - ceil(4n/5) + 1 (float 0.8*n would mis-ceil)
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shn GROUP BY shingle),
+    ranked AS (
+        SELECT s.doc_id, s.shingle, z.n_sh,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY f.df_, s.shingle) AS rk
+        FROM shn s
+        JOIN freq f ON s.shingle = f.shingle
+        JOIN sizes z ON s.doc_id = z.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a
+        JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN shn x ON x.doc_id = c.doc_a
+        JOIN shn y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+"""
+
+_ORACLES["interarrival_stats"] = """
+    -- operators/windows.py::interarrival_stats — integer-microsecond
+    -- gaps (epoch_us == Spark's unix_micros), exact decimal sums in
+    -- the variance closed form
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+               ) AS g
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(CAST(g AS DECIMAL(28,0))) AS DOUBLE) AS sg,
+               CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                    AS DOUBLE) AS sgg,
+               CAST(max(g) AS DOUBLE) AS max_us,
+               quantile_cont(g, 0.5) AS p50_us
+        FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(sg / n_gaps / 1e6, 6) AS mean_gap_s,
+           round(p50_us / 1e6, 6) AS p50_gap_s,
+           round(max_us / 1e6, 6) AS max_gap_s,
+           round(CASE WHEN sg > 0 THEN
+                     sqrt(greatest((n_gaps * sgg - sg * sg)
+                                   / (CAST(n_gaps AS DOUBLE) * n_gaps), 0.0))
+                     / (sg / n_gaps) END, 6) + 0.0 AS cv_gap
+    FROM s WHERE n_gaps > 0
+"""
+
+_ORACLES["hourly_fano_burstiness"] = """
+    -- operators/windows.py::hourly_fano_burstiness — var/mean of the
+    -- DENSE hourly series; integer sums are exact in doubles
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+            INTERVAL 1 HOUR)) AS hour
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT t.event_type, s.hour, coalesce(c.cnt, 0.0) AS cnt
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               sum(cnt) AS sc, sum(cnt * cnt) AS scc
+        FROM dense GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           round(sc / n_hours, 6) AS mean_cnt,
+           round((n_hours * scc - sc * sc) / (n_hours * sc), 6) AS fano
+    FROM s WHERE sc > 0
+"""
+
+_ORACLES["decile_shingle_drift"] = f"""
+    -- operators/text_analysis.py::decile_shingle_drift — adjacent
+    -- ingestion-decile shingle-inventory overlap; 1-row max-doc bound
+    WITH {_SHINGLES_CTE},
+    bound AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    inv AS (
+        SELECT DISTINCT
+               CAST(least(9, floor(s.doc_id * 10 / b.n_docs)) AS BIGINT) AS decile,
+               s.shingle
+        FROM shn s CROSS JOIN bound b
+    ),
+    szs AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_sh FROM inv GROUP BY 1),
+    common AS (
+        SELECT a.decile AS decile_from, CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND b.decile = a.decile + 1
+        GROUP BY 1
+    )
+    SELECT f.decile AS decile_from, f.decile + 1 AS decile_to,
+           f.n_sh AS n_from, t.n_sh AS n_to,
+           coalesce(c.n_common, 0) AS n_common,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / (f.n_sh + t.n_sh - coalesce(c.n_common, 0)), 6) AS jaccard,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / f.n_sh, 6)
+               AS containment_fwd,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_sh, 6)
+               AS containment_bwd
+    FROM szs f
+    JOIN szs t ON t.decile = f.decile + 1
+    LEFT JOIN common c ON c.decile_from = f.decile
+"""
+
+_ORACLES["cramers_v_order_attrs"] = """
+    -- operators/analytics.py::cramers_v_order_attrs — chi² over the
+    -- FULL r×c grid (empty cells contribute their expected count)
+    WITH cell AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    row_m AS (SELECT s, sum(obs) AS row_n FROM cell GROUP BY 1),
+    col_m AS (SELECT p, sum(obs) AS col_n FROM cell GROUP BY 1),
+    tot AS (
+        SELECT sum(obs) AS n,
+               CAST(count(DISTINCT s) AS DOUBLE) AS r_d,
+               CAST(count(DISTINCT p) AS DOUBLE) AS c_d
+        FROM cell
+    ),
+    grid AS (
+        SELECT rm.s, cm.p, rm.row_n, cm.col_n
+        FROM row_m rm CROSS JOIN col_m cm
+    ),
+    f AS (
+        SELECT any_value(t.n) AS n_d, any_value(t.r_d) AS r_d,
+               any_value(t.c_d) AS c_d,
+               sum(pow(coalesce(c2.obs, 0.0) - g.row_n * g.col_n / t.n, 2)
+                   / (g.row_n * g.col_n / t.n)) AS chi2_raw
+        FROM grid g
+        LEFT JOIN cell c2 ON c2.s = g.s AND c2.p = g.p
+        CROSS JOIN tot t
+    )
+    SELECT CAST(n_d AS BIGINT) AS n, CAST(r_d AS BIGINT) AS r,
+           CAST(c_d AS BIGINT) AS c,
+           CAST((r_d - 1) * (c_d - 1) AS BIGINT) AS dof,
+           round(chi2_raw, 6) + 0.0 AS chi2,
+           round(sqrt(chi2_raw / (n_d * least(r_d - 1, c_d - 1))), 6) + 0.0
+               AS cramers_v
+    FROM f
+"""
+
+_ORACLES["mutual_information_source_lang"] = """
+    -- operators/text_analysis.py::mutual_information_source_lang —
+    -- joint (source,lang) cells + marginal folds, entropies in nats
+    WITH joint AS (
+        SELECT source, lang, CAST(count(*) AS DOUBLE) AS nij
+        FROM documents GROUP BY 1, 2
+    ),
+    sm AS (SELECT source, sum(nij) AS ni FROM joint GROUP BY 1),
+    lm AS (SELECT lang, sum(nij) AS nj FROM joint GROUP BY 1),
+    tot AS (SELECT sum(nij) AS n FROM joint),
+    f AS (
+        SELECT any_value(t.n) AS n_d,
+               CAST(count(DISTINCT j.source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT j.lang) AS BIGINT) AS n_langs,
+               sum((j.nij / t.n) * ln(j.nij * t.n / (s.ni * l.nj))) AS mi_raw,
+               sum((j.nij / t.n) * ln(t.n / s.ni)) AS hs_raw,
+               sum((j.nij / t.n) * ln(t.n / l.nj)) AS hl_raw
+        FROM joint j
+        JOIN sm s USING (source)
+        JOIN lm l USING (lang)
+        CROSS JOIN tot t
+    )
+    SELECT CAST(n_d AS BIGINT) AS n_docs, n_sources, n_langs,
+           round(hs_raw, 6) + 0.0 AS h_source,
+           round(hl_raw, 6) + 0.0 AS h_lang,
+           round(mi_raw, 6) + 0.0 AS mi_nats,
+           round(CASE WHEN hs_raw > 1e-12 AND hl_raw > 1e-12
+                      THEN mi_raw / sqrt(hs_raw * hl_raw)
+                      ELSE 0.0 END, 6) + 0.0 AS nmi
+    FROM f
+"""
+
+_ORACLES["cohens_kappa_langid"] = """
+    -- operators/text_analysis.py::cohens_kappa_langid — two
+    -- deterministic raters (letters-token ' the ' hit; a-z+space
+    -- char profile ≥95%, integer-rational comparison), 2×2 kappa
+    WITH flagged AS (
+        SELECT CASE WHEN position(
+                   ' the ' IN ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '
+               ) > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS a,
+               CASE WHEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 20
+                        >= length(text) * 19
+               THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS b
+        FROM documents
+    ),
+    f AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(a) AS na, sum(b) AS nb,
+               sum(a * b) AS n_both
+        FROM flagged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(na / n, 6) AS p_a,
+           round(nb / n, 6) AS p_b,
+           round((n_both + (n - na - nb + n_both)) / n, 6) AS po,
+           round((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n), 6) AS pe,
+           round(CASE WHEN (na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)
+                           < 1.0 - 1e-12
+                      THEN ((n_both + (n - na - nb + n_both)) / n
+                            - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                           / (1.0 - ((na / n) * (nb / n)
+                                     + (1 - na / n) * (1 - nb / n)))
+                      ELSE 0.0 END, 6) + 0.0 AS kappa
+    FROM f
+"""
+
+_ORACLES["theil_u_event_transitions"] = """
+    -- operators/windows.py::theil_u_event_transitions — per-user lag
+    -- stream (ties on event_id), n_types²-bounded pair table, U in nats
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_t
+        FROM events
+    ),
+    pair AS (
+        SELECT prev_t, event_type AS next_t, CAST(count(*) AS DOUBLE) AS nij
+        FROM seq WHERE prev_t IS NOT NULL GROUP BY 1, 2
+    ),
+    pm AS (SELECT prev_t, sum(nij) AS ni FROM pair GROUP BY 1),
+    nm AS (SELECT next_t, sum(nij) AS nj FROM pair GROUP BY 1),
+    tot AS (SELECT sum(nij) AS n FROM pair),
+    f AS (
+        SELECT any_value(t.n) AS n_d,
+               sum((p.nij / t.n) * ln(t.n / nm.nj)) AS h_next_raw,
+               sum((p.nij / t.n) * ln(pm.ni / p.nij)) AS h_cond_raw
+        FROM pair p
+        JOIN pm USING (prev_t)
+        JOIN nm USING (next_t)
+        CROSS JOIN tot t
+    )
+    SELECT CAST(n_d AS BIGINT) AS n_transitions,
+           round(h_next_raw, 6) + 0.0 AS h_next,
+           round(h_cond_raw, 6) + 0.0 AS h_cond,
+           round(CASE WHEN h_next_raw > 1e-12
+                      THEN (h_next_raw - h_cond_raw) / h_next_raw
+                      ELSE 0.0 END, 6) + 0.0 AS theil_u
+    FROM f
+"""
+
+_ORACLES["embedding_sign_bucket_purity"] = """
+    -- operators/similarity.py::embedding_sign_bucket_purity — 2-bit
+    -- sign quadrant of dims 1-2, majority label per bucket (ties to
+    -- the smaller label id)
+    WITH cell AS (
+        SELECT CAST((CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+               AS INTEGER) AS bucket,
+               label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings
+        WHERE label IS NOT NULL AND len(embedding) >= 2
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT bucket, label, n,
+               sum(n) OVER (PARTITION BY bucket) AS n_vecs,
+               count(*) OVER (PARTITION BY bucket) AS n_labels,
+               row_number() OVER (
+                   PARTITION BY bucket ORDER BY n DESC, label ASC
+               ) AS rk
+        FROM cell
+    )
+    SELECT bucket, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           label AS top_label,
+           round(CAST(n AS DOUBLE) / n_vecs, 6) AS top_share
+    FROM ranked WHERE rk = 1 ORDER BY bucket
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

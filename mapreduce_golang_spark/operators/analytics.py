@@ -1650,3 +1650,156 @@ def kruskal_wallis_value(events: DataFrame) -> DataFrame:
         (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
         (F.round(F.when(c > 0, h / c), 6) + F.lit(0.0)).alias("h_corrected"),
     )
+
+
+def lineitem_column_profile(lineitem: DataFrame) -> DataFrame:
+    """Deequ-style column profile of the lineitem measures: row count,
+    null count, exact distinct count, min/max/mean per column — the
+    standard "what is in this table" data-quality readout a 100 TB
+    ingest runs before anything else trusts the data.
+
+    Scale shape: ONE scan computes every statistic — all 4×6 aggregates
+    collapse in a single hash-agg pass with map-side partials (the
+    count(distinct)s rewrite to one expand-aggregate, fan-out ×4, still
+    a single scan), and the wide 1-row result is unpivoted to the
+    4-row long form with ``stack`` — a narrow projection, no exchange.
+    Output is bounded by the column list, never the data.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}_distinct"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}_min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}_max"),
+            # exact decimal sum -> double, THEN divide: bit-stable on any
+            # engine / partial-agg order (double avg is not); the when()
+            # guards ANSI divide-by-zero on an empty or all-null column
+            F.round(
+                F.when(
+                    F.count(c) > 0,
+                    F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count(c),
+                ),
+                6,
+            ).alias(f"{c}_mean"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max, {c}_mean" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val, mean_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "mean_val")
+
+
+def orders_constraint_audit(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Constraint-violation audit over orders: positive total price,
+    status-domain membership, order-date range, and the o_custkey →
+    customer referential-integrity check — counted per rule with the
+    violation rate. The Deequ-style "verification suite" readout:
+    (rule, n_checked, n_violations, violation_rate).
+
+    Scale shape: the FK check is a plain shuffled left join on custkey
+    (customer scales with the corpus, so no broadcast — both sides
+    hash-partition); every domain rule then folds in the SAME single
+    hash-agg pass over the joined rows, and the bounded 1-row wide
+    result unpivots via ``stack``. One join + one agg, 4-row output.
+    """
+    joined = orders.join(
+        customer.select(F.col("c_custkey").alias("ck")),
+        orders["o_custkey"] == F.col("ck"),
+        "left",
+    )
+    viol = {
+        "positive_total": F.col("o_totalprice") <= 0,
+        "status_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_range": ~F.col("o_orderdate").between("1995-01-01", "2000-12-31"),
+        "customer_fk": F.col("ck").isNull(),
+    }
+    aggs = [F.count("*").cast("long").alias("n_checked")]
+    for rule, cond in viol.items():
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"v_{rule}"))
+    wide = joined.agg(*aggs)
+    stack_args = ", ".join(f"'{r}', v_{r}" for r in viol)
+    return (
+        wide.selectExpr(
+            f"stack({len(viol)}, {stack_args}) AS (rule, n_violations)", "n_checked"
+        )
+        .select(
+            "rule",
+            "n_checked",
+            "n_violations",
+            # when() guards ANSI divide-by-zero on an empty orders table
+            F.round(
+                F.when(
+                    F.col("n_checked") > 0,
+                    F.col("n_violations") / F.col("n_checked"),
+                ),
+                6,
+            ).alias("violation_rate"),
+        )
+    )
+
+
+def cramers_v_order_attrs(orders: DataFrame) -> DataFrame:
+    """Chi-square independence test + Cramér's V between order status
+    and order priority — "does priority mix differ by lifecycle
+    stage?", the canonical categorical-association readout for a BI
+    surface (reference exposes only numeric corr; this is its
+    categorical twin).
+
+    Scale shape: ONE hash agg on (status, priority) collapses the
+    stream to an r×c contingency table (3×5 here, bounded by the two
+    domains); marginals, expected counts, chi² and V all ride that
+    tiny table through broadcast joins — nothing downstream of the
+    first agg ever sees a row count proportional to the input.
+
+    Returns one row (n, r, c, dof, chi2, cramers_v).
+    """
+    cell = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").cast("double").alias("obs"))
+    row_m = cell.groupBy("s").agg(F.sum("obs").alias("row_n"))
+    col_m = cell.groupBy("p").agg(F.sum("obs").alias("col_n"))
+    tot = cell.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("s").cast("double").alias("r"),
+        F.countDistinct("p").cast("double").alias("c"),
+    )
+    # full r×c grid (bounded: two tiny marginal tables crossed), so
+    # empty cells still contribute their expected count to chi²
+    grid = row_m.crossJoin(F.broadcast(col_m))
+    joined = (
+        grid.join(F.broadcast(cell), ["s", "p"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0.0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    chi2 = joined.agg(
+        F.first("n").alias("n_d"),
+        F.first("r").alias("r_d"),
+        F.first("c").alias("c_d"),
+        F.sum(
+            F.pow(F.col("obs") - F.col("row_n") * F.col("col_n") / F.col("n"), 2)
+            / (F.col("row_n") * F.col("col_n") / F.col("n"))
+        ).alias("chi2_raw"),
+    )
+    return chi2.select(
+        F.col("n_d").cast("long").alias("n"),
+        F.col("r_d").cast("long").alias("r"),
+        F.col("c_d").cast("long").alias("c"),
+        ((F.col("r_d") - 1) * (F.col("c_d") - 1)).cast("long").alias("dof"),
+        (F.round(F.col("chi2_raw"), 6) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n_d") * F.least(F.col("r_d") - 1, F.col("c_d") - 1))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )

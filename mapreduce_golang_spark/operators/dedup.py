@@ -1207,3 +1207,81 @@ def source_shingle_overlap(df: DataFrame, k: int = 3) -> DataFrame:
             F.round(F.col("n_common") / F.col("nb"), 6).alias("containment_b_in_a"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT near-dup pairs at Jaccard ≥ tau_num/tau_den via prefix
+    filtering (PPJoin-style): index only each doc's rarest shingles.
+
+    The guarantee: order the universe of shingles globally (here by
+    ascending document frequency, shingle text as tiebreak). If
+    J(A,B) ≥ τ then |A∩B| ≥ τ·|A|, so A's prefix of its
+    |A| − ⌈τ·|A|⌉ + 1 FIRST shingles in that order must contain at
+    least one element of A∩B — and symmetrically for B. Two qualifying
+    docs therefore always collide on some indexed shingle: unlike the
+    ``max_doc_freq`` posting cap of :func:`ngram_jaccard_pairs` (which
+    can miss pairs sharing only boilerplate), prefix filtering is
+    LOSSLESS at the chosen threshold while indexing only ~(1−τ) of
+    each doc's shingles — and because the prefix keeps the RAREST
+    shingles, posting lists are short by construction, so the
+    candidate join cannot blow up on hot shingles at any corpus size.
+
+    τ is a rational (tau_num/tau_den) and the prefix length uses pure
+    integer arithmetic — ``n − ⌈τ·n⌉ + 1`` as
+    ``n − (tau_num·n + tau_den − 1) div tau_den + 1`` — because
+    float(0.8)·5 = 4.000000000000001 would ceil to 5 and silently
+    shrink the prefix (a missed-pair bug AND a cross-engine mismatch).
+
+    Scale shape: doc-frequency is one hash agg on shingle; the rank
+    window partitions per doc (narrow); the candidate self-join runs
+    only over the short rare-shingle postings; verification re-joins
+    each doc's FULL shingle set once per surviving candidate. Returns
+    (doc_a, doc_b, jaccard ≥ τ, rounded 6).
+
+    Reference parity: extends the dedup family (SURVEY.md §2.4) with
+    the textbook exact-similarity-join alternative to LSH.
+    """
+    shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ranked = (
+        shingles.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            "n_sh",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df_", "shingle"))
+            .alias("rk"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({tau_num} * n_sh + {tau_den - 1}) div {tau_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("rk") <= prefix_len).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tau = float(tau_num) / float(tau_den)
+    return (
+        _jaccard_for_pairs(cand, shingles)
+        .where(F.col("jaccard_raw") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )

@@ -1063,3 +1063,142 @@ def label_centroids_arrow(embeddings: DataFrame) -> DataFrame:
             kernel, "label long, dim_idx long, centroid_val double, n_vectors long"
         )
     )
+
+
+def embedding_isotropy_report(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-geometry readout: vector count, dimension,
+    mean L2 norm, and the EXACT mean pairwise cosine similarity — via
+    the closed form  avg_cos = (‖Σu_i‖² − n) / (n·(n−1))  over unit
+    vectors u_i, which needs only the elementwise SUM of the unit
+    vectors, never a pair join. High mean cosine = anisotropic
+    ("cone-shaped") embedding space — the standard representation-
+    quality diagnostic before cosine-based dedup/ANN can be trusted.
+
+    Scale shape: one narrow projection normalizes in-row, posexplode
+    fans out to (label, dim_idx) — a hash agg on a key space bounded
+    by labels × dim, with map-side partials — then a second bounded
+    agg folds ‖Σu‖². Shuffle ∝ labels × dim, NEVER pairs; the O(n²)
+    statistic costs O(n·dim). Zero-norm vectors are excluded from
+    both the mean norm and the cosine (can't be normalized).
+    Returns (label, n_vectors, dim, avg_norm, avg_pairwise_cosine).
+    """
+    e = F.col("embedding").cast("array<double>")
+    base = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        e.alias("e"),
+        _norm_expr(e).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    # try_divide, not /: projection collapse can evaluate the transform
+    # in the same codegen stage as the nrm > 0 filter (shared
+    # subexpression), so a zero-norm row would raise under ANSI before
+    # the filter removes it; try_divide's null path is exception-free.
+    unit = base.select(
+        "label",
+        "nrm",
+        F.size("e").alias("dim"),
+        F.transform("e", lambda x: F.try_divide(x, F.col("nrm"))).alias("u"),
+    )
+    per_dim = unit.select(
+        "label", F.posexplode("u").alias("dim_idx", "uv")
+    ).groupBy("label", "dim_idx").agg(F.sum("uv").alias("s"))
+    sums = per_dim.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("snormsq"))
+    stats = unit.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max("dim").cast("long").alias("dim"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+    n = F.col("n_vectors")
+    return stats.join(sums, "label").select(
+        "label",
+        "n_vectors",
+        "dim",
+        "avg_norm",
+        (
+            F.round(
+                F.when(n > 1, (F.col("snormsq") - n) / (n * (n - F.lit(1)))), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_pairwise_cosine"),
+    )
+
+
+def embedding_norm_deciles(embeddings: DataFrame) -> DataFrame:
+    """Decile profile of embedding L2 norms: rows per decile with the
+    min/max/mean norm — the "are there degenerate or blown-up vectors"
+    screen run before any cosine-based pipeline (norm ≈ 0 breaks
+    normalization; huge norms dominate dot-product scores).
+
+    Scale shape: norms are a narrow in-row expression; ntile is ONE
+    global sort of (norm, vec_id) — the documented narrow-data global
+    window (the sorted payload is 2 doubles/row; at 100 TB swap in
+    approx_percentile bounds and a bucket agg, same output contract).
+    vec_id tiebreaks equal norms so the decile assignment — and thus
+    the per-decile extrema — is engine-deterministic.
+    Returns (decile, n_vectors, min_norm, max_norm, avg_norm).
+    """
+    e = F.col("embedding").cast("array<double>")
+    nrm = embeddings.select(
+        F.col("vec_id").alias("vid"), _norm_expr(e).alias("nrm")
+    )
+    w = Window.orderBy("nrm", "vid")
+    return (
+        nrm.select("nrm", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+def embedding_sign_bucket_purity(embeddings: DataFrame) -> DataFrame:
+    """Label purity of the four sign-quadrant buckets of the first
+    two embedding dimensions — the zero-training sanity screen for
+    "does the representation separate labels at all?": if even a
+    2-bit sign quantization concentrates labels, the space has
+    usable structure (and if not, the expensive clustering passes
+    are not going to find any).
+
+    Scale shape: bucket assignment is a narrow in-row projection
+    (two element_at sign tests, no explode); ONE hash agg on
+    (bucket, label) bounds everything at 4×n_labels cells; the
+    majority-label pick and purity ride that tiny table through a
+    4-partition window. Output ≤ 4 rows.
+
+    Returns (bucket, n_vecs, n_labels, top_label, top_share); the
+    majority tie breaks toward the smaller label id.
+    """
+    e = F.col("embedding")
+    bucket = (
+        (F.element_at(e, 1) > 0).cast("int") * 2 + (F.element_at(e, 2) > 0).cast("int")
+    ).alias("bucket")
+    cell = (
+        embeddings.where(F.col("label").isNotNull() & (F.size("embedding") >= 2))
+        .select(bucket, "label")
+        .groupBy("bucket", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("bucket")
+    ranked = cell.select(
+        "bucket",
+        "label",
+        "n",
+        F.sum("n").over(w).alias("n_vecs"),
+        F.count("*").over(w).alias("n_labels"),
+        F.row_number()
+        .over(Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("label")))
+        .alias("rk"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "bucket",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.col("label").alias("top_label"),
+            F.round(F.col("n") / F.col("n_vecs"), 6).alias("top_share"),
+        )
+        .orderBy("bucket")
+    )

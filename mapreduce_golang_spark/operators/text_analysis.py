@@ -2085,3 +2085,273 @@ def token_fertility_by_source(df: DataFrame) -> DataFrame:
             "tokens_per_doc"
         ),
     ).orderBy("source")
+
+
+def heaps_law_fit(df: DataFrame) -> DataFrame:
+    """Heaps'-law fit per source: regress ln(cumulative distinct
+    vocabulary) on ln(cumulative tokens) over the doc-by-doc growth
+    curve — V(n) ≈ K·n^β — returning β (sub-linear vocabulary growth
+    exponent), ln K, R², and the curve length. β near 1 means the
+    source keeps minting new tokens (noisy/ID-heavy text); typical
+    natural language sits at β ≈ 0.4–0.6 — a tokenizer-budget and
+    corpus-health diagnostic for LLM data prep.
+
+    Scale shape: tokens collapse to per-doc counts and to per-word
+    first-seen docs (two hash aggs, shuffle ∝ tokens then vocab); the
+    growth curve is a per-source cumulative window over doc_id — the
+    documented per-source sequential form (rows ∝ docs/source; at
+    100 TB, pre-bucket the curve like trigram_novelty_curve's deciles
+    — β is a fit over the curve, so bucketed points change nothing
+    structurally). The OLS itself is the closed-form one-agg pattern
+    of value_hour_regression. Docs with zero letter-tokens never enter
+    the curve (they add no tokens and no types).
+    Returns (source, n_points, beta, ln_k, r2).
+    """
+    words = df.select(
+        "source", "doc_id", F.explode(_clean_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    per_doc = words.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("toks")
+    )
+    new_types = (
+        words.groupBy("source", "word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").cast("long").alias("news"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    curve = (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("toks").over(w).alias("cum_toks"),
+            F.sum(F.coalesce("news", F.lit(0))).over(w).alias("cum_types"),
+        )
+        .where((F.col("cum_toks") > 0) & (F.col("cum_types") > 0))
+        .select(
+            "source",
+            F.log(F.col("cum_toks").cast("double")).alias("x"),
+            F.log(F.col("cum_types").cast("double")).alias("y"),
+        )
+    )
+    s = curve.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = cov / dx
+    # 1e-9 threshold, NOT > 0: a degenerate source (constant vocabulary
+    # -> var(y) exactly 0 in exact arithmetic) leaves dx/dy as pure fp
+    # noise (~1e-12) whose sign differs across engines; genuine variance
+    # floors around 1e-7 (one new type at a 60k vocabulary, 25 points),
+    # so the cut is unambiguous on both sides of the oracle.
+    return s.where((dx > 1e-9) & (dy > 1e-9)).select(
+        "source",
+        "n_points",
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round((F.col("sy") - beta * F.col("sx")) / n, 6) + F.lit(0.0)).alias("ln_k"),
+        F.round((cov * cov) / (dx * dy), 6).alias("r2"),
+    )
+
+
+def decile_shingle_drift(df: DataFrame, k: int = 3, n_buckets: int = 10) -> DataFrame:
+    """Content drift between CONSECUTIVE ingestion deciles: Jaccard and
+    two-way containment between each decile's distinct k-shingle
+    inventory and the next one's — "is the corpus still the same kind
+    of text at the end as at the start?" (trigram_novelty_curve answers
+    the first-seen question; this is the adjacent-slice overlap form,
+    the standard data-mixing drift diagnostic).
+
+    Scale shape: distinct shingles per doc are an in-array dedup (zero
+    exchange), the per-(decile, shingle) DISTINCT is one hash agg
+    bounded by n_buckets × vocabulary, the 1-row max-doc broadcast
+    sets the bucket width, and the adjacent-decile overlap is an
+    equi-join ON SHINGLE between bounded inventories followed by a
+    ≤ n_buckets−1-row aggregate. Nothing here is ever pairs-of-docs.
+    Returns (decile_from, decile_to, n_from, n_to, n_common, jaccard,
+    containment_fwd, containment_bwd), floats rounded 6.
+    """
+    from mapreduce_golang_spark.operators.dedup import word_shingles
+
+    bound = df.agg((F.max("doc_id") + 1).alias("n_docs"))
+    inv = (
+        word_shingles(df, k=k)
+        .crossJoin(F.broadcast(bound))
+        .select(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(F.col("doc_id") * n_buckets / F.col("n_docs")),
+            )
+            .cast("long")
+            .alias("decile"),
+            "shingle",
+        )
+        .distinct()
+    )
+    # one lead-window over the ≤ n_buckets-row size table instead of a
+    # shifted self-join: halves the plan-tree duplication of inv (each
+    # duplicate re-instantiates the 1-row bucket-width broadcast)
+    sizes = (
+        inv.groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+        .select(
+            F.col("decile").alias("decile_from"),
+            F.col("n_sh").alias("n_from"),
+            F.lead("n_sh").over(Window.orderBy("decile")).alias("n_to"),
+        )
+        .where(F.col("n_to").isNotNull())
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("b.decile") == F.col("a.decile") + 1),
+        )
+        .groupBy(F.col("a.decile").alias("decile_from"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    joined = (
+        sizes.join(common, "decile_from", "left")
+        .select(
+            "decile_from",
+            (F.col("decile_from") + 1).alias("decile_to"),
+            "n_from",
+            "n_to",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    return joined.select(
+        "decile_from",
+        "decile_to",
+        "n_from",
+        "n_to",
+        "n_common",
+        F.round(
+            F.col("n_common") / (F.col("n_from") + F.col("n_to") - F.col("n_common")), 6
+        ).alias("jaccard"),
+        F.round(F.col("n_common") / F.col("n_from"), 6).alias("containment_fwd"),
+        F.round(F.col("n_common") / F.col("n_to"), 6).alias("containment_bwd"),
+    )
+
+
+def mutual_information_source_lang(df: DataFrame) -> DataFrame:
+    """Mutual information (and the sqrt-normalized NMI) between the
+    corpus `source` and `lang` columns — "how much does knowing the
+    crawl source tell you about language?", the composition-coupling
+    readout a data-mixing pipeline uses to decide whether per-source
+    language targets are even independently tunable.
+
+    Scale shape: ONE hash agg on (source, lang) bounds everything —
+    joint cells ≤ sources×langs; marginals and the three entropy
+    folds ride that tiny table via broadcast joins. Output is a
+    single row.
+
+    Returns (n_docs, n_sources, n_langs, h_source, h_lang, mi_nats,
+    nmi) — entropies in nats, NMI = MI/sqrt(Hs·Hl) (0.0 when either
+    marginal is degenerate).
+    """
+    joint = df.groupBy("source", "lang").agg(F.count("*").cast("double").alias("nij"))
+    src_m = joint.groupBy("source").agg(F.sum("nij").alias("ni"))
+    lang_m = joint.groupBy("lang").agg(F.sum("nij").alias("nj"))
+    tot = joint.agg(F.sum("nij").alias("n"))
+    terms = (
+        joint.join(F.broadcast(src_m), "source")
+        .join(F.broadcast(lang_m), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    folded = terms.agg(
+        F.first("n").alias("n_d"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(
+            (F.col("nij") / F.col("n"))
+            * F.log(F.col("nij") * F.col("n") / (F.col("ni") * F.col("nj")))
+        ).alias("mi_raw"),
+        # marginal entropies folded over the SAME joint table: group
+        # each cell's mass under its marginal via sum(nij/n * ln(n/ni))
+        F.sum((F.col("nij") / F.col("n")) * F.log(F.col("n") / F.col("ni"))).alias(
+            "hs_raw"
+        ),
+        F.sum((F.col("nij") / F.col("n")) * F.log(F.col("n") / F.col("nj"))).alias(
+            "hl_raw"
+        ),
+    )
+    return folded.select(
+        F.col("n_d").cast("long").alias("n_docs"),
+        "n_sources",
+        "n_langs",
+        (F.round("hs_raw", 6) + F.lit(0.0)).alias("h_source"),
+        (F.round("hl_raw", 6) + F.lit(0.0)).alias("h_lang"),
+        (F.round("mi_raw", 6) + F.lit(0.0)).alias("mi_nats"),
+        (
+            F.round(
+                F.when(
+                    (F.col("hs_raw") > 1e-12) & (F.col("hl_raw") > 1e-12),
+                    F.col("mi_raw") / F.sqrt(F.col("hs_raw") * F.col("hl_raw")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
+    )
+
+
+def cohens_kappa_langid(df: DataFrame) -> DataFrame:
+    """Cohen's kappa between two independent deterministic English
+    detectors — rater A flags a letters-tokenized ' the ' stopword
+    hit, rater B flags an ASCII-letter character profile ≥ 95% — the
+    inter-annotator-agreement statistic an LLM-data pipeline runs to
+    calibrate cheap heuristic labelers against each other before
+    trusting either as a filter.
+
+    Scale shape: both raters are narrow per-row projections (regex +
+    length arithmetic, zero exchange); the kappa fold is ONE hash agg
+    to a 2×2 table carried in four conditional sums — no joins at
+    all. Output is a single row.
+
+    Returns (n, p_a, p_b, po, pe, kappa); kappa is 0.0 when pe = 1
+    (both raters constant).
+    """
+    letters = F.regexp_replace(F.lower(F.col("text")), r"[^a-z]+", " ")
+    rater_a = F.instr(F.concat(F.lit(" "), letters, F.lit(" ")), " the ") > 0
+    alpha_n = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", ""))
+    # integer form of alpha_n/len ≥ 0.95 — a double 0.95·len sits a
+    # few ulps ABOVE the exact product at multiples of 20, so the two
+    # engines would disagree on exact-boundary rows
+    rater_b = alpha_n * 20 >= F.length("text") * 19
+    flagged = df.select(
+        rater_a.cast("double").alias("a"), rater_b.cast("double").alias("b")
+    )
+    folded = flagged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+    )
+    po = (F.col("n_both") + (F.col("n") - F.col("na") - F.col("nb") + F.col("n_both"))) / F.col("n")
+    pe = (F.col("na") / F.col("n")) * (F.col("nb") / F.col("n")) + (
+        1 - F.col("na") / F.col("n")
+    ) * (1 - F.col("nb") / F.col("n"))
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("na") / F.col("n"), 6).alias("p_a"),
+        F.round(F.col("nb") / F.col("n"), 6).alias("p_b"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        (
+            F.round(
+                F.when(pe < 1.0 - 1e-12, (po - pe) / (1.0 - pe)).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )

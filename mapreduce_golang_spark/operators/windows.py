@@ -1382,3 +1382,159 @@ def seasonal_naive_backtest(events: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("skill"),
     ).orderBy("event_type")
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival-gap profile: gap count, mean / median /
+    max gap in seconds, and the coefficient of variation — the
+    Poisson-ness screen (CV ≈ 1 memoryless, CV ≫ 1 bursty, CV ≪ 1
+    metronomic) that sits under rate-limit sizing and anomaly-alert
+    tuning.
+
+    Exactness: gaps are integer MICROSECONDS (unix_micros ↔ DuckDB's
+    epoch_us — never the second-truncating unix_timestamp), so every
+    Σ and Σ² in the variance closed form is exact decimal/integer
+    arithmetic on any engine and partial-agg order; only the final
+    double divisions round, identically. Ties on ts are broken by
+    event_id so lag() is deterministic.
+
+    Scale shape: one exchange on event_type for the lag window (types
+    are a bounded dimension — the per-type series is the documented
+    narrow-data partition; payload is 2 longs/row), then a single hash
+    agg. percentile() is Spark's exact interpolated form == DuckDB's
+    quantile_cont. Returns (event_type, n_gaps, mean_gap_s, p50_gap_s,
+    max_gap_s, cv_gap).
+    """
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        events.select(
+            "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .select(
+            "event_type",
+            (F.col("us") - F.lag("us").over(w)).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(28,0)")).alias("sg"),
+        # multiply in DECIMAL: a multi-hour gap squared (~1.3e19 us^2)
+        # overflows int64 BEFORE a post-hoc cast could save it
+        F.sum(
+            F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+        ).alias("sgg"),
+        F.max("g").alias("max_us"),
+        F.expr("percentile(g, 0.5)").alias("p50_us"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    mean_us = sg / n
+    # population std over exact sums; CV is scale-free so the 1e6
+    # microsecond unit cancels
+    var_us = (n * sgg - sg * sg) / (n * n)
+    return s.where(F.col("n_gaps") > 0).select(
+        "event_type",
+        "n_gaps",
+        F.round(mean_us / 1e6, 6).alias("mean_gap_s"),
+        F.round(F.col("p50_us") / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.col("max_us") / 1e6, 6).alias("max_gap_s"),
+        (
+            F.round(
+                F.when(sg > 0, F.sqrt(F.greatest(var_us, F.lit(0.0))) / mean_us), 6
+            )
+            + F.lit(0.0)
+        ).alias("cv_gap"),
+    )
+
+
+def hourly_fano_burstiness(events: DataFrame) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean) of the DENSE hourly
+    count series per event_type: 1 for a Poisson process, > 1 bursty
+    /clustered, < 1 under-dispersed/regular — the one-number
+    burstiness readout that complements the CUSUM changepoint and the
+    seasonality profile over the same grid.
+
+    Exactness: hourly counts are small integers, so Σc and Σc² are
+    exact in doubles (far below 2^53) and the closed form
+    (n·Σc² − (Σc)²)/(n·Σc) divides identically on any engine.
+
+    Scale shape: identical to the other dense-grid operators — one
+    data-sized hash agg, then everything is calendar-bounded.
+    Returns (event_type, n_hours, mean_cnt, fano).
+    """
+    dense = _dense_hourly_counts(events)
+    s = dense.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("cnt").alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("scc"),
+    )
+    n = F.col("n_hours").cast("double")
+    return s.where(F.col("sc") > 0).select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("sc") / n, 6).alias("mean_cnt"),
+        F.round(
+            (n * F.col("scc") - F.col("sc") * F.col("sc")) / (n * F.col("sc")), 6
+        ).alias("fano"),
+    )
+
+
+def theil_u_event_transitions(events: DataFrame) -> DataFrame:
+    """Theil's uncertainty coefficient U(next|prev) over the per-user
+    event-type transition stream — "how predictable is the next
+    action given the current one?", the single-number summary of the
+    markov_transitions matrix (U=0: next type independent of
+    current; U=1: fully determined — the scripted-client smell).
+
+    Scale shape: one exchange on user_id for the lag window (shared
+    shape with markov_transitions), then ONE hash agg to the
+    n_types²-bounded pair table; H(next), H(next|prev) and U fold
+    that tiny table through broadcast joins. Output is a single row.
+
+    Returns (n_transitions, h_next, h_cond, theil_u) — entropies in
+    nats; U is 0.0 when H(next) is degenerate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_t"),
+            F.col("event_type").alias("next_t"),
+        )
+        .where(F.col("prev_t").isNotNull())
+        .groupBy("prev_t", "next_t")
+        .agg(F.count("*").cast("double").alias("nij"))
+    )
+    prev_m = pair.groupBy("prev_t").agg(F.sum("nij").alias("ni"))
+    next_m = pair.groupBy("next_t").agg(F.sum("nij").alias("nj"))
+    tot = pair.agg(F.sum("nij").alias("n"))
+    folded = (
+        pair.join(F.broadcast(prev_m), "prev_t")
+        .join(F.broadcast(next_m), "next_t")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n_d"),
+            F.sum(
+                (F.col("nij") / F.col("n")) * F.log(F.col("n") / F.col("nj"))
+            ).alias("h_next_raw"),
+            F.sum(
+                (F.col("nij") / F.col("n")) * F.log(F.col("ni") / F.col("nij"))
+            ).alias("h_cond_raw"),
+        )
+    )
+    return folded.select(
+        F.col("n_d").cast("long").alias("n_transitions"),
+        (F.round("h_next_raw", 6) + F.lit(0.0)).alias("h_next"),
+        (F.round("h_cond_raw", 6) + F.lit(0.0)).alias("h_cond"),
+        (
+            F.round(
+                F.when(
+                    F.col("h_next_raw") > 1e-12,
+                    (F.col("h_next_raw") - F.col("h_cond_raw")) / F.col("h_next_raw"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("theil_u"),
+    )

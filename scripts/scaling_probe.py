@@ -91,6 +91,14 @@ PROBES = [
     # round-7 additions — the Arrow-native boundary pair
     ("embedding_stats_arrow", "embeddings"),
     ("label_centroids_arrow", "embeddings"),
+    # waves 23-24 — heaviest representative per family (kendall's
+    # day-pair grid is calendar-bounded: µs/row must FALL with rows)
+    ("spearman_time_value", "events"),
+    ("kendall_tau_daily", "events"),
+    ("cusum_hourly_changepoint", "events"),
+    ("duplicate_shingle_fraction", "documents"),
+    ("heaps_law_fit", "documents"),
+    ("embedding_isotropy_report", "embeddings"),
 ]
 
 

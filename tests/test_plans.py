@@ -210,6 +210,15 @@ _BOUNDED_NLJ_OK = {
     "hourly_seasonality_profile": 1,  # hour-spine × event-type grid
     "seasonal_adjusted_anomalies": 1,  # hour-spine × event-type grid
     "seasonal_naive_backtest": 1,  # hour-spine × event-type grid
+    # wave 25
+    "hourly_fano_burstiness": 1,  # hour-spine × event-type grid
+    # the single 1-row max-doc (bucket width) broadcast re-instantiated
+    # by the 3 plan-tree uses of the inventory (sizes + both pair sides)
+    "decile_shingle_drift": 3,
+    # wave 26 — contingency/entropy folds over domain-bounded cell tables
+    "cramers_v_order_attrs": 2,  # r×c marginal grid + 1-row total
+    "mutual_information_source_lang": 1,  # 1-row total broadcast
+    "theil_u_event_transitions": 1,  # 1-row total broadcast
 }
 
 
