@@ -1853,6 +1853,49 @@ def _sign_bucket_purity(spark, sf_dir):
     )
 
 
+# --- wave 27: binned two-sample distribution distances ---
+
+def _dist_distances(spark, sf_dir):
+    return analytics.value_distribution_distances(load_table(spark, sf_dir, "events"))
+
+
+# --- wave 28: engine introspection / shuffle advisory pack ---
+
+def _skew_advisory(spark, sf_dir):
+    return analytics.join_key_skew_advisory(load_table(spark, sf_dir, "lineitem"))
+
+
+def _partition_balance(spark, sf_dir):
+    return analytics.shuffle_partition_balance(load_table(spark, sf_dir, "lineitem"))
+
+
+def _broadcast_report(spark, sf_dir):
+    return analytics.broadcast_planning_report(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+# --- wave 29: readability / pricing-economics pack ---
+
+def _flesch(spark, sf_dir):
+    return text_analysis.flesch_reading_ease_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _elasticity(spark, sf_dir):
+    return analytics.brand_price_elasticity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _discount_response(spark, sf_dir):
+    return analytics.discount_quantity_response(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1898,8 +1941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # orders_constraint_audit, embedding_isotropy_report,
 # embedding_norm_deciles, heaps_law_fit, then wave 25:
 # prefix_filter_jaccard_pairs, interarrival_stats,
-# hourly_fano_burstiness, decile_shingle_drift (26 total — pad to 50
-# with already-green).
+# hourly_fano_burstiness, decile_shingle_drift, then wave 26:
+# cramers_v_order_attrs, mutual_information_source_lang,
+# cohens_kappa_langid, theil_u_event_transitions,
+# embedding_sign_bucket_purity, then wave 27:
+# value_distribution_distances, then wave 28: join_key_skew_advisory,
+# shuffle_partition_balance, broadcast_planning_report, then wave 29:
+# flesch_reading_ease_by_source, brand_price_elasticity,
+# discount_quantity_response (38 total — pad to 50 with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2202,6 +2251,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cohens_kappa_langid": _cohens_kappa,
         "theil_u_event_transitions": _theil_u,
         "embedding_sign_bucket_purity": _sign_bucket_purity,
+        # --- wave 27 (below slot 50; ROUND-8 window) ---
+        "value_distribution_distances": _dist_distances,
+        # --- wave 28 (below slot 50; ROUND-8 window) ---
+        "join_key_skew_advisory": _skew_advisory,
+        "shuffle_partition_balance": _partition_balance,
+        "broadcast_planning_report": _broadcast_report,
+        # --- wave 29 (below slot 50; ROUND-8 window) ---
+        "flesch_reading_ease_by_source": _flesch,
+        "brand_price_elasticity": _elasticity,
+        "discount_quantity_response": _discount_response,
     }
 
 
@@ -8491,6 +8550,229 @@ _ORACLES["embedding_sign_bucket_purity"] = """
            label AS top_label,
            round(CAST(n AS DOUBLE) / n_vecs, 6) AS top_share
     FROM ranked WHERE rk = 1 ORDER BY bucket
+"""
+
+_ORACLES["value_distribution_distances"] = """
+    -- operators/analytics.py::value_distribution_distances — shared
+    -- 256-bin grid; KS / W1 / CvM / energy per unordered type pair
+    WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT min(value) AS v_min, max(value) AS v_max FROM ev),
+    binned AS (
+        SELECT event_type,
+               CASE WHEN b.v_max > b.v_min
+                    THEN least(255, CAST(floor(
+                        (value - b.v_min) / (b.v_max - b.v_min) * 256
+                    ) AS BIGINT))
+                    ELSE 0 END AS bin,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM ev CROSS JOIN bounds b
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT unnest(generate_series(0, 255)) AS bin,
+               (b.v_max - b.v_min) / 256 AS width
+        FROM bounds b
+    ),
+    types AS (SELECT event_type, sum(cnt) AS n_t FROM binned GROUP BY 1),
+    grid AS (
+        SELECT t.event_type, s.bin, s.width, t.n_t,
+               coalesce(c.cnt, 0.0) AS cnt
+        FROM types t
+        CROSS JOIN spine s
+        LEFT JOIN binned c ON c.event_type = t.event_type AND c.bin = s.bin
+    ),
+    cdf AS (
+        SELECT event_type, bin, width, n_t,
+               sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / n_t AS cdf,
+               cnt / n_t AS pmf
+        FROM grid
+    ),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n_t AS n_a, b.n_t AS n_b, a.width AS width,
+               a.cdf AS fa, b.cdf AS fb, a.pmf AS pa, b.pmf AS pb
+        FROM cdf a
+        JOIN cdf b ON a.bin = b.bin AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(any_value(n_a) AS BIGINT) AS n_a,
+           CAST(any_value(n_b) AS BIGINT) AS n_b,
+           round(max(abs(fa - fb)), 6) + 0.0 AS ks,
+           round(sum(abs(fa - fb) * width), 6) + 0.0 AS w1,
+           round(sum((fa - fb) * (fa - fb) * (pa + pb) / 2.0), 6) + 0.0 AS cvm,
+           round(sum((2.0 * (fa + fb - 2.0 * fa * fb)
+                      - 2.0 * fa * (1.0 - fa)
+                      - 2.0 * fb * (1.0 - fb)) * width), 6) + 0.0 AS energy
+    FROM pair
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+_ORACLES["join_key_skew_advisory"] = """
+    -- operators/analytics.py::join_key_skew_advisory — one fold over
+    -- the per-key count table; hot key via max(struct), ties to the
+    -- smaller key
+    WITH counts AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    f AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               sum(cnt) / count(*) AS mean_raw,
+               quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50_raw,
+               quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_raw,
+               CAST(max(cnt) AS BIGINT) AS max_rows,
+               max(struct_pack(c := cnt, nk := -l_partkey)) AS m
+        FROM counts
+    )
+    SELECT n_rows, n_keys,
+           round(mean_raw, 6) AS mean_rows,
+           round(p50_raw, 6) AS p50_rows,
+           round(p99_raw, 6) AS p99_rows,
+           max_rows,
+           CAST(-(m.nk) AS BIGINT) AS hot_key,
+           round(max_rows / mean_raw, 6) AS skew_ratio,
+           CAST(ceil(max_rows / greatest(p99_raw, 1.0)) AS BIGINT) AS salt_factor
+    FROM f
+"""
+
+_ORACLES["shuffle_partition_balance"] = """
+    -- operators/analytics.py::shuffle_partition_balance — integer
+    -- mixer (exact in both engines), n_parts-bounded histogram
+    WITH per AS (
+        SELECT CAST((l_orderkey * 40503 + 997) % 2654435761 % 32 AS INTEGER)
+                   AS partition_id,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT partition_id, n_rows,
+           round(CAST(n_rows AS DOUBLE) / sum(n_rows) OVER (), 6) AS share,
+           round(CAST(n_rows AS DOUBLE) / avg(n_rows) OVER (), 6) AS dev_ratio
+    FROM per ORDER BY partition_id
+"""
+
+_ORACLES["broadcast_planning_report"] = """
+    -- operators/analytics.py::broadcast_planning_report — measured
+    -- bytes: 8 per non-string column + strlen+4 per string (DuckDB
+    -- strlen = bytes = Spark octet_length); 10 MiB threshold
+    WITH u AS (
+        SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(8 + coalesce(strlen(r_name), 0) + 4) AS BIGINT)
+                   AS est_bytes
+        FROM region
+        UNION ALL
+        SELECT 'nation', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + coalesce(strlen(n_name), 0) + 4) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + 8 + coalesce(strlen(s_name), 0) + 4) AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(sum(8 + 8 + 8
+                        + coalesce(strlen(c_name), 0) + 4
+                        + coalesce(strlen(c_mktsegment), 0) + 4) AS BIGINT)
+        FROM customer
+    )
+    SELECT table_name, n_rows, est_bytes,
+           round(CAST(est_bytes AS DOUBLE) / (1024.0 * 1024.0), 6) AS est_mb,
+           CAST(est_bytes <= 10485760 AS INTEGER) AS broadcastable
+    FROM u ORDER BY table_name
+"""
+
+_ORACLES["flesch_reading_ease_by_source"] = """
+    -- operators/text_analysis.py::flesch_reading_ease_by_source —
+    -- sentences=[.!?]+ runs, words=[a-z]+ tokens, syllables=[aeiouy]+
+    -- runs; corpus-total form per source
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) AS w,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS DOUBLE) AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               sum(w) AS tw, sum(s) AS ts, sum(y) AS ty
+        FROM per_doc WHERE w > 0 GROUP BY 1
+    )
+    SELECT source, n_docs,
+           round(tw / ts, 6) AS words_per_sentence,
+           round(ty / tw, 6) AS syllables_per_word,
+           round(206.835 - 1.015 * (tw / ts) - 84.6 * (ty / tw), 6) + 0.0
+               AS flesch
+    FROM agg ORDER BY source
+"""
+
+_ORACLES["brand_price_elasticity"] = """
+    -- operators/analytics.py::brand_price_elasticity — per-part qty
+    -- FIRST (join moves part-count rows), then per-brand 5-moment OLS
+    WITH per_part AS (
+        -- decimal-exact qty sum (ln() amplifies double-sum ulps)
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_quantity > 0 GROUP BY 1
+    ),
+    pts AS (
+        -- 6-dp quantized log points: engine ln() ulp differences get
+        -- amplified ~1e6× by the OLS on low-variance brands
+        SELECT p.p_brand, round(ln(p.p_retailprice), 6) AS x,
+               round(ln(pp.qty), 6) AS y
+        FROM per_part pp
+        JOIN part p ON pp.l_partkey = p.p_partkey
+        WHERE p.p_retailprice > 0
+    ),
+    m AS (
+        -- decimal(24,12) term sums: exact, order-independent (the
+        -- intercept is O(100); double-sum ulp noise shows at 6 dp)
+        SELECT p_brand, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(24,12))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy
+        FROM pts GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0
+               AS elasticity,
+           round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+               + 0.0 AS intercept,
+           round(CASE WHEN (syy - sy * sy / n) > 1e-9
+                      THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                           / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                      ELSE 0.0 END, 6) + 0.0 AS r2
+    FROM m WHERE (sxx - sx * sx / n) > 1e-9
+    ORDER BY p_brand
+"""
+
+_ORACLES["discount_quantity_response"] = """
+    -- operators/analytics.py::discount_quantity_response — bounded
+    -- 2-dp discount-level key, one hash agg + tiny window
+    WITH lvl AS (
+        SELECT round(l_discount, 2) AS discount_level, l_quantity,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    agg AS (
+        SELECT discount_level, CAST(count(*) AS BIGINT) AS n_items,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(unit_price), 6) AS avg_unit_price
+        FROM lvl GROUP BY 1
+    )
+    SELECT discount_level, n_items, avg_qty, avg_unit_price,
+           round(CAST(n_items AS DOUBLE) / sum(n_items) OVER (), 6)
+               AS share_of_rows
+    FROM agg ORDER BY discount_level
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

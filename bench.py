@@ -114,12 +114,13 @@ def main() -> None:
         "leakage_safe_splits",
         "eval_decontamination",
         "mmr_diverse_topk",
-        "rake_keywords",
         "kmeans_silhouette",
-        "event_type_cooccurrence",
-        # round-7: the de-fanged try_* demo and the Arrow-native kernel
+        # round-7: de-fanged try_* demo, Arrow-native kernel, the
+        # lossless prefix-filter join and the checkpointed drift matrix
         "try_arithmetic_functions",
         "embedding_stats_arrow",
+        "prefix_filter_jaccard_pairs",
+        "value_distribution_distances",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}

@@ -1803,3 +1803,393 @@ def cramers_v_order_attrs(orders: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("cramers_v"),
     )
+
+
+#: bin count for the binned distribution-distance grid — shared with
+#: the DuckDB oracle. 256 equi-width bins bound every downstream row
+#: count at types×256 regardless of input size; the binning error of
+#: each statistic is at most one bin of mass / one bin of width.
+DIST_BINS = 256
+
+
+def value_distribution_distances(events: DataFrame, n_bins: int = DIST_BINS) -> DataFrame:
+    """Two-sample distribution distances between the `value`
+    distributions of every event-type pair — KS statistic, first
+    Wasserstein distance, a Cramér–von Mises integral and the energy
+    distance, all computed on a shared 256-bin equi-width grid — the
+    drift matrix that answers "which metrics moved, and by how much,
+    between behaviors?" in one pass (value_psi_drift is the
+    two-slice/one-metric form; this is all-pairs/four-metrics).
+
+    Scale shape: ONE scan feeds a (type × bin) hash agg bounded at
+    types×n_bins cells; the dense CDF grid, the pair join (on bin)
+    and all four metric folds run on that bounded table — the
+    quadratic term is pairs-of-types, never pairs-of-rows. The only
+    broadcasts are the 1-row value-range bound and the bin spine.
+
+    Binned-statistic semantics (documented approximation): mass sits
+    at bin granularity, so each CDF step errs by at most one bin's
+    mass and the integrals by one bin's width; identical in the
+    oracle, so the comparison is exact.
+
+    Returns one row per unordered type pair (type_a < type_b):
+    (type_a, type_b, n_a, n_b, ks, w1, cvm, energy), floats rounded
+    to 6 with signed zeros canonicalized.
+    """
+    ev = events.where(F.col("value").isNotNull()).select("event_type", "value")
+    # both bounded intermediates are checkpointed (same discipline as
+    # the shared near-dup pair graph): without the lineage cut, the
+    # downstream plan-tree duplication (types / grid / both pair
+    # sides) re-scans the raw event stream up to four times — the
+    # checkpoints pin the big-data work to exactly TWO scans (min/max
+    # pass, then the binning agg), and everything after runs on a
+    # ≤ types×n_bins-row table
+    bounds = ev.agg(
+        F.min("value").alias("v_min"), F.max("value").alias("v_max")
+    ).localCheckpoint()
+    # bin width guarded against a degenerate (constant-value) corpus:
+    # ANSI mode raises on double 0/0, so the index expression must not
+    # divide by a zero range
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(
+                F.col("v_max") > F.col("v_min"),
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("value") - F.col("v_min"))
+                        / (F.col("v_max") - F.col("v_min"))
+                        * n_bins
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .localCheckpoint()
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+            ((F.col("v_max") - F.col("v_min")) / n_bins).alias("width"),
+        )
+    )
+    types = binned.groupBy("event_type").agg(F.sum("cnt").alias("n_t"))
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(binned), ["event_type", "bin"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0.0)))
+    )
+    w_cdf = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select(
+        "event_type",
+        "bin",
+        "width",
+        "n_t",
+        (F.sum("cnt").over(w_cdf) / F.col("n_t")).alias("cdf"),
+        (F.col("cnt") / F.col("n_t")).alias("pmf"),
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n_t").alias("n_a"),
+        F.col("b.n_t").alias("n_b"),
+        F.col("a.width").alias("width"),
+        F.col("a.cdf").alias("fa"),
+        F.col("b.cdf").alias("fb"),
+        F.col("a.pmf").alias("pa"),
+        F.col("b.pmf").alias("pb"),
+    )
+    d = F.col("fa") - F.col("fb")
+    folded = pair.groupBy("type_a", "type_b").agg(
+        F.first("n_a").cast("long").alias("n_a"),
+        F.first("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(d)).alias("ks_raw"),
+        F.sum(F.abs(d) * F.col("width")).alias("w1_raw"),
+        # CvM integral: (ΔF)² against the POOLED mass increment
+        F.sum(
+            d * d * (F.col("pa") + F.col("pb")) / 2.0
+        ).alias("cvm_raw"),
+        # energy distance via CDF integrals:
+        # E|X−Y| = ∫ FA+FB−2·FA·FB, E|X−X'| = ∫ 2·FA(1−FA)
+        F.sum(
+            (
+                2.0 * (F.col("fa") + F.col("fb") - 2.0 * F.col("fa") * F.col("fb"))
+                - 2.0 * F.col("fa") * (1.0 - F.col("fa"))
+                - 2.0 * F.col("fb") * (1.0 - F.col("fb"))
+            )
+            * F.col("width")
+        ).alias("energy_raw"),
+    )
+    return folded.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (F.round("ks_raw", 6) + F.lit(0.0)).alias("ks"),
+        (F.round("w1_raw", 6) + F.lit(0.0)).alias("w1"),
+        (F.round("cvm_raw", 6) + F.lit(0.0)).alias("cvm"),
+        (F.round("energy_raw", 6) + F.lit(0.0)).alias("energy"),
+    ).orderBy("type_a", "type_b")
+
+
+def join_key_skew_advisory(lineitem: DataFrame, key: str = "l_partkey") -> DataFrame:
+    """Skew advisory for a join/shuffle key: per-key row-count
+    distribution (mean / p50 / p99 / max), the hottest key, the skew
+    ratio, and a recommended salt factor — the pre-flight check this
+    engine itself needs before shuffling 100 TB on a key (AQE's
+    skew-join split reads COMPRESSED shuffle bytes and misses
+    low-entropy hot keys — see SKEW_AB.md — so a row-count advisory
+    is the reliable planning input).
+
+    Scale shape: one hash agg to the per-key count table, then ONE
+    fold over it — the hot key rides a max(struct(cnt, -key)) so no
+    second pass, no window, no join; exact percentiles over the key
+    table are the documented memory-bounded-group form. Output is a
+    single row.
+
+    salt_factor = ceil(max_rows / max(p99_rows, 1)): splitting the
+    hottest key into that many sub-keys levels it down to the p99
+    key, the "already fine" tier.
+    """
+    counts = lineitem.groupBy(key).agg(F.count("*").cast("long").alias("cnt"))
+    fold = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        (F.sum("cnt") / F.count("*")).alias("mean_raw"),
+        F.percentile(F.col("cnt").cast("double"), F.lit(0.5)).alias("p50_raw"),
+        F.percentile(F.col("cnt").cast("double"), F.lit(0.99)).alias("p99_raw"),
+        F.max("cnt").cast("long").alias("max_rows"),
+        F.max(F.struct(F.col("cnt"), (-F.col(key)).alias("neg_key"))).alias("m"),
+    )
+    return fold.select(
+        "n_rows",
+        "n_keys",
+        F.round("mean_raw", 6).alias("mean_rows"),
+        F.round("p50_raw", 6).alias("p50_rows"),
+        F.round("p99_raw", 6).alias("p99_rows"),
+        "max_rows",
+        (-F.col("m.neg_key")).cast("long").alias("hot_key"),
+        F.round(F.col("max_rows") / F.col("mean_raw"), 6).alias("skew_ratio"),
+        F.ceil(F.col("max_rows") / F.greatest(F.col("p99_raw"), F.lit(1.0)))
+        .cast("long")
+        .alias("salt_factor"),
+    )
+
+
+def shuffle_partition_balance(
+    lineitem: DataFrame, key: str = "l_orderkey", n_parts: int = 32
+) -> DataFrame:
+    """Row-count balance of a hash-partitioning of `key` into
+    `n_parts` buckets — the "would this shuffle be level?" histogram,
+    using the repo's deterministic integer mixer (exact in both
+    engines; Spark's own murmur3 is JVM-internal and not oracle-
+    reproducible, but mixes comparably for sequential keys).
+
+    Scale shape: the mixer is a narrow in-row projection; ONE hash
+    agg to n_parts rows; share and deviation ride an unpartitioned
+    window over that n_parts-row table (bounded by construction).
+    Returns (partition_id, n_rows, share, dev_ratio) ordered by id.
+    """
+    pid = ((F.col(key) * 40503 + 997) % 2654435761 % n_parts).cast("int")
+    per = (
+        lineitem.select(pid.alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "partition_id",
+        "n_rows",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(w), 6).alias("share"),
+        F.round(F.col("n_rows") / F.avg("n_rows").over(w), 6).alias("dev_ratio"),
+    ).orderBy("partition_id")
+
+
+#: Spark's default spark.sql.autoBroadcastJoinThreshold — shared with
+#: the DuckDB oracle.
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
+
+
+def broadcast_planning_report(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Measured-size broadcast eligibility for the four dimension
+    tables: row count, estimated in-memory bytes (8 per non-string
+    column + octet_length+4 per string), and whether the table fits
+    under Spark's 10 MiB autoBroadcastJoinThreshold — the planning
+    readout behind every `broadcast()` hint this repo's joins use
+    (row-count heuristics lie when comment-like columns are wide;
+    this measures).
+
+    Scale shape: one single-row agg per dimension table (dimension
+    scans are small by definition), unioned — 4 rows out. The size
+    expression is built from each DataFrame's schema, so it tracks
+    column changes without edits.
+    """
+    def est_row(df: DataFrame):
+        parts = []
+        for f_ in df.schema.fields:
+            if f_.dataType.simpleString() == "string":
+                parts.append(
+                    F.coalesce(F.octet_length(F.col(f_.name)), F.lit(0)) + 4
+                )
+            else:
+                parts.append(F.lit(8))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    def one(df: DataFrame, name: str):
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(est_row(df).cast("long")).cast("long").alias("est_bytes"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "est_bytes")
+
+    u = (
+        one(region, "region")
+        .unionByName(one(nation, "nation"))
+        .unionByName(one(supplier, "supplier"))
+        .unionByName(one(customer, "customer"))
+    )
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.round(F.col("est_bytes") / (1024.0 * 1024.0), 6).alias("est_mb"),
+        (F.col("est_bytes") <= BROADCAST_THRESHOLD_BYTES)
+        .cast("int")
+        .alias("broadcastable"),
+    ).orderBy("table_name")
+
+
+def brand_price_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Log-log demand regression per brand: ln(total quantity sold
+    per part) against ln(retail price), slope = price elasticity —
+    the pricing-analytics staple, here exercising the engine's
+    join → two-level aggregation → closed-form OLS pipeline shape.
+
+    Scale shape: lineitem collapses to one row per part FIRST (hash
+    agg on the join key), so the part join moves part-count rows,
+    not line-count; the per-brand OLS is one second hash agg with
+    the five-moment closed form. Brands with no price variance are
+    dropped (fp-robust 1e-9 cut, same convention as heaps_law_fit).
+
+    Returns (p_brand, n_parts, elasticity, intercept, r2) rounded 6.
+    """
+    # the qty sum is decimal-exact too: ln() of an order-dependent
+    # double sum shifts y by an ulp, and the brand OLS amplifies it
+    per_part = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    pts = per_part.join(
+        part.where(F.col("p_retailprice") > 0).select(
+            "p_partkey", "p_brand", "p_retailprice"
+        ),
+        per_part.l_partkey == F.col("p_partkey"),
+    ).select(
+        # ln() itself differs by an ulp across engines and the OLS
+        # amplifies it ~1e6× on low-variance brands: quantize the log
+        # points to 6 dp (documented in the result contract) so both
+        # engines regress the IDENTICAL point set
+        "p_brand",
+        F.round(F.log("p_retailprice"), 6).alias("x"),
+        F.round(F.log("qty"), 6).alias("y"),
+    )
+    # moment terms go through decimal(24,12) so the per-brand sums are
+    # exact and ORDER-INDEPENDENT: the intercept is O(100), and at 6-dp
+    # rounding a double-sum's partition-order ulp noise is visible
+    def dsum(c):
+        return F.sum(c.cast("decimal(24,12)")).cast("double")
+
+    m = pts.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    slope = sxy_c / sxx_c
+    return (
+        m.where(sxx_c > 1e-9)
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_parts"),
+            (F.round(slope, 6) + F.lit(0.0)).alias("elasticity"),
+            (
+                F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("intercept"),
+            (
+                F.round(
+                    F.when(
+                        syy_c > 1e-9, sxy_c * sxy_c / (sxx_c * syy_c)
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def discount_quantity_response(lineitem: DataFrame) -> DataFrame:
+    """Average order quantity and unit price at each discount level
+    (discounts are discrete 2-dp steps in the data; rounding makes
+    the levels explicit) — "do deeper discounts actually move more
+    units?" read directly off the level curve.
+
+    Scale shape: one narrow projection + ONE hash agg on the bounded
+    discount-level key (≤ 101 levels); nothing else. Returns
+    (discount_level, n_items, avg_qty, avg_unit_price, share_of_rows)
+    rounded 6, ordered by level.
+    """
+    lvl = lineitem.select(
+        F.round("l_discount", 2).alias("discount_level"),
+        "l_quantity",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    ).where(F.col("l_quantity") > 0)
+    agg = lvl.groupBy("discount_level").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("unit_price"), 6).alias("avg_unit_price"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "discount_level",
+        "n_items",
+        "avg_qty",
+        "avg_unit_price",
+        F.round(F.col("n_items") / F.sum("n_items").over(w), 6).alias(
+            "share_of_rows"
+        ),
+    ).orderBy("discount_level")

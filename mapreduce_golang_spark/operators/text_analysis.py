@@ -2355,3 +2355,49 @@ def cohens_kappa_langid(df: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("kappa"),
     )
+
+
+def flesch_reading_ease_by_source(df: DataFrame) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability
+    filter signal (quality pipelines drop both extremes: unreadable
+    boilerplate and telegraphic fragment soup), computed with the
+    standard corpus-level proxies: sentences = [.!?]+ runs, words =
+    letters-only tokens, syllables = [aeiouy]+ vowel runs.
+
+    Scale shape: all three counts are narrow per-row regexp_count
+    projections (no explode — the text column is never tokenized into
+    rows); ONE hash agg on source folds the corpus totals; the score
+    is arithmetic on the sources-bounded result. Degenerate docs are
+    guarded per row (max(1, sentences); zero-word docs contribute
+    nothing).
+
+    Returns (source, n_docs, words_per_sentence, syllables_per_word,
+    flesch) rounded 6, ordered by source.
+    """
+    low = F.lower(F.col("text"))
+    words = F.regexp_count(low, F.lit(r"[a-z]+"))
+    sentences = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    syllables = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    per_doc = df.select(
+        "source",
+        words.cast("double").alias("w"),
+        sentences.cast("double").alias("s"),
+        syllables.cast("double").alias("y"),
+    ).where(F.col("w") > 0)
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").alias("tw"),
+        F.sum("s").alias("ts"),
+        F.sum("y").alias("ty"),
+    )
+    wps = F.col("tw") / F.col("ts")
+    spw = F.col("ty") / F.col("tw")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        (F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 6) + F.lit(0.0)).alias(
+            "flesch"
+        ),
+    ).orderBy("source")

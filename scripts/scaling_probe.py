@@ -99,6 +99,11 @@ PROBES = [
     ("duplicate_shingle_fraction", "documents"),
     ("heaps_law_fit", "documents"),
     ("embedding_isotropy_report", "embeddings"),
+    # waves 27-29 — heaviest representative per family
+    ("value_distribution_distances", "events"),
+    ("join_key_skew_advisory", "lineitem"),
+    ("flesch_reading_ease_by_source", "documents"),
+    ("brand_price_elasticity", "lineitem"),
 ]
 
 

@@ -219,6 +219,9 @@ _BOUNDED_NLJ_OK = {
     "cramers_v_order_attrs": 2,  # r×c marginal grid + 1-row total
     "mutual_information_source_lang": 1,  # 1-row total broadcast
     "theil_u_event_transitions": 1,  # 1-row total broadcast
+    # wave 27 — types×spine grid cross (≤256-row broadcast), once per
+    # pair side; raw-scan lineage is cut by the two checkpoints
+    "value_distribution_distances": 2,
 }
 
 
