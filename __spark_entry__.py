@@ -1896,6 +1896,20 @@ def _discount_response(spark, sf_dir):
     return analytics.discount_quantity_response(load_table(spark, sf_dir, "lineitem"))
 
 
+# --- wave 30: inequality decomposition / survival pack ---
+
+def _nation_inequality(spark, sf_dir):
+    return analytics.nation_revenue_inequality(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _nelson_aalen(spark, sf_dir):
+    return windows.nelson_aalen_hazard(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1948,7 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # value_distribution_distances, then wave 28: join_key_skew_advisory,
 # shuffle_partition_balance, broadcast_planning_report, then wave 29:
 # flesch_reading_ease_by_source, brand_price_elasticity,
-# discount_quantity_response (38 total — pad to 50 with already-green).
+# discount_quantity_response, then wave 30: nation_revenue_inequality,
+# nelson_aalen_hazard (40 total — pad to 50 with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2261,6 +2276,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "flesch_reading_ease_by_source": _flesch,
         "brand_price_elasticity": _elasticity,
         "discount_quantity_response": _discount_response,
+        # --- wave 30 (below slot 50; ROUND-8 window) ---
+        "nation_revenue_inequality": _nation_inequality,
+        "nelson_aalen_hazard": _nelson_aalen,
     }
 
 
@@ -8773,6 +8791,102 @@ _ORACLES["discount_quantity_response"] = """
            round(CAST(n_items AS DOUBLE) / sum(n_items) OVER (), 6)
                AS share_of_rows
     FROM agg ORDER BY discount_level
+"""
+
+_ORACLES["nation_revenue_inequality"] = """
+    -- operators/analytics.py::nation_revenue_inequality — Gini (rank
+    -- form), Theil T within, Atkinson ε=1 per nation; decimal-exact
+    -- revenue, μ = tot/n by construction
+    WITH rev0 AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ),
+    rev AS (SELECT * FROM rev0 WHERE x > 0),
+    keyed AS (
+        SELECT n.n_name, r.o_custkey, r.x
+        FROM rev r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    ranked AS (
+        SELECT n_name, x,
+               CAST(row_number() OVER (
+                   PARTITION BY n_name ORDER BY x, o_custkey
+               ) AS DOUBLE) AS i
+        FROM keyed
+    ),
+    per_nation AS (
+        SELECT n_name, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+               sum(i * x) AS ix, sum(ln(x)) AS slnx
+        FROM ranked GROUP BY 1
+    ),
+    pn AS (SELECT *, tot / n AS mu FROM per_nation),
+    tt AS (
+        SELECT k.n_name AS t_name, sum(k.x * ln(k.x / p.mu)) AS xlnx
+        FROM keyed k JOIN pn p ON k.n_name = p.n_name GROUP BY 1
+    )
+    SELECT p.n_name, CAST(p.n AS BIGINT) AS n_cust,
+           round(p.tot, 2) AS total_rev,
+           round(p.tot / sum(p.tot) OVER (), 6) AS rev_share,
+           round(2.0 * p.ix / (p.n * p.tot) - (p.n + 1.0) / p.n, 6) + 0.0
+               AS gini,
+           round(t.xlnx / p.tot, 6) + 0.0 AS theil_within,
+           round(1.0 - exp(p.slnx / p.n) / p.mu, 6) + 0.0 AS atkinson
+    FROM pn p JOIN tt t ON p.n_name = t.t_name
+    ORDER BY p.n_name
+"""
+
+_ORACLES["nelson_aalen_hazard"] = """
+    -- operators/windows.py::nelson_aalen_hazard — same censored gap
+    -- stream as km_gap_survival; H(t)=Σ d/n, −ln(KM) cross-check
+    -- NULLed (inner AND outer) at a bucket where d == n (ln 0)
+    WITH horizon AS (SELECT max(epoch_us(ts) / 1000000.0) AS h FROM events),
+    gaps AS (
+        SELECT CAST(floor((coalesce(nxt, hz.h) - tsd) / 60.0) AS BIGINT)
+                   AS gap_min,
+               CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+        FROM (
+            SELECT user_id, epoch_us(ts) / 1000000.0 AS tsd,
+                   lead(epoch_us(ts) / 1000000.0) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ) g CROSS JOIN horizon hz
+    ),
+    buckets AS (
+        SELECT gap_min,
+               CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+               CAST(sum(censored) AS BIGINT) AS n_censored
+        FROM gaps GROUP BY 1
+    ),
+    risked AS (
+        SELECT gap_min, n_deaths,
+               CAST(sum(n_deaths + n_censored) OVER ()
+                    - coalesce(sum(n_deaths + n_censored) OVER (
+                          ORDER BY gap_min
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS n_at_risk
+        FROM buckets
+    )
+    SELECT gap_min, n_at_risk, n_deaths,
+           round(sum(CAST(n_deaths AS DOUBLE) / n_at_risk) OVER (
+               ORDER BY gap_min
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS na_cum_hazard,
+           CASE WHEN n_deaths = n_at_risk THEN NULL
+                ELSE round(-sum(
+                    CASE WHEN n_deaths = n_at_risk THEN NULL
+                         ELSE ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk)
+                    END
+                ) OVER (
+                    ORDER BY gap_min
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ), 6)
+           END AS km_neg_log_surv
+    FROM risked
+    ORDER BY gap_min
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -2193,3 +2193,108 @@ def discount_quantity_response(lineitem: DataFrame) -> DataFrame:
             "share_of_rows"
         ),
     ).orderBy("discount_level")
+
+
+def nation_revenue_inequality(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation inequality decomposition of customer revenue — Gini
+    (rank form), Theil T (within-nation), and Atkinson ε=1 — the
+    "is our revenue base concentrated, and where?" panel; Theil is the
+    decomposable one (total = between + Σ share·within, asserted in
+    tests), Atkinson the welfare-weighted one.
+
+    Scale shape: orders collapse to one decimal-exact revenue row per
+    customer FIRST (the only pass over the fact stream); customer is
+    NOT broadcast (it scales with the corpus — equi-shuffle join on
+    the customer key), only the 25-row nation dim is; the rank
+    windows run inside nation partitions, and the final agg is
+    nations-bounded. Revenue sums go through decimal(18,2) so every
+    downstream ratio is bit-identical across engines.
+
+    Returns (n_name, n_cust, total_rev, rev_share, gini, theil_within,
+    atkinson) rounded 6, ordered by n_name.
+    """
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+        .where(F.col("x") > 0)
+    )
+    keyed = rev.join(
+        customer.select("c_custkey", "c_nationkey"),
+        rev.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_name", "o_custkey", "x")
+    w_rank = Window.partitionBy("n_name").orderBy("x", "o_custkey")
+    ranked = keyed.select(
+        "n_name",
+        "x",
+        F.row_number().over(w_rank).cast("double").alias("i"),
+    )
+    per_nation = ranked.groupBy("n_name").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum(F.log("x")).alias("slnx"),
+    # μ from the decimal-exact total, not a float avg(): identical in
+    # both engines by construction
+    ).withColumn("mu", F.col("tot") / F.col("n"))
+    w_all = Window.partitionBy()
+    return (
+        per_nation.select(
+            "n_name",
+            F.col("n").cast("long").alias("n_cust"),
+            F.round(F.col("tot"), 2).alias("total_rev"),
+            F.round(F.col("tot") / F.sum("tot").over(w_all), 6).alias("rev_share"),
+            (
+                F.round(
+                    2.0 * F.col("ix") / (F.col("n") * F.col("tot"))
+                    - (F.col("n") + 1.0) / F.col("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gini"),
+            F.col("n").alias("_n"),
+            F.col("tot").alias("_tot"),
+            F.col("slnx").alias("_slnx"),
+            F.col("mu").alias("_mu"),
+        )
+        .alias("p")
+        .join(
+            # Theil T needs Σ x·ln(x/μ) with μ known: fold it in a second
+            # bounded pass over the per-customer table joined to the tiny
+            # per-nation means (broadcast, nations-bounded)
+            keyed.join(
+                F.broadcast(per_nation.select(F.col("n_name").alias("m_name"), "mu")),
+                F.col("n_name") == F.col("m_name"),
+            )
+            .groupBy(F.col("n_name").alias("t_name"))
+            .agg(
+                F.sum(F.col("x") * F.log(F.col("x") / F.col("mu"))).alias("xlnx")
+            ),
+            F.col("n_name") == F.col("t_name"),
+        )
+        .select(
+            "n_name",
+            "n_cust",
+            "total_rev",
+            "rev_share",
+            "gini",
+            (
+                F.round(F.col("xlnx") / F.col("_tot"), 6) + F.lit(0.0)
+            ).alias("theil_within"),
+            (
+                F.round(
+                    1.0 - F.exp(F.col("_slnx") / F.col("_n")) / F.col("_mu"), 6
+                )
+                + F.lit(0.0)
+            ).alias("atkinson"),
+        )
+        .orderBy("n_name")
+    )

@@ -1538,3 +1538,81 @@ def theil_u_event_transitions(events: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("theil_u"),
     )
+
+
+def nelson_aalen_hazard(events: DataFrame) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate over the same censored
+    per-user gap stream as km_gap_survival: H(t) = Σ_{gap≤t} d/n, the
+    estimator of choice when the survival curve's tail is thin (it
+    sums hazards instead of multiplying survivals, so it degrades
+    gracefully at small n_at_risk), plus the −ln(KM) cross-check
+    column — NA ≤ −ln(KM) always, equality in the continuous limit
+    (asserted in tests).
+
+    Scale shape: identical to km_gap_survival — one user-keyed lead
+    window, a 1-row horizon broadcast, a minute-bucket hash agg, and
+    windows over rows proportional to distinct gap minutes. Returns
+    (gap_min, n_at_risk, n_deaths, na_cum_hazard, km_neg_log_surv);
+    the −ln(KM) column is NULL at a bucket that kills everyone at
+    risk (ln 0).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    horizon = F.broadcast(events.agg(F.max(F.col("ts").cast("double")).alias("h")))
+    gaps = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("double").alias("tsd"),
+            F.lead(F.col("ts").cast("double")).over(w).alias("nxt"),
+        )
+        .crossJoin(horizon)
+        .select(
+            F.floor(
+                (F.coalesce(F.col("nxt"), F.col("h")) - F.col("tsd")) / 60.0
+            ).cast("long").alias("gap_min"),
+            F.col("nxt").isNull().cast("long").alias("censored"),
+        )
+    )
+    buckets = gaps.groupBy("gap_min").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_deaths"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    wt = Window.orderBy("gap_min")
+    prior = Window.orderBy("gap_min").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    at_risk = (
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(total)
+        - F.coalesce(
+            F.sum(F.col("n_deaths") + F.col("n_censored")).over(prior), F.lit(0)
+        )
+    )
+    hazarded = buckets.withColumn("n_at_risk", at_risk.cast("long")).select(
+        "gap_min",
+        "n_at_risk",
+        "n_deaths",
+        F.round(
+            F.sum(F.col("n_deaths") / F.col("n_at_risk")).over(wt), 6
+        ).alias("na_cum_hazard"),
+        # d == n is only reachable at the LAST bucket (n_at_risk at a
+        # bucket always covers its own d+c, so it hits zero nowhere);
+        # NULL the −ln(KM) there explicitly — a window sum would just
+        # skip the NULL term and silently repeat the prior cumsum
+        F.when(F.col("n_deaths") == F.col("n_at_risk"), None)
+        .otherwise(
+            F.round(
+                -F.sum(
+                    # inner guard too: the ln(0) term still EVALUATES
+                    # inside the window sum on the d==n row (DuckDB
+                    # errors on ln(0)); NULL is skipped by sum, and the
+                    # outer when nulls that row's output anyway
+                    F.when(
+                        F.col("n_deaths") == F.col("n_at_risk"), None
+                    ).otherwise(
+                        F.log(1.0 - F.col("n_deaths") / F.col("n_at_risk"))
+                    )
+                ).over(wt),
+                6,
+            )
+        )
+        .alias("km_neg_log_surv"),
+    )
+    return hazarded.orderBy("gap_min")

@@ -104,6 +104,8 @@ PROBES = [
     ("join_key_skew_advisory", "lineitem"),
     ("flesch_reading_ease_by_source", "documents"),
     ("brand_price_elasticity", "lineitem"),
+    ("nation_revenue_inequality", "orders"),
+    ("nelson_aalen_hazard", "events"),
 ]
 
 

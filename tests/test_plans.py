@@ -222,6 +222,8 @@ _BOUNDED_NLJ_OK = {
     # wave 27 — types×spine grid cross (≤256-row broadcast), once per
     # pair side; raw-scan lineage is cut by the two checkpoints
     "value_distribution_distances": 2,
+    # wave 30 — same 1-row stream-horizon broadcast as km_gap_survival
+    "nelson_aalen_hazard": 1,
 }
 
 
