@@ -1910,6 +1910,20 @@ def _nelson_aalen(spark, sf_dir):
     return windows.nelson_aalen_hazard(load_table(spark, sf_dir, "events"))
 
 
+# --- wave 31: sparse-vector similarity / nonparametric CI / layout ---
+
+def _tfidf_cosine(spark, sf_dir):
+    return text_analysis.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _median_ci(spark, sf_dir):
+    return analytics.median_order_stat_ci(load_table(spark, sf_dir, "events"))
+
+
+def _layout_advisory(spark, sf_dir):
+    return analytics.partition_layout_advisory(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1963,7 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # shuffle_partition_balance, broadcast_planning_report, then wave 29:
 # flesch_reading_ease_by_source, brand_price_elasticity,
 # discount_quantity_response, then wave 30: nation_revenue_inequality,
-# nelson_aalen_hazard (40 total — pad to 50 with already-green).
+# nelson_aalen_hazard, then wave 31: tfidf_cosine_pairs,
+# median_order_stat_ci, partition_layout_advisory (43 total — pad to 50
+# with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2279,6 +2295,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- wave 30 (below slot 50; ROUND-8 window) ---
         "nation_revenue_inequality": _nation_inequality,
         "nelson_aalen_hazard": _nelson_aalen,
+        # --- wave 31 (below slot 50; ROUND-8 window) ---
+        "tfidf_cosine_pairs": _tfidf_cosine,
+        "median_order_stat_ci": _median_ci,
+        "partition_layout_advisory": _layout_advisory,
     }
 
 
@@ -8887,6 +8907,120 @@ _ORACLES["nelson_aalen_hazard"] = """
            END AS km_neg_log_surv
     FROM risked
     ORDER BY gap_min
+"""
+
+_ORACLES["tfidf_cosine_pairs"] = r"""
+    -- operators/text_analysis.py::tfidf_cosine_pairs — rational idf
+    -- (n_docs/df), postings capped at df ≤ 256, norms over the SAME
+    -- capped vectors; cosine ≥ 0.3
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+        FROM words GROUP BY 1, 2
+    ),
+    docfreq AS (
+        SELECT word, CAST(count(*) AS DOUBLE) AS df_w FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    postings AS (
+        SELECT tf.word, tf.doc_id, tf.tf * n.n_docs / d.df_w AS w
+        FROM tf
+        JOIN docfreq d ON tf.word = d.word AND d.df_w <= 256
+        CROSS JOIN n
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM postings GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common_terms,
+               sum(a.w * b.w) AS dot
+        FROM postings a
+        JOIN postings b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.n_common_terms,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
+    ORDER BY d.doc_a, d.doc_b
+"""
+
+_ORACLES["median_order_stat_ci"] = """
+    -- operators/analytics.py::median_order_stat_ci — binomial-rank
+    -- (z=1.96) distribution-free CI; ranks tie-break on event_id
+    WITH ev AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM ev GROUP BY 1
+    ),
+    bounds AS (
+        SELECT event_type, n,
+               greatest(1, CAST(floor((n - 1.96 * sqrt(n)) / 2.0) AS BIGINT))
+                   AS lo_rank,
+               least(CAST(n AS BIGINT),
+                     CAST(ceil((n + 1.96 * sqrt(n)) / 2.0) AS BIGINT) + 1)
+                   AS hi_rank
+        FROM counts
+    ),
+    ranked AS (
+        SELECT e.event_type, e.value, b.n, b.lo_rank, b.hi_rank,
+               CAST(row_number() OVER (
+                   PARTITION BY e.event_type ORDER BY e.value, e.event_id
+               ) AS BIGINT) AS rk
+        FROM ev e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS median,
+           round(max(CASE WHEN rk = lo_rank THEN value END), 6) AS ci_lo,
+           round(max(CASE WHEN rk = hi_rank THEN value END), 6) AS ci_hi
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES["partition_layout_advisory"] = """
+    -- operators/analytics.py::partition_layout_advisory — measured
+    -- integer byte sums (exact), 128 MiB file target, 16 MiB floor
+    WITH base AS (
+        SELECT event_type AS k1, CAST(ts AS DATE) AS k2,
+               CAST(32 + coalesce(strlen(event_type), 0) + 4
+                       + coalesce(strlen(props), 0) + 4 AS BIGINT) AS b
+        FROM events
+    ),
+    u AS (
+        SELECT 'event_type' AS candidate,
+               CAST(count(DISTINCT k1) AS BIGINT) AS n_values,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(b) AS BIGINT) AS total_bytes
+        FROM base
+        UNION ALL
+        SELECT 'event_date',
+               CAST(count(DISTINCT k2) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(b) AS BIGINT)
+        FROM base
+    )
+    SELECT candidate, n_values,
+           CAST(floor(CAST(n_rows AS DOUBLE) / n_values) AS BIGINT)
+               AS rows_per_value,
+           round(CAST(total_bytes AS DOUBLE) / n_values / (1024.0 * 1024.0), 6)
+               AS est_mb_per_value,
+           greatest(1, CAST(ceil(CAST(total_bytes AS DOUBLE) / n_values
+                                 / (1024.0 * 1024.0) / 128.0) AS BIGINT))
+               AS files_per_value,
+           CASE WHEN n_values < 4 THEN 'TOO_COARSE'
+                WHEN CAST(total_bytes AS DOUBLE) / n_values
+                     / (1024.0 * 1024.0) < 16.0 THEN 'TOO_GRANULAR'
+                ELSE 'OK' END AS verdict
+    FROM u WHERE n_values > 0 ORDER BY candidate
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

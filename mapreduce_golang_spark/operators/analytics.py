@@ -2298,3 +2298,114 @@ def nation_revenue_inequality(
         )
         .orderBy("n_name")
     )
+
+
+def median_order_stat_ci(events: DataFrame) -> DataFrame:
+    """Distribution-free confidence interval for the median per event
+    type: the classical order-statistic CI (binomial ranks, normal
+    approximation, z = 1.96) — no bootstrap resampling, no normality
+    assumption on the data; the nonparametric companion to
+    bootstrap_mean_ci.
+
+    Scale shape: one bounded per-type count agg broadcast back, one
+    rank window per type (the documented narrow-data per-group sort),
+    and a conditional-max fold that plucks the two CI order statistics
+    without a second sort or a self-join. Ranks tie-break on event_id.
+
+    Returns (event_type, n, median, ci_lo, ci_hi) — ci bounds are the
+    values at ranks floor((n−1.96√n)/2) and ceil((n+1.96√n)/2)+1,
+    clamped to [1, n]; floats rounded 6.
+    """
+    # null values would rank ahead of the data while still counting
+    # toward n — drop them before anything else
+    events = events.where(F.col("value").isNotNull())
+    counts = events.groupBy("event_type").agg(F.count("*").cast("double").alias("n"))
+    bounds = counts.select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("n") - 1.96 * F.sqrt("n")) / 2.0).cast("long"),
+        ).alias("lo_rank"),
+        F.least(
+            F.col("n").cast("long"),
+            F.ceil((F.col("n") + 1.96 * F.sqrt("n")) / 2.0).cast("long") + 1,
+        ).alias("hi_rank"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type", "value", F.row_number().over(w).cast("long").alias("rk")
+    ).join(F.broadcast(bounds), "event_type")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("median"),
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("lo_rank"), F.col("value"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("hi_rank"), F.col("value"))), 6
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def partition_layout_advisory(events: DataFrame) -> DataFrame:
+    """Partition-column advisory for writing the event stream out:
+    for each candidate key (event_type, order date) report distinct
+    values, rows and measured bytes per value, the 128 MiB-target file
+    count, and a verdict — TOO_COARSE (fewer than 4 partitions kills
+    parallel pruning), TOO_GRANULAR (sub-16 MiB partitions drown the
+    scan in file-open overhead), else OK. The write-side twin of
+    broadcast_planning_report: measured bytes, not guessed.
+
+    Scale shape: one single-pass agg per candidate (integer byte sums
+    — exact and order-independent), 2 rows out.
+    """
+    row_bytes = (
+        F.lit(32)  # event_id, ts, user_id, value: fixed-width
+        + F.coalesce(F.octet_length("event_type"), F.lit(0)) + 4
+        + F.coalesce(F.octet_length("props"), F.lit(0)) + 4
+    ).cast("long")
+
+    def one(keyed: DataFrame, name: str):
+        agg = keyed.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("k").cast("long").alias("n_values"),
+            F.sum("b").cast("long").alias("total_bytes"),
+        )
+        mb_per_value = (
+            F.col("total_bytes") / F.col("n_values") / (1024.0 * 1024.0)
+        )
+        # empty input → n_values 0 → ANSI 0/0 raises; no candidate is
+        # the honest answer for an empty stream
+        agg = agg.where(F.col("n_values") > 0)
+        return agg.select(
+            F.lit(name).alias("candidate"),
+            "n_values",
+            # explicit floor: Spark's double→long cast truncates while
+            # DuckDB's CAST rounds — floor() agrees everywhere
+            F.floor(F.col("n_rows") / F.col("n_values")).cast("long").alias(
+                "rows_per_value"
+            ),
+            F.round(mb_per_value, 6).alias("est_mb_per_value"),
+            F.greatest(F.lit(1), F.ceil(mb_per_value / 128.0)).cast("long").alias(
+                "files_per_value"
+            ),
+            F.when(F.col("n_values") < 4, F.lit("TOO_COARSE"))
+            .when(mb_per_value < 16.0, F.lit("TOO_GRANULAR"))
+            .otherwise(F.lit("OK"))
+            .alias("verdict"),
+        )
+
+    base = events.select(
+        F.col("event_type").alias("k1"),
+        F.to_date("ts").alias("k2"),
+        row_bytes.alias("b"),
+    )
+    u = one(
+        base.select(F.col("k1").alias("k"), "b"), "event_type"
+    ).unionByName(one(base.select(F.col("k2").alias("k"), "b"), "event_date"))
+    return u.orderBy("candidate")

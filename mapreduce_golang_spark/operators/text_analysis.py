@@ -2401,3 +2401,80 @@ def flesch_reading_ease_by_source(df: DataFrame) -> DataFrame:
             "flesch"
         ),
     ).orderBy("source")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame, threshold: float = 0.3, max_doc_freq: int = 256
+) -> DataFrame:
+    """Document pairs whose TF-IDF vectors exceed a cosine threshold —
+    embedding-free text similarity over an inverted-index join, the
+    sparse-vector twin of embedding_cosine_pairs (which needs a model)
+    and ngram_jaccard_pairs (which ignores term weighting).
+
+    Conventions shared with tfidf_top_terms: letters-only tokens (no
+    lowercasing) and the RATIONAL idf ``n_docs / doc_freq`` — the
+    ranking is identical to the log form for a fixed corpus and every
+    score stays a ratio of exact-input products (``ln`` is not
+    correctly-rounded across libm implementations).
+
+    Scale shape: the pair join runs on postings capped at
+    ``max_doc_freq`` docs per term (the hot-shingle discipline of
+    ngram_jaccard_pairs: common terms carry near-zero idf anyway, so
+    the cap removes exactly the postings that explode quadratically
+    while moving scores the least — vectors live in the ≤cap-df term
+    subspace, documented semantics, identical in the oracle). Norms
+    are computed over the SAME capped vectors, so cosine stays a true
+    cosine in that subspace.
+
+    Returns (doc_a, doc_b, n_common_terms, cosine) at cosine ≥
+    threshold, ordered.
+    """
+    words = df.select("doc_id", F.explode(_clean_tokens(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").cast("double").alias("tf"))
+    docfreq = tf.groupBy("word").agg(F.count("*").cast("double").alias("df_w"))
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    # checkpointed: the capped posting table is consumed FOUR times in
+    # the plan tree (both pair sides + both norm joins) — without the
+    # lineage cut each consumer re-runs the tokenize→tf→df pipeline
+    # from the raw scan (same discipline as the shared near-dup pair
+    # graph and the distance-matrix grid)
+    postings = (
+        tf.join(docfreq.where(F.col("df_w") <= max_doc_freq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "doc_id",
+            (F.col("tf") * F.col("n_docs") / F.col("df_w")).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = postings.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_common_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common_terms",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -106,6 +106,8 @@ PROBES = [
     ("brand_price_elasticity", "lineitem"),
     ("nation_revenue_inequality", "orders"),
     ("nelson_aalen_hazard", "events"),
+    ("tfidf_cosine_pairs", "documents"),
+    ("median_order_stat_ci", "events"),
 ]
 
 
