@@ -1924,6 +1924,10 @@ def _layout_advisory(spark, sf_dir):
     return analytics.partition_layout_advisory(load_table(spark, sf_dir, "events"))
 
 
+def _segmented_trend(spark, sf_dir):
+    return windows.changepoint_segmented_trend(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1978,8 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # flesch_reading_ease_by_source, brand_price_elasticity,
 # discount_quantity_response, then wave 30: nation_revenue_inequality,
 # nelson_aalen_hazard, then wave 31: tfidf_cosine_pairs,
-# median_order_stat_ci, partition_layout_advisory (43 total — pad to 50
-# with already-green).
+# median_order_stat_ci, partition_layout_advisory, then wave 32:
+# changepoint_segmented_trend (44 total — pad to 50 with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2299,6 +2303,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tfidf_cosine_pairs": _tfidf_cosine,
         "median_order_stat_ci": _median_ci,
         "partition_layout_advisory": _layout_advisory,
+        # --- wave 32 (below slot 50; ROUND-8 window) ---
+        "changepoint_segmented_trend": _segmented_trend,
     }
 
 
@@ -9022,6 +9028,76 @@ _ORACLES["partition_layout_advisory"] = """
                 ELSE 'OK' END AS verdict
     FROM u WHERE n_values > 0 ORDER BY candidate
 """
+
+_ORACLES["changepoint_segmented_trend"] = f"""
+    -- operators/windows.py::changepoint_segmented_trend — CUSUM-peak
+    -- break (identical pick to cusum_hourly_changepoint), then exact
+    -- integer-moment OLS on each side and the fitted boundary shift
+    WITH {{dense_cte}},
+    z AS (
+        SELECT event_type, hour, CAST(cnt AS DOUBLE) AS c,
+               CASE WHEN stddev_pop(cnt) OVER (PARTITION BY event_type) > 0
+                    THEN (cnt - avg(cnt) OVER (PARTITION BY event_type))
+                         / stddev_pop(cnt) OVER (PARTITION BY event_type)
+                    ELSE 0.0 END AS zv
+        FROM dense
+    ),
+    cur AS (
+        SELECT event_type, hour, c,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour
+               ) AS DOUBLE) AS t,
+               round(sum(zv) OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) + 0.0 AS s6
+        FROM z
+    ),
+    brk AS (
+        SELECT event_type AS b_type, t AS tb,
+               strftime(hour, '%Y-%m-%d %H:%M:%S') AS break_hour
+        FROM (
+            SELECT event_type, hour, t,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(s6) DESC, hour ASC) AS rn
+            FROM cur
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT cur.event_type,
+               CASE WHEN cur.t <= b.tb THEN 1 ELSE 0 END AS pre,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(cur.t) AS st, sum(cur.c) AS sc,
+               sum(cur.t * cur.t) AS stt, sum(cur.t * cur.c) AS stc
+        FROM cur JOIN brk b ON cur.event_type = b.b_type
+        GROUP BY 1, 2
+    ),
+    fitted AS (
+        SELECT event_type, pre, n,
+               CASE WHEN (stt - st * st / n) > 1e-9
+                    THEN (stc - st * sc / n) / (stt - st * st / n)
+               END AS b,
+               (sc - (CASE WHEN (stt - st * st / n) > 1e-9
+                           THEN (stc - st * sc / n) / (stt - st * st / n)
+                      END) * st) / n AS a
+        FROM m
+    ),
+    piv AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_hours,
+               max(CASE WHEN pre = 1 THEN b END) AS b_pre,
+               max(CASE WHEN pre = 1 THEN a END) AS a_pre,
+               max(CASE WHEN pre = 0 THEN b END) AS b_post,
+               max(CASE WHEN pre = 0 THEN a END) AS a_post
+        FROM fitted GROUP BY 1
+    )
+    SELECT p.event_type, p.n_hours, b.break_hour,
+           CAST(b.tb AS BIGINT) AS t_break,
+           round(p.b_pre, 6) + 0.0 AS slope_pre,
+           round(p.b_post, 6) + 0.0 AS slope_post,
+           round((p.a_post + p.b_post * (b.tb + 0.5))
+                 - (p.a_pre + p.b_pre * (b.tb + 0.5)), 6) + 0.0 AS level_shift
+    FROM piv p JOIN brk b ON p.event_type = b.b_type
+    ORDER BY p.event_type
+""".format(dense_cte=_DENSE_HOURS_CTE)
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

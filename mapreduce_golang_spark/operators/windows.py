@@ -1616,3 +1616,115 @@ def nelson_aalen_hazard(events: DataFrame) -> DataFrame:
         .alias("km_neg_log_surv"),
     )
     return hazarded.orderBy("gap_min")
+
+
+def changepoint_segmented_trend(events: DataFrame) -> DataFrame:
+    """Piecewise-linear trend around the CUSUM changepoint: take each
+    event type's maximum-likelihood single break (the peak-|CUSUM|
+    hour, exactly as cusum_hourly_changepoint picks it), then fit
+    separate OLS lines to the hourly counts BEFORE and AFTER the break
+    and report both slopes plus the fitted level shift at the
+    boundary — the "rate changed at 3am Tuesday: from +2/h drift to
+    −9/h collapse with a −140 step" readout, composed entirely from
+    operators this engine already trusts.
+
+    Scale shape: one data-sized hourly hash agg; everything after
+    (dense grid, CUSUM windows, breakpoint broadcast, two-segment
+    moment fold) is calendar-bounded. The OLS moments are sums of
+    INTEGER-valued terms (hour index × count), exact in doubles and
+    therefore order-independent — no decimal staging needed.
+
+    Returns (event_type, n_hours, break_hour, t_break, slope_pre,
+    slope_post, level_shift); a degenerate segment (fewer than 2
+    points) yields NULL slope/shift.
+    """
+    dense = _dense_hourly_counts(events)
+    wt = Window.partitionBy("event_type")
+    z = F.when(
+        F.stddev_pop("cnt").over(wt) > 0,
+        (F.col("cnt") - F.avg("cnt").over(wt)) / F.stddev_pop("cnt").over(wt),
+    ).otherwise(F.lit(0.0))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wh = Window.partitionBy("event_type").orderBy("hour")
+    # checkpointed: three plan consumers (breakpoint pick, segment
+    # fold, final join) would each re-run the events scan + hourly agg
+    # otherwise; cur is calendar-bounded (types × hours), so the cut
+    # is cheap and the big-data pass happens exactly once
+    cur = dense.select(
+        "event_type",
+        "hour",
+        F.col("cnt").cast("double").alias("c"),
+        F.row_number().over(wh).cast("double").alias("t"),
+        (F.round(F.sum(z).over(wc), 6) + F.lit(0.0)).alias("s6"),
+    ).localCheckpoint()
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s6")).desc(), F.col("hour").asc()
+    )
+    brk = (
+        cur.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("b_type"),
+            F.col("t").alias("tb"),
+            F.date_format("hour", _TS_FMT).alias("break_hour"),
+        )
+    )
+    seg = cur.join(
+        F.broadcast(brk), F.col("event_type") == F.col("b_type")
+    ).withColumn("pre", (F.col("t") <= F.col("tb")).cast("int"))
+    m = seg.groupBy("event_type", "pre").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("c")).alias("stc"),
+    )
+    sxx = F.col("stt") - F.col("st") * F.col("st") / F.col("n")
+    slope = F.when(
+        sxx > 1e-9,
+        (F.col("stc") - F.col("st") * F.col("sc") / F.col("n")) / sxx,
+    )
+    intercept = (F.col("sc") - slope * F.col("st")) / F.col("n")
+    fitted = m.select(
+        "event_type",
+        "pre",
+        "n",
+        slope.alias("b"),
+        intercept.alias("a"),
+    )
+    piv = fitted.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_hours"),
+        F.max(F.when(F.col("pre") == 1, F.col("b"))).alias("b_pre"),
+        F.max(F.when(F.col("pre") == 1, F.col("a"))).alias("a_pre"),
+        F.max(F.when(F.col("pre") == 0, F.col("b"))).alias("b_post"),
+        F.max(F.when(F.col("pre") == 0, F.col("a"))).alias("a_post"),
+    )
+    return (
+        piv.join(
+            F.broadcast(brk), F.col("event_type") == F.col("b_type")
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "break_hour",
+            F.col("tb").cast("long").alias("t_break"),
+            (F.round("b_pre", 6) + F.lit(0.0)).alias("slope_pre"),
+            (F.round("b_post", 6) + F.lit(0.0)).alias("slope_post"),
+            # discontinuity measured at the SAME point (the segment
+            # boundary t_b + ½): both fits evaluated there, so a
+            # continuous trend reads shift 0 instead of its own step
+            (
+                F.round(
+                    (F.col("a_post") + F.col("b_post") * (F.col("tb") + 0.5))
+                    - (F.col("a_pre") + F.col("b_pre") * (F.col("tb") + 0.5)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("level_shift"),
+        )
+        .orderBy("event_type")
+    )

@@ -108,6 +108,7 @@ PROBES = [
     ("nelson_aalen_hazard", "events"),
     ("tfidf_cosine_pairs", "documents"),
     ("median_order_stat_ci", "events"),
+    ("changepoint_segmented_trend", "events"),
 ]
 
 
