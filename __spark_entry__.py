@@ -1928,6 +1928,20 @@ def _segmented_trend(spark, sf_dir):
     return windows.changepoint_segmented_trend(load_table(spark, sf_dir, "events"))
 
 
+# --- wave 33: Apriori triples / drift series / sampling design ---
+
+def _basket_triples(spark, sf_dir):
+    return analytics.basket_triple_itemsets(load_table(spark, sf_dir, "lineitem"))
+
+
+def _weekly_psi(spark, sf_dir):
+    return analytics.weekly_psi_series(load_table(spark, sf_dir, "events"))
+
+
+def _neyman(spark, sf_dir):
+    return analytics.neyman_allocation(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1983,7 +1997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # discount_quantity_response, then wave 30: nation_revenue_inequality,
 # nelson_aalen_hazard, then wave 31: tfidf_cosine_pairs,
 # median_order_stat_ci, partition_layout_advisory, then wave 32:
-# changepoint_segmented_trend (44 total — pad to 50 with already-green).
+# changepoint_segmented_trend, then wave 33: basket_triple_itemsets,
+# weekly_psi_series, neyman_allocation (47 total — pad to 50 with
+# already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2305,6 +2321,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "partition_layout_advisory": _layout_advisory,
         # --- wave 32 (below slot 50; ROUND-8 window) ---
         "changepoint_segmented_trend": _segmented_trend,
+        # --- wave 33 (below slot 50; ROUND-8 window) ---
+        "basket_triple_itemsets": _basket_triples,
+        "weekly_psi_series": _weekly_psi,
+        "neyman_allocation": _neyman,
     }
 
 
@@ -9098,6 +9118,107 @@ _ORACLES["changepoint_segmented_trend"] = f"""
     FROM piv p JOIN brk b ON p.event_type = b.b_type
     ORDER BY p.event_type
 """.format(dense_cte=_DENSE_HOURS_CTE)
+
+_ORACLES["basket_triple_itemsets"] = """
+    -- operators/analytics.py::basket_triple_itemsets — the oracle
+    -- verifies with the plain 3-way basket join: Apriori pruning on
+    -- the Spark side is LOSSLESS for equal min-supports (every
+    -- sub-pair of a support-s triple has support ≥ s), so the sets
+    -- must agree exactly
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM items),
+    singles AS (
+        SELECT pkey, CAST(count(*) AS DOUBLE) AS n_1 FROM items GROUP BY 1
+    ),
+    tri AS (
+        SELECT a.pkey AS pa, b.pkey AS pb, c.pkey AS pc,
+               CAST(count(*) AS BIGINT) AS n_all3
+        FROM items a
+        JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+        JOIN items c ON a.okey = c.okey AND b.pkey < c.pkey
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b, t.pc AS part_c, t.n_all3,
+           round(t.n_all3 / n.n_orders, 6) AS support,
+           round((t.n_all3 / n.n_orders)
+                 / ((sa.n_1 / n.n_orders) * (sb.n_1 / n.n_orders)
+                    * (sc.n_1 / n.n_orders)), 6) AS lift
+    FROM tri t
+    JOIN singles sa ON sa.pkey = t.pa
+    JOIN singles sb ON sb.pkey = t.pb
+    JOIN singles sc ON sc.pkey = t.pc
+    CROSS JOIN n
+    ORDER BY 1, 2, 3
+"""
+
+_ORACLES["weekly_psi_series"] = """
+    -- operators/analytics.py::weekly_psi_series — baseline-week decile
+    -- bins, 0.5-count smoothing, PSI vs week 0 (which reads exactly 0)
+    WITH ev AS (
+        SELECT date_trunc('week', ts) AS wk, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    bw AS (SELECT min(wk) AS w0 FROM ev),
+    edges AS (
+        SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+               quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+               quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+               quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+               quantile_cont(value, 0.9) AS e9
+        FROM ev, bw WHERE ev.wk = bw.w0
+    ),
+    binned AS (
+        SELECT wk,
+               CAST(value > e1 AS INT) + CAST(value > e2 AS INT)
+             + CAST(value > e3 AS INT) + CAST(value > e4 AS INT)
+             + CAST(value > e5 AS INT) + CAST(value > e6 AS INT)
+             + CAST(value > e7 AS INT) + CAST(value > e8 AS INT)
+             + CAST(value > e9 AS INT) AS bin
+        FROM ev CROSS JOIN edges
+    ),
+    cell AS (
+        SELECT wk, bin, CAST(count(*) AS DOUBLE) AS cnt
+        FROM binned GROUP BY 1, 2
+    ),
+    wt AS (SELECT wk, sum(cnt) AS n_wk FROM cell GROUP BY 1),
+    spine AS (
+        SELECT wt.wk, wt.n_wk, s.bin
+        FROM wt CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) s
+    ),
+    dense AS (
+        SELECT sp.wk, sp.bin, sp.n_wk,
+               greatest(coalesce(c.cnt, 0.0), 0.5) / sp.n_wk AS p
+        FROM spine sp LEFT JOIN cell c ON c.wk = sp.wk AND c.bin = sp.bin
+    ),
+    base AS (SELECT d.bin, d.p AS p0 FROM dense d, bw WHERE d.wk = bw.w0)
+    SELECT strftime(d.wk, '%Y-%m-%d') AS week_start,
+           CAST(any_value(d.n_wk) AS BIGINT) AS n,
+           round(sum((d.p - b.p0) * ln(d.p / b.p0)), 6) + 0.0 AS psi
+    FROM dense d JOIN base b ON b.bin = d.bin
+    GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLES["neyman_allocation"] = """
+    -- operators/analytics.py::neyman_allocation — n_h ∝ N_h·S_h with a
+    -- 10k budget, vs the proportional split
+    WITH s AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n_h,
+               coalesce(stddev_pop(value), 0.0) AS s_h
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT sum(n_h * s_h) AS sw, sum(n_h) AS sn FROM s)
+    SELECT event_type, CAST(n_h AS BIGINT) AS n_h,
+           round(s_h, 6) AS stddev_value,
+           round(CASE WHEN t.sw > 0 THEN n_h * s_h / t.sw ELSE 0.0 END, 6)
+               AS neyman_share,
+           CAST(round(CASE WHEN t.sw > 0 THEN 10000 * n_h * s_h / t.sw
+                           ELSE 0.0 END, 0) AS BIGINT) AS neyman_n,
+           CAST(round(10000 * n_h / t.sn, 0) AS BIGINT) AS proportional_n
+    FROM s CROSS JOIN t ORDER BY 1
+"""
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

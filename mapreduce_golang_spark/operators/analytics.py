@@ -2409,3 +2409,227 @@ def partition_layout_advisory(events: DataFrame) -> DataFrame:
         base.select(F.col("k1").alias("k"), "b"), "event_type"
     ).unionByName(one(base.select(F.col("k2").alias("k"), "b"), "event_date"))
     return u.orderBy("candidate")
+
+
+def basket_triple_itemsets(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Frequent THREE-item sets over order baskets — the Apriori
+    level-3 extension of order_basket_rules, with the lattice pruning
+    that makes level-3 tractable at scale: candidate triples are only
+    generated by extending pairs that are themselves frequent, which
+    is lossless by the Apriori monotonicity property (every sub-pair
+    of a support-s triple has support ≥ s), so the oracle can verify
+    with a plain 3-way join and must agree exactly.
+
+    Scale shape: baskets collapse to DISTINCT (order, part) first;
+    per-order pairs are semi-joined against the frequent-pair set
+    BEFORE the third leg joins on (both the candidate fan-out killer);
+    basket size bounds the join fan-out exactly as in the pair rules.
+    Lift compares observed triple support to the independence product.
+
+    Returns (part_a, part_b, part_c, n_all3, support, lift) with
+    n_all3 ≥ min_support, ordered.
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(
+        F.count("*").cast("double").alias("n_orders")
+    )
+    singles = items.groupBy("pkey").agg(F.count("*").cast("double").alias("n_1"))
+    a = items.select("okey", F.col("pkey").alias("pa"))
+    b = items.select("okey", F.col("pkey").alias("pb"))
+    c = items.select("okey", F.col("pkey").alias("pc"))
+    order_pairs = a.join(b, "okey").where(F.col("pa") < F.col("pb"))
+    freq_pairs = (
+        order_pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n2"))
+        .where(F.col("n2") >= min_support)
+        .select("pa", "pb")
+    )
+    pruned_pairs = order_pairs.join(freq_pairs, ["pa", "pb"], "left_semi")
+    triples = (
+        pruned_pairs.join(c, "okey")
+        .where(F.col("pc") > F.col("pb"))
+        # second Apriori prune: (pa,pc) and (pb,pc) must be frequent too
+        .join(
+            freq_pairs.select(
+                F.col("pa").alias("pa"), F.col("pb").alias("pc")
+            ),
+            ["pa", "pc"],
+            "left_semi",
+        )
+        .join(
+            freq_pairs.select(
+                F.col("pa").alias("pb"), F.col("pb").alias("pc")
+            ),
+            ["pb", "pc"],
+            "left_semi",
+        )
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("long").alias("n_all3"))
+        .where(F.col("n_all3") >= min_support)
+    )
+    enriched = (
+        triples.join(
+            F.broadcast(singles.select(F.col("pkey").alias("pa"), F.col("n_1").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("pkey").alias("pb"), F.col("n_1").alias("nb"))),
+            "pb",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("pkey").alias("pc"), F.col("n_1").alias("nc"))),
+            "pc",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return enriched.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("pc").alias("part_c"),
+        "n_all3",
+        F.round(F.col("n_all3") / F.col("n_orders"), 6).alias("support"),
+        F.round(
+            (F.col("n_all3") / F.col("n_orders"))
+            / (
+                (F.col("na") / F.col("n_orders"))
+                * (F.col("nb") / F.col("n_orders"))
+                * (F.col("nc") / F.col("n_orders"))
+            ),
+            6,
+        ).alias("lift"),
+    ).orderBy("part_a", "part_b", "part_c")
+
+
+def weekly_psi_series(events: DataFrame) -> DataFrame:
+    """Population-stability-index time series: each week's `value`
+    distribution scored against the FIRST week over that baseline
+    week's decile bins — the standing drift monitor (value_psi_drift
+    is the two-slice form; this is the longitudinal one a pipeline
+    alerts on). Shares are floored at 0.5 counts (the standard
+    continuity smoothing) so an empty bin can't blow up the log term.
+
+    Scale shape: one pass bins every row against a 9-edge broadcast
+    (the baseline deciles — a 1-row aggregate); the PSI fold runs on
+    the weeks×10 bounded grid. Weeks are date_trunc('week')-bounded.
+
+    Returns (week_start, n, psi) rounded 6, ordered by week; the
+    baseline week reads exactly 0.
+    """
+    ev = events.where(F.col("value").isNotNull()).select(
+        F.date_trunc("week", "ts").alias("wk"), "value"
+    )
+    # three checkpointed bounded intermediates (1-row week, 1-row edge
+    # vector, weeks×10 cell grid) pin the operator at its logical
+    # minimum of THREE data passes (min-week, baseline deciles, the
+    # binning agg); without the cuts the cell grid's three consumers
+    # each re-bin the full stream
+    base_wk = ev.agg(F.min("wk").alias("w0")).localCheckpoint()
+    edges = (
+        ev.join(F.broadcast(base_wk), ev.wk == F.col("w0"))
+        .agg(
+            *[
+                F.percentile("value", F.lit(q / 10.0)).alias(f"e{q}")
+                for q in range(1, 10)
+            ]
+        )
+        .localCheckpoint()
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        "wk",
+        sum(
+            [(F.col("value") > F.col(f"e{q}")).cast("int") for q in range(1, 10)],
+            F.lit(0),
+        ).alias("bin"),
+    )
+    cell = (
+        binned.groupBy("wk", "bin")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .localCheckpoint()
+    )
+    wk_tot = cell.groupBy("wk").agg(F.sum("cnt").alias("n_wk"))
+    # dense weeks×10 grid so empty bins participate (smoothed)
+    spine = wk_tot.crossJoin(
+        F.broadcast(
+            base_wk.select(
+                F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+            )
+        )
+    )
+    dense = spine.join(cell, ["wk", "bin"], "left").select(
+        "wk",
+        "bin",
+        "n_wk",
+        (F.greatest(F.coalesce("cnt", F.lit(0.0)), F.lit(0.5)) / F.col("n_wk")).alias(
+            "p"
+        ),
+    )
+    base = dense.join(F.broadcast(base_wk), dense.wk == F.col("w0")).select(
+        F.col("bin").alias("bin"), F.col("p").alias("p0")
+    )
+    folded = (
+        dense.join(F.broadcast(base), "bin")
+        .groupBy("wk")
+        .agg(
+            F.first("n_wk").cast("long").alias("n"),
+            (
+                F.round(
+                    F.sum((F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("psi"),
+        )
+    )
+    return folded.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"), "n", "psi"
+    ).orderBy("week_start")
+
+
+def neyman_allocation(events: DataFrame, total_n: int = 10000) -> DataFrame:
+    """Neyman (minimum-variance) sample allocation across event-type
+    strata for a fixed budget: n_h ∝ N_h·S_h — the survey-sampling
+    answer to "how should 10k QA samples be split across event
+    types?", against the naive proportional split.
+
+    Scale shape: ONE hash agg computes every stratum's count and
+    stddev; everything after runs on the types-bounded table with a
+    1-row total broadcast. Returns (event_type, n_h, stddev_value,
+    neyman_share, neyman_n, proportional_n), ordered.
+    """
+    strata = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n_h"),
+            F.coalesce(F.stddev_pop("value"), F.lit(0.0)).alias("s_h"),
+        )
+        .withColumn("w", F.col("n_h") * F.col("s_h"))
+    )
+    tot = strata.agg(
+        F.sum("w").alias("sw"), F.sum("n_h").alias("sn")
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_h").cast("long").alias("n_h"),
+            F.round("s_h", 6).alias("stddev_value"),
+            F.round(
+                F.when(F.col("sw") > 0, F.col("w") / F.col("sw")).otherwise(0.0), 6
+            ).alias("neyman_share"),
+            F.round(
+                F.when(
+                    F.col("sw") > 0, total_n * F.col("w") / F.col("sw")
+                ).otherwise(0.0),
+                0,
+            )
+            .cast("long")
+            .alias("neyman_n"),
+            F.round(total_n * F.col("n_h") / F.col("sn"), 0)
+            .cast("long")
+            .alias("proportional_n"),
+        )
+        .orderBy("event_type")
+    )

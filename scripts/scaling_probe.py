@@ -109,6 +109,8 @@ PROBES = [
     ("tfidf_cosine_pairs", "documents"),
     ("median_order_stat_ci", "events"),
     ("changepoint_segmented_trend", "events"),
+    ("basket_triple_itemsets", "lineitem"),
+    ("weekly_psi_series", "events"),
 ]
 
 

@@ -224,6 +224,12 @@ _BOUNDED_NLJ_OK = {
     "value_distribution_distances": 2,
     # wave 30 — same 1-row stream-horizon broadcast as km_gap_survival
     "nelson_aalen_hazard": 1,
+    # wave 33 — bounded broadcasts: 1-row basket total; weeks×10 spine
+    # cross + 10-row baseline (raw-scan lineage cut by checkpoints);
+    # 1-row strata total
+    "basket_triple_itemsets": 1,
+    "weekly_psi_series": 2,
+    "neyman_allocation": 1,
 }
 
 
