@@ -1942,6 +1942,12 @@ def _neyman(spark, sf_dir):
     return analytics.neyman_allocation(load_table(spark, sf_dir, "events"))
 
 
+def _reconciliation(spark, sf_dir):
+    return analytics.order_reconciliation_audit(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND7_HEAD:
@@ -1998,8 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # nelson_aalen_hazard, then wave 31: tfidf_cosine_pairs,
 # median_order_stat_ci, partition_layout_advisory, then wave 32:
 # changepoint_segmented_trend, then wave 33: basket_triple_itemsets,
-# weekly_psi_series, neyman_allocation (47 total — pad to 50 with
-# already-green).
+# weekly_psi_series, neyman_allocation, then wave 34:
+# order_reconciliation_audit (48 total — pad to 50 with already-green).
 # Queries outside the window remain covered every round by
 # scripts/correctness_gate.py (CORRECTNESS_FULL.json).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2325,6 +2331,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "basket_triple_itemsets": _basket_triples,
         "weekly_psi_series": _weekly_psi,
         "neyman_allocation": _neyman,
+        "order_reconciliation_audit": _reconciliation,
     }
 
 
@@ -9218,6 +9225,39 @@ _ORACLES["neyman_allocation"] = """
                            ELSE 0.0 END, 0) AS BIGINT) AS neyman_n,
            CAST(round(10000 * n_h / t.sn, 0) AS BIGINT) AS proportional_n
     FROM s CROSS JOIN t ORDER BY 1
+"""
+
+_ORACLES["order_reconciliation_audit"] = """
+    -- operators/analytics.py::order_reconciliation_audit — header vs
+    -- recomputed line totals (cents-rounded per line, decimal-exact
+    -- sum); the reconciled CASE yields 0 (not NULL) for non-matching
+    -- rows to mirror Spark's boolean cast
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax), 2
+               ) AS DECIMAL(18,2))) AS DOUBLE) AS calc
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderstatus, p.calc,
+               round(abs(o.o_totalprice - p.calc), 2) AS d
+        FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(calc) AS BIGINT) AS n_with_lines,
+           CAST(sum(CASE WHEN calc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan,
+           CAST(sum(CASE WHEN d <= 0.01 THEN 1
+                         WHEN d IS NOT NULL THEN 0 END) AS BIGINT)
+               AS n_reconciled,
+           round(sum(CASE WHEN d <= 0.01 THEN 1
+                          WHEN d IS NOT NULL THEN 0 END)
+                 / CAST(count(calc) AS DOUBLE), 6) AS reconcile_rate,
+           round(quantile_cont(d, 0.5), 6) AS p50_abs_diff,
+           round(max(d), 2) AS max_abs_diff
+    FROM j GROUP BY 1 ORDER BY 1
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

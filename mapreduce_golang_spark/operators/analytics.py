@@ -2633,3 +2633,61 @@ def neyman_allocation(events: DataFrame, total_n: int = 10000) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def order_reconciliation_audit(
+    orders: DataFrame, lineitem: DataFrame, tolerance: float = 0.01
+) -> DataFrame:
+    """Financial reconciliation between the order header total and the
+    recomputed sum of its lines (extendedprice·(1−disc)·(1+tax)) — the
+    cross-table conformance audit every ingest pipeline runs before
+    trusting either table: per order status it reports how many orders
+    have lines at all, how many reconcile within tolerance, and the
+    p50/max absolute discrepancy. (On the synthetic fixtures the
+    header totals are generated independently, so the audit correctly
+    reports a ~0% reconcile rate — the point is the measurement.)
+
+    Scale shape: lineitem collapses to one decimal-exact (cents-
+    rounded per line, then exactly summed) row per order before the
+    header join, so the join moves order-count rows; the audit fold
+    is one hash agg on the bounded status key with an exact
+    percentile over per-status diffs.
+
+    Returns (o_orderstatus, n_orders, n_with_lines, n_orphan,
+    n_reconciled, reconcile_rate, p50_abs_diff, max_abs_diff).
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * (1.0 + F.col("l_tax")),
+                2,
+            ).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("calc")
+    )
+    joined = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    )
+    diff = F.round(F.abs(F.col("o_totalprice") - F.col("calc")), 2)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count("calc").cast("long").alias("n_with_lines"),
+            F.sum(F.col("calc").isNull().cast("long")).cast("long").alias("n_orphan"),
+            F.sum((diff <= tolerance).cast("long")).cast("long").alias(
+                "n_reconciled"
+            ),
+            F.round(
+                F.sum((diff <= tolerance).cast("long"))
+                / F.count("calc"),
+                6,
+            ).alias("reconcile_rate"),
+            F.round(F.percentile(diff, F.lit(0.5)), 6).alias("p50_abs_diff"),
+            F.round(F.max(diff), 2).alias("max_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )
