@@ -8032,8 +8032,14 @@ _ORACLES["seasonal_adjusted_anomalies"] = f"""
         FROM dense
     )
     SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, hod,
-           CAST(cnt AS BIGINT) AS cnt, round(z, 6) + 0.0 AS z
-    FROM scored WHERE abs(z) >= 3.0
+           CAST(cnt AS BIGINT) AS cnt, z
+    FROM (
+        SELECT event_type, hour, hod, cnt, round(z, 6) + 0.0 AS z
+        FROM scored
+    )
+    -- threshold on the 6dp-ROUNDED z (matches the Spark side): a
+    -- raw-z cut lets boundary rows flip membership on engine ulps
+    WHERE abs(z) >= 3.0
     ORDER BY event_type, hour
 """
 

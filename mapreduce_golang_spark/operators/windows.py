@@ -1322,14 +1322,19 @@ def seasonal_adjusted_anomalies(events: DataFrame, threshold: float = 3.0) -> Da
         (F.col("cnt") - F.avg("cnt").over(wg)) / F.stddev_pop("cnt").over(wg),
     )
     return (
-        dense.withColumn("z", z)
+        dense.withColumn("z", F.round(z, 6) + F.lit(0.0))
+        # threshold compares the 6dp-ROUNDED z: the two engines
+        # compute z independently, and a raw-z cut lets a boundary row
+        # flip membership on an ulp — the rounded cut can only diverge
+        # if the engines round differently at 1e-6, which the shared
+        # rounding discipline already rules out everywhere else
         .where(F.abs(F.col("z")) >= threshold)
         .select(
             "event_type",
             F.date_format("hour", _TS_FMT).alias("hour"),
             "hod",
             F.col("cnt").cast("long").alias("cnt"),
-            (F.round("z", 6) + F.lit(0.0)).alias("z"),
+            "z",
         )
         .orderBy("event_type", "hour")
     )
