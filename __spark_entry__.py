@@ -1973,6 +1973,78 @@ def _reconciliation(spark, sf_dir):
     )
 
 
+# --- wave 35 (round 8): new capability classes — streaming near-dup,
+# polymorphic analyze-phase UDTF, full CDC MERGE (I/U/D + sequence) ---
+
+def _streaming_near_dup(spark, sf_dir):
+    return events_stream.streaming_near_dup_docs(spark, sf_dir)
+
+
+def _polymorphic_trigrams(spark, sf_dir):
+    """Top trigrams via the DYNAMIC-SCHEMA UDTF (NgramExplode.analyze
+    resolves (tok_1..tok_3) from the literal 3 at plan time) — the
+    engine-feature demo; the hot-path trigram queries use pure array
+    expressions (text_analysis.py)."""
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ngx")
+    return spark.sql(
+        """
+        SELECT tok_1, tok_2, tok_3, count(*) AS cnt
+        FROM docs_ngx, LATERAL ngram_explode(text, 3)
+        GROUP BY tok_1, tok_2, tok_3
+        ORDER BY cnt DESC, tok_1, tok_2, tok_3
+        LIMIT 25
+        """
+    )
+
+
+def _cdc_state(spark, sf_dir):
+    """Full MERGE over a CDC change log derived deterministically from
+    orders: target = keys not divisible by 4; changes = U (÷3, +5 %
+    reprice), D (÷7, higher seq — delete wins over the reprice), I
+    (÷4, the keys absent from the target). Out-of-order seqs and a
+    same-seq I/U tie (keys ÷60) are both exercised; returns the
+    post-merge snapshot."""
+    from mapreduce_golang_spark.operators.merge import cdc_apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    # prices are 2-decimal values stored as double; the ×1.05 reprice is
+    # done in DECIMAL so the .xx5 midpoints round identically in every
+    # engine (double round diverges on shortest-repr vs binary-value)
+    price = F_.col("o_totalprice").cast("double")
+    price_dec = F_.col("o_totalprice").cast("decimal(18,2)")
+    target = orders.where(F_.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", F_.round(price, 2).alias("price")
+    )
+    upd = orders.where(F_.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.round(price_dec * F_.lit("1.05").cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("price"),
+        (F_.col("o_orderkey") % 5 + 1).alias("seq"),
+        F_.lit("U").alias("op"),
+    )
+    dels = orders.where(F_.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.lit(None).cast("double").alias("price"),
+        (F_.col("o_orderkey") % 5 + 2).alias("seq"),
+        F_.lit("D").alias("op"),
+    )
+    ins = orders.where(F_.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.round(price, 2).alias("price"),
+        F_.lit(1).cast("long").alias("seq"),
+        F_.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return cdc_apply_changes(target, changes, "o_orderkey", "seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND8_HEAD:
@@ -2007,8 +2079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # received a driver CORRECTNESS row (waves 10-22, registration order).
 # ROUND-8 ROTATION (executed): _ROUND8_HEAD above holds the 48-query
 # remainder (judge-verified list) + 2 green pads; after CORRECTNESS_r08
-# every registered query has a driver row (291/291 cumulative). Any
-# round-8 additions register BELOW slot 50 and form the ROUND-9 LIST.
+# every round-7-era query has a driver row (291/291 cumulative). Any
+# round-8 additions register BELOW slot 50 and form the ROUND-9
+# ROTATION LIST (wave 35): cdc_orders_state, streaming_near_dup_docs,
+# polymorphic_trigram_topk — put these first in the round-9 window,
+# padded to 50 with already-green queries.
 # The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
 # these first in the round-8 window, then any round-7 additions
 # registered below slot 50): mann_whitney_u, user_journey_signatures,
@@ -2361,6 +2436,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "weekly_psi_series": _weekly_psi,
         "neyman_allocation": _neyman,
         "order_reconciliation_audit": _reconciliation,
+        # --- wave 35 (round 8, below slot 50 → ROUND-9 ROTATION LIST) ---
+        "cdc_orders_state": _cdc_state,
+        "streaming_near_dup_docs": _streaming_near_dup,
+        "polymorphic_trigram_topk": _polymorphic_trigrams,
     }
 
 
@@ -9293,6 +9372,93 @@ _ORACLES["order_reconciliation_audit"] = """
            round(quantile_cont(d, 0.5), 6) AS p50_abs_diff,
            round(max(d), 2) AS max_abs_diff
     FROM j GROUP BY 1 ORDER BY 1
+"""
+
+# streaming/events_stream.py::streaming_near_dup_docs — on finite
+# availableNow input, dropDuplicatesWithinWatermark keyed on the full
+# 12-minhash signature equals a batch distinct-signature count per
+# source (the dedup key includes source, so counts are deterministic
+# regardless of which copy survives); same md5 string-math seeds as
+# minhash_lsh_pairs (seed s reads 8 hex chars of md5("<s DIV 4>#" ||
+# shingle) at offset (s % 4) * 8).
+_ORACLES["streaming_near_dup_docs"] = f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(12)) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min(substr(md5(CAST(seed // 4 AS VARCHAR) || '#' || shingle),
+                          (seed % 4) * 8 + 1, 8)) AS mh
+        FROM shn CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    sig AS (
+        SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id
+    )
+    SELECT d.source, CAST(count(DISTINCT s.sig) AS BIGINT) AS n_unique_docs
+    FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+"""
+
+# functions/udtf.py::NgramExplode via __spark_entry__::_polymorphic_trigrams
+# — the dynamic-schema UDTF's rows are plain positional trigrams (NOT
+# the distinct shingles of _SHINGLES_CTE), counted corpus-wide
+_ORACLES["polymorphic_trigram_topk"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''), 1) AS pos
+        FROM documents
+    ),
+    tri AS (
+        SELECT tok AS tok_1,
+               lead(tok, 1) OVER w AS tok_2,
+               lead(tok, 2) OVER w AS tok_3
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT tok_1, tok_2, tok_3, count(*) AS cnt
+    FROM tri
+    WHERE tok_3 IS NOT NULL
+    GROUP BY tok_1, tok_2, tok_3
+    ORDER BY cnt DESC, tok_1, tok_2, tok_3
+    LIMIT 25
+"""
+
+# operators/merge.py::cdc_apply_changes via __spark_entry__::_cdc_state —
+# winner per key = row_number over (seq DESC, op DESC); a winning 'D'
+# removes the key, 'U'/'I' upserts last-writer-wins
+_ORACLES["cdc_orders_state"] = """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(CAST(o_totalprice AS DOUBLE), 2) AS price
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    changes AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2)
+                    AS DOUBLE) AS price,
+               o_orderkey % 5 + 1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE),
+               o_orderkey % 5 + 2, 'D'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               round(CAST(o_totalprice AS DOUBLE), 2), 1, 'I'
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes
+    )
+    SELECT o_orderkey, o_orderstatus, price FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest WHERE rn = 1)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price FROM latest
+    WHERE rn = 1 AND op <> 'D'
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

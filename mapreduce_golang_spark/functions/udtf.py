@@ -53,7 +53,51 @@ class SentenceSplitter:
             idx += 1
 
 
+class NgramExplode:
+    """POLYMORPHIC analyze-phase UDTF: output schema computed at plan
+    time from the ``n`` argument — `ngram_explode(text, 2)` yields
+    columns (tok_1, tok_2); `ngram_explode(text, 5)` yields five. This
+    is the Spark 4 `analyze()` static-method contract (the engine
+    calls it during resolution with the foldable argument values), the
+    table-function analogue of a generic emitter the fixed-returnType
+    decorator above cannot express.
+
+    Tokenization matches the batch shingle family
+    (dedup.py::word_shingles / tokenize.py::LETTERS_ONLY_RE) via the
+    JVM-parity letter-run tokenizer (plans/mrapps.py::_tokens, which
+    corrects CPython's letter class with the generated
+    _unicode_compat divergence table) so the DuckDB oracle reproduces
+    rows bit-identically. No decorator here — dynamic-schema UDTFs
+    are created with `udtf(cls)` (no returnType) and the analyze
+    method supplies the schema per call site.
+    """
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or not (1 <= n.value <= 16):
+            raise ValueError("ngram_explode: n must be a literal int in [1, 16]")
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"tok_{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):
+        if text is None:
+            return
+        from mapreduce_golang_spark.plans.mrapps import _tokens
+
+        toks = _tokens(text)
+        for i in range(len(toks) - n + 1):
+            yield tuple(toks[i : i + n])
+
+
 def register_udtfs(spark) -> None:
-    """Register the UDTF surface on a session (SQL name:
-    `split_sentences`, used as `... , LATERAL split_sentences(text)`)."""
+    """Register the UDTF surface on a session (SQL names:
+    `split_sentences`, used as `... , LATERAL split_sentences(text)`;
+    `ngram_explode`, used as `... , LATERAL ngram_explode(text, 3)` —
+    schema resolved per call site by NgramExplode.analyze)."""
     spark.udtf.register("split_sentences", SentenceSplitter)
+    spark.udtf.register("ngram_explode", udtf(NgramExplode, useArrow=True))

@@ -363,7 +363,7 @@ def streaming_user_stats_tws(
     than crashing the streaming query mid-flight). The older
     applyInPandasWithState operator above has no such dependency and
     remains the always-available stateful surface.
-    (Probed each round; still absent as of round 7, 2026-08-15.)
+    (Probed each round; still absent as of round 8, 2026-08-15.)
     """
     try:
         import google.protobuf  # noqa: F401
@@ -588,4 +588,99 @@ def streaming_hourly_ohlc(
         F.round(F.col("c.value"), 6).alias("close"),
         "n_events",
         "total_value",
+    )
+
+
+def streaming_near_dup_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_near_dup",
+    k: int = 3,
+    n_hashes: int = 12,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: dropDuplicatesWithinWatermark
+    keyed on a full MinHash signature instead of an exact column — the
+    streaming form of the batch near-dup family (dedup.py). Two docs
+    whose k-shingle Jaccard is j collide on all ``n_hashes`` minhashes
+    with probability j**n_hashes, so the full-signature key collapses
+    near-identical re-posts (j → 1) while leaving merely-similar docs
+    alone — the high-precision end of the LSH dial, which is the right
+    setting when the drop is irreversible (a stream emits once).
+
+    The signature is a pure SCALAR column expression — per-doc shingle
+    array sliced in one codegen stage, then array_min over the same
+    md5 string-math as the batch operator (4 seeds per md5, see
+    dedup.py::_minhash_band_candidates) — so it streams row-by-row
+    with NO aggregation before the stateful dedup. State is one row
+    per distinct (source, sig) inside the watermark horizon; at
+    production scale the horizon bounds state exactly like the batch
+    cap bounds postings. Docs carry no timestamp in the fixture, so
+    event time is synthesized deterministically from doc_id (1 doc/s
+    arrival); the dedup key includes source so per-source counts stay
+    deterministic regardless of which copy survives a cross-source
+    collision race.
+
+    Returns (source, n_unique_docs) — the per-source count of
+    surviving (near-dup-distinct) documents; on finite availableNow
+    input this equals the batch distinct-signature count, which the
+    oracle computes directly.
+    """
+    from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+
+    docs = read_documents_stream(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_remove(F.split(F.col("text"), LETTERS_ONLY_RE), "").alias("toks"),
+    )
+    # same short-doc guard as dedup.py::word_shingles (sequence() with
+    # n < 1 descends instead of emitting empty)
+    shingled = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} "
+            f"THEN array_distinct(transform(sequence(1, size(toks) - {k - 1}), "
+            f"     i -> array_join(slice(toks, i, {k}), ' '))) "
+            f"ELSE array() END"
+        ).alias("sh"),
+    ).where(F.size("sh") > 0)
+    n_md5 = (n_hashes + 3) // 4
+
+    # closure factories, NOT `lambda x, g=g`: F.transform treats an
+    # arity-2 lambda as (element, index) and would pass the ARRAY INDEX
+    # into the second parameter, silently shadowing the seed
+    def _seeded_md5(g: int):
+        return lambda x: F.md5(F.concat(F.lit(f"{g}#"), x))
+
+    def _hash_piece(s: int):
+        return lambda h: F.substring(h, (s % 4) * 8 + 1, 8)
+
+    with_md5 = shingled.select(
+        "doc_id",
+        "source",
+        *[
+            F.transform(F.col("sh"), _seeded_md5(g)).alias(f"hg{g}")
+            for g in range(n_md5)
+        ],
+    )
+    pieces = [
+        F.array_min(F.transform(F.col(f"hg{s // 4}"), _hash_piece(s)))
+        for s in range(n_hashes)
+    ]
+    signed = with_md5.select(
+        "doc_id",
+        "source",
+        F.concat_ws("|", *pieces).alias("sig"),
+        # synthesized event time: deterministic 1-doc-per-second arrival
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    survivors = signed.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(
+        ["source", "sig"]
+    )
+    _run_to_memory(survivors, query_name, "append")
+    return (
+        spark.table(query_name)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_unique_docs"))
     )

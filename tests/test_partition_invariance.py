@@ -34,6 +34,9 @@ INVARIANT_QUERIES = [
     "markov_transitions",
     "bm25_top_docs",
     "rfm_user_segments",
+    # round-8 wave 35
+    "cdc_orders_state",
+    "polymorphic_trigram_topk",
 ]
 
 
