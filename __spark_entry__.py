@@ -1980,6 +1980,10 @@ def _streaming_near_dup(spark, sf_dir):
     return events_stream.streaming_near_dup_docs(spark, sf_dir)
 
 
+def _semdedup_hier(spark, sf_dir):
+    return similarity.semdedup_hier_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
 def _polymorphic_trigrams(spark, sf_dir):
     """Top trigrams via the DYNAMIC-SCHEMA UDTF (NgramExplode.analyze
     resolves (tok_1..tok_3) from the literal 3 at plan time) — the
@@ -2440,6 +2444,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_orders_state": _cdc_state,
         "streaming_near_dup_docs": _streaming_near_dup,
         "polymorphic_trigram_topk": _polymorphic_trigrams,
+        "semdedup_hier_survivors": _semdedup_hier,
     }
 
 
@@ -6641,6 +6646,136 @@ def _semdedup_oracle() -> str:
 
 
 _ORACLES["semdedup_survivors"] = _semdedup_oracle()
+
+
+def _semdedup_hier_oracle() -> str:
+    # operators/similarity.py::semdedup_hier_survivors — the two-level
+    # (IVF-style) fit reproduced in SQL: coarse Lloyd's at k1 = ceil(
+    # sqrt(auto_k)) over the corpus, then an independent Lloyd's at
+    # k2 = ceil(auto_k / k1) INSIDE each coarse cell (seeds = lowest
+    # vec_ids per cell), final cluster = cell * k2 + sub, then the
+    # standard within-cluster drop at >= 0.95. Every tie-break and
+    # rounding grain matches the Spark operator exactly.
+    from mapreduce_golang_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        KMEANS_K,
+        KMEANS_UPDATES,
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_ROWS_PER_CLUSTER,
+    )
+
+    u = KMEANS_UPDATES
+    steps = []
+    # coarse chain: assigns cd/ca 1..u+1, refreshes cc 1..u
+    for i in range(1, u + 2):
+        steps.append(
+            f"""cd{i} AS (
+        SELECT lf.vec_id, c.cell,
+               round(sum((lf.v - c.cv) * (lf.v - c.cv)), 6) AS dist
+        FROM lf JOIN cc{i - 1} c USING (dim) GROUP BY lf.vec_id, c.cell
+    ),
+    ca{i} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+            FROM cd{i}) WHERE rk = 1
+    )"""
+        )
+        if i <= u:
+            steps.append(
+                f"""cc{i} AS (
+        SELECT a.cell, lf.dim, avg(lf.v) AS cv
+        FROM lf JOIN ca{i} a USING (vec_id) GROUP BY a.cell, lf.dim
+    )"""
+            )
+    cf = u + 1
+    # fine chain: per-cell seeds from the FINAL coarse assignment
+    steps.append(
+        f"""fseeds AS (
+        SELECT vec_id, cell, frk - 1 AS sub FROM (
+            SELECT vec_id, cell,
+                   CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS BIGINT) AS frk
+            FROM ca{cf}
+        ) WHERE frk <= (SELECT kk2 FROM kh)
+    ),
+    fc0 AS (SELECT s.cell, s.sub, lf.dim, lf.v AS cv FROM lf JOIN fseeds s USING (vec_id))"""
+    )
+    for i in range(1, u + 2):
+        steps.append(
+            f"""fd{i} AS (
+        SELECT lf.vec_id, a.cell, c.sub,
+               round(sum((lf.v - c.cv) * (lf.v - c.cv)), 6) AS dist
+        FROM lf
+        JOIN ca{cf} a USING (vec_id)
+        JOIN fc{i - 1} c ON c.cell = a.cell AND c.dim = lf.dim
+        GROUP BY lf.vec_id, a.cell, c.sub
+    ),
+    fa{i} AS (
+        SELECT vec_id, cell, sub FROM (
+            SELECT vec_id, cell, sub,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, sub) AS rk
+            FROM fd{i}) WHERE rk = 1
+    )"""
+        )
+        if i <= u:
+            steps.append(
+                f"""fc{i} AS (
+        SELECT a.cell, a.sub, lf.dim, avg(lf.v) AS cv
+        FROM lf JOIN fa{i} a USING (vec_id) GROUP BY a.cell, a.sub, lf.dim
+    )"""
+            )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH lf AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(generate_series(1, {EMBEDDING_DIM})) AS t(i)
+    ),
+    kp AS (
+        SELECT greatest({KMEANS_K}, least({SEMDEDUP_MAX_K},
+               CAST(ceil(count(*) / {SEMDEDUP_ROWS_PER_CLUSTER}.0) AS BIGINT))) AS kk
+        FROM embeddings
+    ),
+    kh AS (
+        SELECT kk, CAST(ceil(sqrt(kk)) AS BIGINT) AS kk1,
+               CAST(ceil(kk / CAST(ceil(sqrt(kk)) AS BIGINT)) AS BIGINT) AS kk2
+        FROM kp
+    ),
+    cseeds AS (
+        SELECT vec_id, srk - 1 AS cell FROM (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS srk
+            FROM (SELECT DISTINCT vec_id FROM embeddings)
+        ) WHERE srk <= (SELECT kk1 FROM kh)
+    ),
+    cc0 AS (SELECT s.cell, lf.dim, lf.v AS cv FROM lf JOIN cseeds s USING (vec_id)),
+    {chained},
+    asg AS (
+        SELECT vec_id,
+               CAST(cell * (SELECT kk2 FROM kh) + sub AS BIGINT) AS cluster
+        FROM fa{cf}
+    ),
+    nrm2 AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM lf GROUP BY vec_id),
+    cpairs AS (
+        SELECT x.vec_id AS va, y.vec_id AS vb
+        FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    ccos AS (
+        SELECT p.va, p.vb,
+               round(sum(a.v * b.v) / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS c
+        FROM cpairs p
+        JOIN lf a ON a.vec_id = p.va
+        JOIN lf b ON b.vec_id = p.vb AND b.dim = a.dim
+        JOIN nrm2 na ON na.vec_id = p.va
+        JOIN nrm2 nb ON nb.vec_id = p.vb
+        GROUP BY p.va, p.vb
+    ),
+    sdropped AS (SELECT DISTINCT vb FROM ccos WHERE c >= CAST(0.95 AS DOUBLE))
+    SELECT vec_id, cluster FROM asg
+    WHERE vec_id NOT IN (SELECT vb FROM sdropped)
+    """
+
+
+_ORACLES["semdedup_hier_survivors"] = _semdedup_hier_oracle()
 
 # operators/similarity.py::embedding_stats_arrow — the mapInArrow
 # kernel's SQL twin: per-vector dim/L2/mean from the unnested values.

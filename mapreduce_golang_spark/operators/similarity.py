@@ -861,6 +861,13 @@ def semdedup_survivors(
         .select("vec_id", "e", "cluster")
         .withColumn("nrm", _norm_expr(F.col("e")))
     )
+    return _semdedup_drop_within(assigned, threshold)
+
+
+def _semdedup_drop_within(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Shared SemDeDup tail: within-cluster pair join on rounded cosine,
+    drop the higher vec_id of any pair ≥ threshold. ``assigned`` =
+    (vec_id, e, cluster, nrm)."""
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
         F.col("nrm").alias("na"), "cluster",
@@ -880,6 +887,115 @@ def semdedup_survivors(
         .distinct()
     )
     return assigned.select("vec_id", "cluster").join(dropped, "vec_id", "left_anti")
+
+
+def _kmeans_fit_grouped(pts: DataFrame, k2: int, updates: int) -> DataFrame:
+    """Per-cell Lloyd's loop: fit ``k2`` subclusters INSIDE each coarse
+    cell independently (seeds = the k2 lowest vec_ids per cell, same
+    deterministic convention as _kmeans_fit). ``pts`` = (vec_id, e,
+    cell); returns (cell, sub, c). All joins are equi-joins on cell —
+    no step ever pairs a point with another cell's centroids."""
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    cents = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k2)
+        .select(
+            "cell",
+            (F.col("_rn") - 1).cast("long").alias("sub"),
+            F.col("e").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(updates):
+        asg = _assign_grouped(pts, cents)
+        cents = (
+            asg.select("cell", "sub", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cell", "sub", "dim")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("cell", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _assign_grouped(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-subcentroid assignment WITHIN each point's cell: the
+    candidate fan-out per point is its cell's ≤k2 subcentroids (an
+    equi-join on cell), not the full k table — this is what turns the
+    flat n×k distance bill into n×k2. Ties toward the lowest sub on
+    the rounded squared distance, mirroring _kmeans_assign_to."""
+    sq = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "sub")
+    return (
+        pts.join(F.broadcast(cents), ["cell"])
+        .select("vec_id", "e", "cell", "sub", F.round(sq, 6).alias("dist"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def semdedup_hier_survivors(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    updates: int = KMEANS_UPDATES,
+) -> DataFrame:
+    """SemDeDup with a HIERARCHICAL (IVF-style) two-level fit — the
+    scale path for the auto-k regime. The flat operator's bill is
+    n × k distance evaluations per pass, and with the self-tuning
+    k = n/ROWS_PER_CLUSTER that is n²/ROWS_PER_CLUSTER — measured as
+    1.29× per-row µs growth across a 30× corpus spread (SCALING_XL.md).
+    Splitting the fit into k1 = ⌈√k⌉ coarse cells (full-corpus Lloyd's)
+    and k2 = ⌈k/k1⌉ subclusters fitted INSIDE each cell drops the bill
+    to n × (k1 + k2) ≈ n × 2√k ∝ n^1.5 while keeping ~ROWS_PER_CLUSTER
+    vectors per final cluster, so the within-cluster quadratic stays
+    bounded exactly as in the flat form. This is the faiss-IVF shape
+    SemDeDup deployments use at the 10⁹-vector scale (Abbas et al.
+    2023 run k=50k via IVF), expressed as DataFrame ops.
+
+    Fully deterministic (seed = lowest vec_ids globally and per cell;
+    ties toward the lowest cluster/sub id on rounded distances), so the
+    DuckDB oracle reproduces the whole two-level fit bit-identically.
+    Returns the surviving (vec_id, cluster) rows with
+    cluster = cell · k2 + sub.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    k = semdedup_auto_k(vecs.count())
+    import math
+
+    k1 = math.isqrt(k)
+    if k1 * k1 < k:
+        k1 += 1
+    k2 = -(-k // k1)
+    coarse = _kmeans_fit(vecs, k1, updates)
+    cells = (
+        _kmeans_assign_to(vecs, coarse)
+        .select("vec_id", "e", F.col("cluster").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    fine = _kmeans_fit_grouped(cells, k2, updates)
+    assigned = (
+        _assign_grouped(cells, fine)
+        .select(
+            "vec_id",
+            "e",
+            (F.col("cell") * k2 + F.col("sub")).cast("long").alias("cluster"),
+        )
+        .withColumn("nrm", _norm_expr(F.col("e")))
+    )
+    return _semdedup_drop_within(assigned, threshold)
 
 
 JL_DIMS = 8

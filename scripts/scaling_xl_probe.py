@@ -11,10 +11,16 @@ the synthetic corpus, not the operator. Each copy therefore gets
 content perturbed just enough to kill cross-copy similarity while
 preserving within-copy structure:
 
-- documents: a copy-specific tag token spliced in every 2 words — every
-  3-shingle of copy c contains the tag, so cross-copy shingle overlap
-  is exactly zero while each copy's internal near-dup graph is intact
-  (same docs, same relative overlaps).
+- documents: every token gets a copy-specific letters-only suffix — an
+  ISOMORPHIC token mapping, so each copy's internal near-dup graph,
+  shingle document frequencies, and Jaccard structure are preserved
+  bit-identically while cross-copy shingle overlap is exactly zero.
+  (A first attempt spliced a tag token between words instead; that
+  collapses every 3-shingle to a bigram-keyed key, bigram dfs dwarf
+  trigram dfs, within-copy similarity inflates, and the pair joins
+  measure the corrupted corpus, not the operator — minhash_lsh_pairs
+  went 8 s → 621 s at 30× from candidate blowup. Suffixing is the
+  similarity-preserving perturbation.)
 - embeddings: copy-specific deterministic sign-flip on ~half the dims
   (murmur3 parity) — cross-copy cosine ≈ 0, norms and within-copy
   geometry unchanged.
@@ -57,6 +63,7 @@ PROBES = [
     ("heaps_law_fit", "documents"),
     # embeddings: clustering / ANN / Arrow kernels
     ("semdedup_survivors", "embeddings"),
+    ("semdedup_hier_survivors", "embeddings"),
     ("ann_ivf_topk", "embeddings"),
     ("kmeans_silhouette", "embeddings"),
     ("embedding_stats_arrow", "embeddings"),
@@ -86,26 +93,30 @@ def _multiply(spark, mult: int, out_dir: str) -> None:
     for t in TABLES:
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
         dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(dst):
+        marker = f"{dst}.done"
+        if os.path.exists(marker):
             continue
+        if os.path.exists(dst):  # partial build from a crashed run
+            import shutil
+
+            shutil.rmtree(dst)
         if t in ("region", "nation", "customer", "supplier", "part"):
             # dimensions do not scale — the 100 TB shape
             src.write.mode("overwrite").parquet(dst)
+            with open(marker, "w") as mf:
+                mf.write("ok\n")
             continue
-        parts = []
         for c in range(mult):
             cp = src
             if t == "documents":
                 if c > 0:
-                    tag = f"zq{c}copyzq"
+                    # letters-only suffix (split is [^\p{L}]+) keyed by
+                    # copy: "word" -> "wordzqbc" for c=12 etc.
+                    alpha = "abcdefghijklmnopqrstuvwxyz"
+                    tag = "zq" + alpha[c // 26] + alpha[c % 26]
                     cp = cp.withColumn(
                         "text",
-                        F.expr(
-                            "array_join(flatten(transform("
-                            "  array_remove(split(text, '[^\\\\p{L}]+'), ''),"
-                            f"  (tok, i) -> IF(i % 2 = 1, array(tok, '{tag}'), array(tok))"
-                            ")), ' ')"
-                        ),
+                        F.regexp_replace(F.col("text"), r"(\p{L}+)", rf"$1{tag}"),
                     )
                 cp = cp.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
             elif t == "embeddings":
@@ -130,16 +141,21 @@ def _multiply(spark, mult: int, out_dir: str) -> None:
             elif t == "orders":
                 cp = cp.withColumn(
                     "o_orderkey", F.col("o_orderkey") + F.lit(c * 100_000_000)
-                ).withColumn("o_custkey", F.col("o_custkey"))
-            parts.append(cp)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.write.mode("overwrite").parquet(dst)
+                )
+            # one copy per write (append) — bounds peak memory at any
+            # multiplier, unlike an N-way union materialized at once
+            cp.write.mode("overwrite" if c == 0 else "append").parquet(dst)
+        with open(marker, "w") as mf:
+            mf.write("ok\n")
 
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # the 30× corpus needs real heap in local mode (one JVM is driver +
+    # all 32 executor threads); must be set before the JVM launches
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    )
     import __spark_entry__ as entrymod
     from mapreduce_golang_spark.session import get_spark
 
@@ -163,6 +179,16 @@ def main() -> None:
     for name, table in PROBES:
         series = []
         for m in [1, *MULTS]:
+            # drop cross-query JVM state before timing: operators that
+            # localCheckpoint intermediate tables leave RDD blocks
+            # referenced until Python GC runs, and accumulated blocks
+            # from EARLIER probes poison later timings with GC pressure
+            # (observed: minhash@x3 145 s inside a long session vs 7.6 s
+            # standalone — same code, same data)
+            import gc
+
+            gc.collect()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 qs[name](spark, dirs[m]).write.format("noop").mode("overwrite").save()

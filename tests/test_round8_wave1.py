@@ -178,3 +178,57 @@ def test_streaming_near_dup_collapses_near_identical(spark, tmp_path):
     out = streaming_near_dup_docs(spark, d, query_name="stream_near_dup_unit")
     got = {r.source: r.n_unique_docs for r in out.collect()}
     assert got == {"s1": 2}
+
+
+# --- hierarchical SemDeDup (wave 35 scale path) ------------------------------
+
+
+def test_semdedup_hier_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["semdedup_hier_survivors"],
+        entrymod.oracle_sql()["semdedup_hier_survivors"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_semdedup_hier_drops_exact_duplicates(spark):
+    """Exact-duplicate vectors are always co-clustered (identical
+    distances → identical assignment at every level), so the drop is
+    clustering-independent: of each duplicate pair the higher vec_id
+    must go, whatever k1/k2 the corpus size derives."""
+    import pandas as pd
+
+    rows = []
+    for i in range(200):
+        base = [float((i * 37 + d * 11) % 97) / 97.0 for d in range(64)]
+        rows.append((i, base, i % 5))
+    # ten exact duplicates of vectors 0..9 with high ids
+    for j in range(10):
+        rows.append((1000 + j, rows[j][1], j % 5))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df = spark.createDataFrame(pdf)
+    from mapreduce_golang_spark.operators.similarity import semdedup_hier_survivors
+
+    out = semdedup_hier_survivors(df)
+    ids = {r.vec_id for r in out.collect()}
+    assert all(1000 + j not in ids for j in range(10)), ids & {1000 + j for j in range(10)}
+    assert all(j in ids for j in range(10))
+
+
+def test_semdedup_hier_k_split_shape():
+    """k1 = ceil(sqrt(k)), k2 = ceil(k/k1): the n×(k1+k2) ≈ n×2√k
+    distance bill that replaces the flat n×k."""
+    import math
+
+    from mapreduce_golang_spark.operators.similarity import semdedup_auto_k
+
+    for n in (500, 2000, 60000, 512000):
+        k = semdedup_auto_k(n)
+        k1 = math.isqrt(k)
+        if k1 * k1 < k:
+            k1 += 1
+        k2 = -(-k // k1)
+        assert k1 * k2 >= k  # every derived cluster id is addressable
+        assert k1 + k2 <= 2 * k1 + 1  # balanced split: the 2*sqrt(k) bill
