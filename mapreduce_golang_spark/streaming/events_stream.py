@@ -675,8 +675,12 @@ def streaming_near_dup_docs(
         # synthesized event time: deterministic 1-doc-per-second arrival
         F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
     )
-    survivors = signed.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(
-        ["source", "sig"]
+    survivors = (
+        signed.withWatermark("ts", "7 days")
+        .dropDuplicatesWithinWatermark(["source", "sig"])
+        # the drain only counts per source — don't ship 26-char-x12
+        # signature strings into the sink
+        .select("source")
     )
     _run_to_memory(survivors, query_name, "append")
     return (
