@@ -2086,8 +2086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # every round-7-era query has a driver row (291/291 cumulative). Any
 # round-8 additions register BELOW slot 50 and form the ROUND-9
 # ROTATION LIST (wave 35): cdc_orders_state, streaming_near_dup_docs,
-# polymorphic_trigram_topk — put these first in the round-9 window,
-# padded to 50 with already-green queries.
+# polymorphic_trigram_topk, semdedup_hier_survivors — put these first
+# in the round-9 window, padded to 50 with already-green queries.
 # The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
 # these first in the round-8 window, then any round-7 additions
 # registered below slot 50): mann_whitney_u, user_journey_signatures,
