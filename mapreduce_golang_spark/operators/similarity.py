@@ -216,6 +216,18 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> Data
 KMEANS_K = 4
 KMEANS_UPDATES = 2
 
+#: Hard cap on how many centroid rows a broadcast HINT may force.
+#: The flat assignment expansion needs the centroid table on every
+#: task; the hint is only safe when the build side is provably bounded
+#: by a CONSTANT, never by a corpus-derived count (round-8 verdict:
+#: under auto-k, k tracks n/ROWS_PER_CLUSTER — a driver-side
+#: scale-killer if hinted unconditionally). 8192 rows of O(100)-dim
+#: double vectors ≈ 6 MiB — inside Spark's default 10 MiB broadcast
+#: threshold. Above the cap (or when the caller can't bound k) the
+#: join is left unhinted: Spark distributes the expansion across tasks
+#: instead of collecting the table to the driver.
+BROADCAST_CENTROIDS_MAX = 8192
+
 
 def kmeans_assign(
     embeddings: DataFrame,
@@ -249,31 +261,47 @@ def kmeans_assign(
     )
     if centroids is None:
         centroids = _kmeans_fit(vecs, k, updates)
-    return _kmeans_assign_to(vecs, centroids).select(
+    return _kmeans_assign_to(vecs, centroids, k_rows=k).select(
         "vec_id", "cluster", F.round("dist", 4).alias("dist")
     )
 
 
-def _kmeans_alldists(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _kmeans_alldists(
+    vecs: DataFrame, cents: DataFrame, k_rows: int | None = None
+) -> DataFrame:
     """(vec_id, e, cluster, dist) for EVERY (vector, centroid) pair —
     squared distance rounded to 6 (the engine-portability grain every
-    downstream comparison shares)."""
+    downstream comparison shares).
+
+    ``k_rows`` is the caller's PROVEN bound on the centroid count: the
+    broadcast hint is attached only when it is known and within
+    BROADCAST_CENTROIDS_MAX. An unknown or over-cap count leaves the
+    cross expansion unhinted so the planner never driver-collects a
+    corpus-proportional table (round-8 verdict #1)."""
     sq = F.aggregate(
         F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    return vecs.join(F.broadcast(cents), F.lit(True)).select(
+    build = (
+        F.broadcast(cents)
+        if k_rows is not None and k_rows <= BROADCAST_CENTROIDS_MAX
+        else cents
+    )
+    return vecs.join(build, F.lit(True)).select(
         "vec_id", "e", "cluster", F.round(sq, 6).alias("dist")
     )
 
 
-def _kmeans_assign_to(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _kmeans_assign_to(
+    vecs: DataFrame, cents: DataFrame, k_rows: int | None = None
+) -> DataFrame:
     """Top-1 (nearest-centroid) assignment, ties toward the lowest
-    cluster id on the rounded squared distance."""
+    cluster id on the rounded squared distance. ``k_rows`` = the
+    caller's bound on the centroid count (gates the broadcast hint)."""
     w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
     return (
-        _kmeans_alldists(vecs, cents)
+        _kmeans_alldists(vecs, cents, k_rows=k_rows)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .drop("rk")
@@ -309,7 +337,7 @@ def _kmeans_fit(vecs: DataFrame, k: int, updates: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(updates):
-        assigned = _kmeans_assign_to(vecs, centroids)
+        assigned = _kmeans_assign_to(vecs, centroids, k_rows=k)
         centroids = (
             assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -356,7 +384,7 @@ def kmeans_silhouette(
     )
     cents = _kmeans_fit(vecs, k, updates) if centroids is None else centroids
     per_vec = (
-        _kmeans_alldists(vecs, cents)
+        _kmeans_alldists(vecs, cents, k_rows=k)
         .groupBy("vec_id")
         .agg(F.sort_array(F.collect_list(F.struct("dist", "cluster"))).alias("ds"))
         .select(
@@ -684,7 +712,9 @@ def cluster_balanced_sample(
     )
     if centroids is None:
         centroids = _kmeans_fit(vecs, k, updates)
-    assigned = _kmeans_assign_to(vecs, centroids).select("vec_id", "cluster")
+    assigned = _kmeans_assign_to(vecs, centroids, k_rows=k).select(
+        "vec_id", "cluster"
+    )
     keyed = assigned.withColumn(
         "_key", _md5_bucket(F.col("vec_id").cast("string"), 1_000_000)
     )
@@ -857,7 +887,7 @@ def semdedup_survivors(
     if centroids is None or k != KMEANS_K:
         centroids = _kmeans_fit(vecs, k, updates)
     assigned = (
-        _kmeans_assign_to(vecs, centroids)
+        _kmeans_assign_to(vecs, centroids, k_rows=k)
         .select("vec_id", "e", "cluster")
         .withColumn("nrm", _norm_expr(F.col("e")))
     )
@@ -929,7 +959,15 @@ def _assign_grouped(pts: DataFrame, cents: DataFrame) -> DataFrame:
     candidate fan-out per point is its cell's ≤k2 subcentroids (an
     equi-join on cell), not the full k table — this is what turns the
     flat n×k distance bill into n×k2. Ties toward the lowest sub on
-    the rounded squared distance, mirroring _kmeans_assign_to."""
+    the rounded squared distance, mirroring _kmeans_assign_to.
+
+    The cents side carries k1×k2 ≈ k rows, and under auto-k that
+    tracks the corpus — so this join is deliberately UNHINTED (round-8
+    verdict #1: a forced broadcast here driver-collects a
+    corpus-proportional table at the operator's own 10⁹-vector target).
+    As a plain equi-join on cell it plans as a shuffle hash join that
+    scales with executors; AQE still converts it to a broadcast join
+    at runtime whenever the measured build side is actually small."""
     sq = F.aggregate(
         F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -937,7 +975,7 @@ def _assign_grouped(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "sub")
     return (
-        pts.join(F.broadcast(cents), ["cell"])
+        pts.join(cents, ["cell"])
         .select("vec_id", "e", "cell", "sub", F.round(sq, 6).alias("dist"))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
@@ -981,7 +1019,7 @@ def semdedup_hier_survivors(
     k2 = -(-k // k1)
     coarse = _kmeans_fit(vecs, k1, updates)
     cells = (
-        _kmeans_assign_to(vecs, coarse)
+        _kmeans_assign_to(vecs, coarse, k_rows=k1)
         .select("vec_id", "e", F.col("cluster").alias("cell"))
         .localCheckpoint(eager=True)
     )

@@ -251,6 +251,49 @@ def test_no_unbounded_nested_loop_joins_anywhere(spark, sf_dir):
         assert nlj <= _BOUNDED_NLJ_OK.get(name, 0), name
 
 
+def test_no_corpus_proportional_broadcast_in_semdedup(spark, sf_dir):
+    """Round-8 verdict #1: under auto-k the centroid table tracks the
+    corpus (n/ROWS_PER_CLUSTER rows), so a forced broadcast of it is a
+    driver-side scale-killer at the operator's 10⁹-vector target. The
+    contract: (a) the flat assignment expansion attaches its broadcast
+    hint ONLY when the caller proves the centroid count is within the
+    constant BROADCAST_CENTROIDS_MAX — unknown or over-cap counts stay
+    unhinted; (b) the hierarchical fine-assignment equi-join carries no
+    hint at all (it is THE scale path — AQE may still broadcast at
+    runtime when the measured build side is small, but nothing in the
+    plan can force a corpus-proportional driver collect)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.operators import similarity as S
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = vecs.limit(2).select(
+        F.lit(0).cast("long").alias("cluster"), F.col("e").alias("c")
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # bounded k -> hint allowed (keeps the constant-k fast path)
+    assert "ResolvedHint" in analyzed(S._kmeans_alldists(vecs, cents, k_rows=2))
+    # unknown or over-cap k -> the hint must NOT survive
+    for k_rows in (None, S.BROADCAST_CENTROIDS_MAX + 1):
+        assert "ResolvedHint" not in analyzed(
+            S._kmeans_alldists(vecs, cents, k_rows=k_rows)
+        ), f"k_rows={k_rows} forced a broadcast of a possibly-unbounded table"
+    # hierarchical fine assignment: plain equi-join on cell, never hinted
+    pts = vecs.withColumn("cell", F.lit(0).cast("long"))
+    fine = cents.select(
+        F.lit(0).cast("long").alias("cell"),
+        F.col("cluster").alias("sub"),
+        "c",
+    )
+    assert "ResolvedHint" not in analyzed(S._assign_grouped(pts, fine))
+
+
 def test_reachability_recursion_is_equi_join(spark, sf_dir):
     # the recursive step must stay a hash join on the symmetrized edge
     # list; the pair graph itself is materialized once (localCheckpoint)
