@@ -12,6 +12,16 @@ Each query is forced end-to-end with the noop sink (full execution,
 no driver-side collect). A short warmup query absorbs JVM/codegen
 startup so per-query numbers measure the plan, not the JIT.
 
+Per-query timing is MIN-OF-2 (round-8 verdict #4): a single pass made
+head-of-run queries pay JIT warm-up and shared-derivation attribution
+(the materialize-once registries land on whichever consumer runs
+first), producing 3-7× per-query swings between rounds that tracked
+the rotation, not the code. Back-to-back double execution with the
+min keeps steady-state attribution: the first run pays any one-time
+derivation, the second hits the session-lived checkpoint, and the min
+reports the plan's own cost. The one-time derivation cost still shows
+up once in total wall time via the "wall_sec_all_passes" field.
+
 The printed line must survive the driver's tail capture (observed:
 BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
 that, so an every-query dict made ``parsed: null`` in rounds 1-3).
@@ -49,13 +59,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    wall_all = 0.0
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):  # min-of-2: see module docstring
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
         except Exception as e:  # record, keep benching the rest
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            if not runs:
+                failures[name] = f"{type(e).__name__}: {e}"[:200]
+        if runs:
+            timings[name] = round(min(runs), 3)
+            wall_all += sum(runs)
 
     sf_token = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -70,6 +87,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "timing": "min_of_2",
+        "wall_sec_all_passes": round(wall_all, 3),
         "master": spark.sparkContext.master,
         "spark_version": spark.version,
     }

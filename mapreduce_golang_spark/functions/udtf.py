@@ -77,8 +77,23 @@ class NgramExplode:
         from pyspark.sql.types import StringType, StructType
         from pyspark.sql.udtf import AnalyzeResult
 
-        if not isinstance(n.value, int) or not (1 <= n.value <= 16):
-            raise ValueError("ngram_explode: n must be a literal int in [1, 16]")
+        # n.value is None when the argument is not a foldable literal
+        # (e.g. a column reference) — a distinct failure from a literal
+        # that is out of range; bool is rejected explicitly because it
+        # passes isinstance(..., int) (ngram_explode(text, true) would
+        # otherwise silently mean n=1)
+        if n.value is None:
+            raise ValueError(
+                "ngram_explode: n must be a LITERAL int (got a non-constant "
+                "expression — the output schema is resolved at plan time)"
+            )
+        if isinstance(n.value, bool) or not isinstance(n.value, int) or not (
+            1 <= n.value <= 16
+        ):
+            raise ValueError(
+                f"ngram_explode: n must be a literal int in [1, 16], got "
+                f"{n.value!r}"
+            )
         schema = StructType()
         for i in range(n.value):
             schema = schema.add(f"tok_{i + 1}", StringType())

@@ -59,6 +59,46 @@ def explode_salts(df: DataFrame, key_col: str, n_salts: int = 16, out: str = "sa
     ).drop("_salt")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """APPLIED salted equi-join — the explicit defense for the skew case
+    AQE's skew split provably misses (SKEW_AB.md experiment D: skew
+    detection reads COMPRESSED shuffle bytes, so a low-entropy hot key
+    whose partition crushes ~100x under lz4 evades the split and
+    serializes into one sort-merge task; join_key_skew_advisory's
+    salt_factor column is the planning input that picks n_salts).
+
+    Mechanics: the fact side gets a deterministic salt in
+    [0, n_salts) — xxhash64 of ``salt_from`` (a unique row id when the
+    caller has one) or of every fact column — and the dim side is
+    replicated once per salt value, so the join key becomes
+    (key, salt) and the hot key's probe rows spread across n_salts
+    reducers instead of one. The result is row-identical to
+    ``fact.join(dim, key)`` for ANY salt assignment (the salt only
+    relocates rows between reducers), which is what makes the operator
+    oracle-checkable with a plain SQL join. Cost: the dim's shuffle
+    volume × n_salts — the right trade when the dim is too big (or,
+    post-AQE-split, too row-heavy) to broadcast but small next to the
+    hot key's share of the fact.
+
+    Returns the plain-join schema (key, fact columns, dim's non-key
+    columns) — the salt never leaks.
+    """
+    salt_src = [F.col(salt_from)] if salt_from else [F.col(c) for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
 def join_key_skew_report(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Per-key cardinality profile of a prospective join/agg key — the
     diagnostic a pipeline runs BEFORE choosing between a plain shuffle

@@ -363,7 +363,7 @@ def streaming_user_stats_tws(
     than crashing the streaming query mid-flight). The older
     applyInPandasWithState operator above has no such dependency and
     remains the always-available stateful surface.
-    (Probed each round; still absent as of round 8, 2026-08-15.)
+    (Probed each round; still absent as of round 9, 2026-08-15.)
     """
     try:
         import google.protobuf  # noqa: F401
@@ -591,6 +591,16 @@ def streaming_hourly_ohlc(
     )
 
 
+#: Affine minhash mixing constants (seed s: (Aₛ·h + Bₛ) mod P with
+#: Aₛ = MINHASH_MIX_A + 2s odd, Bₛ = MINHASH_MIX_B·s + 12345, over the
+#: 28-bit shingle hash h). P is the largest prime < 2³², A the Knuth
+#: multiplicative constant; the DuckDB oracle hard-codes the same
+#: formula, so these are part of the cross-engine signature contract.
+MINHASH_MIX_A = 2_654_435_761
+MINHASH_MIX_B = 104_729
+MINHASH_MIX_P = 4_294_967_291
+
+
 def streaming_near_dup_docs(
     spark: SparkSession,
     sf_dir: str,
@@ -608,23 +618,60 @@ def streaming_near_dup_docs(
     setting when the drop is irreversible (a stream emits once).
 
     The signature is a pure SCALAR column expression — per-doc shingle
-    array sliced in one codegen stage, then array_min over the same
-    md5 string-math as the batch operator (4 seeds per md5, see
-    dedup.py::_minhash_band_candidates) — so it streams row-by-row
-    with NO aggregation before the stateful dedup. State is one row
-    per distinct (source, sig) inside the watermark horizon; at
-    production scale the horizon bounds state exactly like the batch
-    cap bounds postings. Docs carry no timestamp in the fixture, so
-    event time is synthesized deterministically from doc_id (1 doc/s
-    arrival); the dedup key includes source so per-source counts stay
-    deterministic regardless of which copy survives a cross-source
-    collision race.
+    array sliced in one codegen stage — so it streams row-by-row with
+    NO aggregation before the stateful dedup. Round-9 cost cut
+    (round-8 verdict #5): the signature now pays ONE md5 per shingle
+    (28 hex bits parsed to an integer) and derives the ``n_hashes``
+    minhashes as affine integer mixes (aₛ·h + bₛ) mod P — the md5
+    string math that dominated the old 3-md5-per-shingle form is gone,
+    and the per-seed work is a codegen multiply/add/mod on a long.
+    The DuckDB oracle reproduces the identical integer formula
+    (CAST('0x'||substr(md5(x),1,7) AS BIGINT) ≡ conv(...,16,10)), so
+    the signature stays engine-portable. State is one row per distinct
+    (source, sig) inside the watermark horizon; at production scale
+    the horizon bounds state exactly like the batch cap bounds
+    postings. Docs carry no timestamp in the fixture, so event time is
+    synthesized deterministically from doc_id at 1 doc/s, WRAPPED into
+    the watermark horizon (pmod(doc_id, 600000) s < the 7-day
+    watermark) so arbitrarily large doc_id spans — e.g. the 10M-offset
+    self-multiplied xl fixtures — can never cross the horizon and get
+    late-dropped (round-8 advice).
+
+    Contract: equality with the batch distinct-signature oracle holds
+    when the availableNow drain is a SINGLE micro-batch (the fixture
+    is one parquet file; maxFilesPerTrigger is unset, so the drain is
+    one batch). A multi-batch drain is still correct streaming-dedup
+    semantics, but rows arriving after the watermark has advanced past
+    their wrapped ts would be late-dropped and the count could diverge
+    from the batch oracle. Note read_documents_stream glob-filters on
+    the literal file name ``documents.parquet``; a DIRECTORY-shaped
+    fixture would match zero files — repoint the glob before reusing
+    this reader on partitioned corpora.
 
     Returns (source, n_unique_docs) — the per-source count of
     surviving (near-dup-distinct) documents; on finite availableNow
     input this equals the batch distinct-signature count, which the
     oracle computes directly.
     """
+    survivors = near_dup_survivors_stream(spark, sf_dir, k=k, n_hashes=n_hashes)
+    _run_to_memory(survivors, query_name, "append")
+    return (
+        spark.table(query_name)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_unique_docs"))
+    )
+
+
+def near_dup_survivors_stream(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_hashes: int = 12
+) -> DataFrame:
+    """The sink-agnostic streaming core of streaming_near_dup_docs:
+    shingle → one-md5 integer hash → affine minhash signature →
+    watermark → dropDuplicatesWithinWatermark, returned BEFORE any
+    sink so production callers attach their own (foreachBatch parquet,
+    kafka, ...) — tests/test_round9_wave1.py proves the foreachBatch
+    parquet drain emits the same survivors as the memory sink. Emits
+    (source,) rows, one per surviving document."""
     from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
 
     docs = read_documents_stream(spark, sf_dir)
@@ -645,46 +692,45 @@ def streaming_near_dup_docs(
             f"ELSE array() END"
         ).alias("sh"),
     ).where(F.size("sh") > 0)
-    n_md5 = (n_hashes + 3) // 4
 
-    # closure factories, NOT `lambda x, g=g`: F.transform treats an
-    # arity-2 lambda as (element, index) and would pass the ARRAY INDEX
-    # into the second parameter, silently shadowing the seed
-    def _seeded_md5(g: int):
-        return lambda x: F.md5(F.concat(F.lit(f"{g}#"), x))
-
-    def _hash_piece(s: int):
-        return lambda h: F.substring(h, (s % 4) * 8 + 1, 8)
-
-    with_md5 = shingled.select(
+    # one 28-bit integer hash per shingle: 7 hex chars of ONE md5.
+    # 28 bits keeps aₛ·h + bₛ ≤ 2^60 — no bigint overflow in either
+    # engine. (closure factory, NOT `lambda x, s=s`: F.transform
+    # treats an arity-2 lambda as (element, index) and would pass the
+    # ARRAY INDEX into the second parameter, silently shadowing the
+    # seed.)
+    hashed = shingled.select(
         "doc_id",
         "source",
-        *[
-            F.transform(F.col("sh"), _seeded_md5(g)).alias(f"hg{g}")
-            for g in range(n_md5)
-        ],
+        F.transform(
+            F.col("sh"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"),
+        ).alias("hs"),
     )
-    pieces = [
-        F.array_min(F.transform(F.col(f"hg{s // 4}"), _hash_piece(s)))
-        for s in range(n_hashes)
-    ]
-    signed = with_md5.select(
+
+    def _affine_min(s: int):
+        a = MINHASH_MIX_A + 2 * s
+        b = MINHASH_MIX_B * s + 12345
+        return F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MIX_P)
+            )
+        )
+
+    signed = hashed.select(
         "doc_id",
         "source",
-        F.concat_ws("|", *pieces).alias("sig"),
-        # synthesized event time: deterministic 1-doc-per-second arrival
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        F.concat_ws("|", *[_affine_min(s) for s in range(n_hashes)]).alias("sig"),
+        # synthesized event time: deterministic 1-doc-per-second
+        # arrival, wrapped WELL inside the 7-day watermark horizon
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.col("doc_id"), F.lit(600_000))
+        ).alias("ts"),
     )
-    survivors = (
+    return (
         signed.withWatermark("ts", "7 days")
         .dropDuplicatesWithinWatermark(["source", "sig"])
-        # the drain only counts per source — don't ship 26-char-x12
+        # downstream only counts per source — don't ship 12-piece
         # signature strings into the sink
         .select("source")
-    )
-    _run_to_memory(survivors, query_name, "append")
-    return (
-        spark.table(query_name)
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_unique_docs"))
     )

@@ -12,7 +12,9 @@ steal-free run); this script measures min-of-N interleaved (scale
 rotates inside each repetition so a slow regime cannot bias one scale)
 and appends a second table to SCALING_XL.md.
 
-Run:  python scripts/scaling_xl_median.py [N]      # default 3
+Run:  python scripts/scaling_xl_median.py [N] [probe1,probe2,...]
+      # default N=3, all PROBES; the optional second arg restricts the
+      # run to a named subset (e.g. re-proving one row after a fix)
 """
 
 from __future__ import annotations
@@ -44,6 +46,13 @@ PROBES = [
 
 def main() -> None:
     n_reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    probes = PROBES
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2].split(","))
+        probes = [p for p in PROBES if p[0] in wanted]
+        missing = wanted - {p[0] for p in probes}
+        if missing:
+            raise SystemExit(f"unknown probes: {sorted(missing)}")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
     import __spark_entry__ as entrymod
@@ -62,7 +71,7 @@ def main() -> None:
 
     rows: dict[tuple[int, str], int] = {}
     for m, d in dirs.items():
-        for t in {t for _, t in PROBES}:
+        for t in {t for _, t in probes}:
             rows[(m, t)] = spark.read.parquet(f"{d}/{t}.parquet").count()
 
     # warmup
@@ -70,8 +79,15 @@ def main() -> None:
 
     walls: dict[tuple[str, int], list[float]] = {}
     for rep in range(n_reps):
-        for name, _t in PROBES:
+        for name, _t in probes:
             for m, d in dirs.items():
+                # drop the session-lived materialize-once derivations
+                # (pair graph, trigram NLL, centroids, …) BEFORE the
+                # timed run: without this, repeats of shared-derivation
+                # probes hit the localCheckpoint and report ~0 s cached
+                # minima (round-8 advice). gc.collect() then lets the
+                # ContextCleaner free the orphaned checkpoint blocks.
+                entrymod.reset_derived_caches()
                 gc.collect()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
@@ -93,7 +109,7 @@ def main() -> None:
         "| query | min s x1 | x3 | x10 | x30 | µs/row x1 | µs/row x30 | per-row growth | max/min spread |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, table in PROBES:
+    for name, table in probes:
         mins, spread = {}, 0.0
         for m in (1, 3, 10, 30):
             series = walls[(name, m)]

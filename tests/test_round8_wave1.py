@@ -127,7 +127,7 @@ def test_ngram_explode_schema_follows_argument(spark):
     assert (rows[0].tok_1, rows[0].tok_4) == ("alpha", "delta")
 
 
-def test_ngram_explode_rejects_non_literal_n(spark):
+def test_ngram_explode_rejects_out_of_range_n(spark):
     from mapreduce_golang_spark.functions.udtf import register_udtfs
 
     register_udtfs(spark)
@@ -137,6 +137,36 @@ def test_ngram_explode_rejects_non_literal_n(spark):
     with pytest.raises(Exception):
         spark.sql(
             "SELECT * FROM ngx_bad, LATERAL ngram_explode(text, 99)"
+        ).collect()
+
+
+def test_ngram_explode_rejects_non_literal_n(spark):
+    # a column reference reaches analyze() with n.value None — the
+    # schema cannot be resolved at plan time and must fail cleanly
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]).createOrReplaceTempView(
+        "ngx_bad2"
+    )
+    with pytest.raises(Exception):
+        spark.sql(
+            "SELECT * FROM ngx_bad2, LATERAL ngram_explode(text, doc_id)"
+        ).collect()
+
+
+def test_ngram_explode_rejects_boolean_literal_n(spark):
+    # bool passes isinstance(..., int); ngram_explode(text, true) must
+    # NOT silently mean n=1
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]).createOrReplaceTempView(
+        "ngx_bad3"
+    )
+    with pytest.raises(Exception):
+        spark.sql(
+            "SELECT * FROM ngx_bad3, LATERAL ngram_explode(text, true)"
         ).collect()
 
 
