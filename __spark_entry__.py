@@ -2071,6 +2071,35 @@ def _salted_segment_value(spark, sf_dir):
     )
 
 
+def _sessionize_table_udtf(spark, sf_dir):
+    """functions/udtf.py::SessionizeEvents — the TABLE-argument UDTF
+    capability class: the engine partitions events BY user_id, orders
+    each group by (us, event_id), and streams the group through one
+    stateful Python instance (terminate() closes the last session).
+    Output is post-processed to the exact sessionize schema, so the
+    query shares sessionize's DuckDB oracle verbatim. Engine-feature
+    demo — the hot path remains the lag+cumsum window sessionize."""
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").select(
+        "user_id", F_.unix_micros("ts").alias("us"), "event_id"
+    ).createOrReplaceTempView("_sess_tf_in")
+    out = spark.sql(
+        "SELECT * FROM sessionize_tf(TABLE(_sess_tf_in) "
+        "PARTITION BY user_id ORDER BY (us, event_id))"
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        F_.date_format(
+            F_.timestamp_micros(F_.col("start_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_start"),
+        "n_events",
+        F_.round(F_.col("dur_us") / F_.lit(1_000_000.0), 6).alias("duration_secs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND9_HEAD:
@@ -2113,8 +2142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # padded to 50 with 46 sub-second hash-green queries. Done =
 # CORRECTNESS_r09 50/50 → driver-cumulative 295/295. Any round-9
 # additions register BELOW slot 50 and form the ROUND-10 ROTATION LIST
-# (wave 36 so far: salted_segment_value — put it first in the round-10
-# window, padded to 50 with already-green queries).
+# (wave 36: salted_segment_value, sessionize_table_udtf — put these
+# first in the round-10 window, padded to 50 with already-green
+# queries).
 # The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
 # these first in the round-8 window, then any round-7 additions
 # registered below slot 50): mann_whitney_u, user_journey_signatures,
@@ -2474,6 +2504,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "semdedup_hier_survivors": _semdedup_hier,
         # --- wave 36 (round 9, below slot 50 → ROUND-10 ROTATION LIST) ---
         "salted_segment_value": _salted_segment_value,
+        "sessionize_table_udtf": _sessionize_table_udtf,
     }
 
 
@@ -9646,6 +9677,12 @@ _ORACLES["salted_segment_value"] = """
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
 """
+
+# functions/udtf.py::SessionizeEvents via _sessionize_table_udtf — the
+# TABLE-argument UDTF reproduces windows.py::sessionize exactly (same
+# gap rule, 1-based session_seq, same output grain), so it shares the
+# sessionize oracle verbatim
+_ORACLES["sessionize_table_udtf"] = _ORACLES["sessionize"]
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -140,6 +140,9 @@ def main() -> None:
         "embedding_stats_arrow",
         "prefix_filter_jaccard_pairs",
         "value_distribution_distances",
+        # round 9: applied salted join + hierarchical SemDeDup post-fix
+        "salted_segment_value",
+        "semdedup_hier_survivors",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}

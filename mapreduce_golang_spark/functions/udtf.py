@@ -109,10 +109,63 @@ class NgramExplode:
             yield tuple(toks[i : i + n])
 
 
+@udtf(
+    returnType="user_id bigint, session_seq bigint, start_us bigint, "
+    "n_events bigint, dur_us bigint"
+)
+class SessionizeEvents:
+    """TABLE-ARGUMENT UDTF: per-group stateful sessionization driven by
+    the engine's `TABLE(...) PARTITION BY user_id ORDER BY us, event_id`
+    contract — Spark instantiates one object per partition group, feeds
+    eval() the group's rows IN ORDER, and calls terminate() at group
+    end. This is a third UDTF capability class next to the fixed-schema
+    LATERAL emitter (SentenceSplitter) and the polymorphic analyze()
+    UDTF (NgramExplode): the input is a whole partitioned relation, not
+    a scalar column, and the function holds running state across the
+    group — the DataFrame-native form of the classic reduce-side
+    streaming iterator. Semantics are EXACTLY windows.py::sessionize
+    (new session when the inter-event gap exceeds GAP_US; session_seq
+    1-based), so the registered query shares sessionize's DuckDB
+    oracle verbatim. Demo surface: the hot path remains the
+    lag+cumsum window form, which stays in whole-stage codegen.
+    """
+
+    GAP_US = 1_800_000_000  # 30 min, as windows.py::sessionize
+
+    def __init__(self):
+        self._user = None
+        self._seq = 0
+        self._n = 0
+        self._first = None
+        self._last = None
+
+    def _flush(self):
+        return (self._user, self._seq, self._first, self._n, self._last - self._first)
+
+    def eval(self, row):  # noqa: D102 — contract is the class doc
+        us = row.us
+        if self._last is not None and us - self._last > self.GAP_US:
+            yield self._flush()
+            self._seq += 1
+            self._n = 0
+            self._first = us
+        if self._first is None:
+            self._user, self._seq, self._first = row.user_id, 1, us
+        self._n += 1
+        self._last = us
+
+    def terminate(self):  # noqa: D102
+        if self._user is not None:
+            yield self._flush()
+
+
 def register_udtfs(spark) -> None:
     """Register the UDTF surface on a session (SQL names:
     `split_sentences`, used as `... , LATERAL split_sentences(text)`;
     `ngram_explode`, used as `... , LATERAL ngram_explode(text, 3)` —
-    schema resolved per call site by NgramExplode.analyze)."""
+    schema resolved per call site by NgramExplode.analyze;
+    `sessionize_tf`, used as `... FROM sessionize_tf(TABLE(v)
+    PARTITION BY user_id ORDER BY us, event_id)`)."""
     spark.udtf.register("split_sentences", SentenceSplitter)
     spark.udtf.register("ngram_explode", udtf(NgramExplode, useArrow=True))
+    spark.udtf.register("sessionize_tf", SessionizeEvents)

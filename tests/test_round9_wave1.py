@@ -128,3 +128,67 @@ def test_near_dup_stream_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+# --- table-argument UDTF (wave 36 second entry) -------------------------------
+
+
+def test_sessionize_table_udtf_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["sessionize_table_udtf"],
+        entrymod.oracle_sql()["sessionize_table_udtf"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_sessionize_table_udtf_equals_window_form(spark, sf_dir):
+    # the stateful per-group UDTF must reproduce the lag+cumsum window
+    # operator row-for-row (same gap rule, same 1-based session_seq)
+    from mapreduce_golang_spark.operators.windows import sessionize
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    want = sorted(
+        map(tuple, sessionize(load_table(spark, sf_dir, "events")).collect())
+    )
+    got = sorted(
+        map(tuple, entrymod.queries()["sessionize_table_udtf"](spark, sf_dir).collect())
+    )
+    assert got == want
+
+
+def test_sessionize_udtf_terminate_closes_last_session(spark):
+    # a user whose events all sit inside one gap must still emit —
+    # that row can only come from terminate()
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, 1_000_000, 10), (1, 2_000_000, 11), (2, 5_000_000, 12)],
+        ["user_id", "us", "event_id"],
+    ).createOrReplaceTempView("_sess_tf_unit")
+    rows = spark.sql(
+        "SELECT * FROM sessionize_tf(TABLE(_sess_tf_unit) "
+        "PARTITION BY user_id ORDER BY (us, event_id))"
+    ).collect()
+    got = {(r.user_id, r.session_seq): (r.n_events, r.dur_us) for r in rows}
+    assert got == {(1, 1): (2, 1_000_000), (2, 1): (1, 0)}
+
+
+def test_sessionize_udtf_splits_on_gap(spark):
+    from mapreduce_golang_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    gap = 1_800_000_000
+    spark.createDataFrame(
+        [(7, 0, 1), (7, gap, 2), (7, 2 * gap + 1, 3)],
+        ["user_id", "us", "event_id"],
+    ).createOrReplaceTempView("_sess_tf_unit2")
+    rows = spark.sql(
+        "SELECT * FROM sessionize_tf(TABLE(_sess_tf_unit2) "
+        "PARTITION BY user_id ORDER BY (us, event_id))"
+    ).collect()
+    # gap of exactly GAP_US does NOT split (strict >, as the window form)
+    got = sorted((r.session_seq, r.n_events) for r in rows)
+    assert got == [(1, 2), (2, 1)]
