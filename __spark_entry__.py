@@ -2100,6 +2100,12 @@ def _sessionize_table_udtf(spark, sf_dir):
     )
 
 
+def _asof_cogrouped(spark, sf_dir):
+    return analytics.last_click_before_purchase_cogrouped(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND9_HEAD:
@@ -2142,9 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # padded to 50 with 46 sub-second hash-green queries. Done =
 # CORRECTNESS_r09 50/50 → driver-cumulative 295/295. Any round-9
 # additions register BELOW slot 50 and form the ROUND-10 ROTATION LIST
-# (wave 36: salted_segment_value, sessionize_table_udtf — put these
-# first in the round-10 window, padded to 50 with already-green
-# queries).
+# (wave 36: salted_segment_value, sessionize_table_udtf,
+# asof_cogrouped_clicks — put these first in the round-10 window,
+# padded to 50 with already-green queries).
 # The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
 # these first in the round-8 window, then any round-7 additions
 # registered below slot 50): mann_whitney_u, user_journey_signatures,
@@ -2505,6 +2511,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- wave 36 (round 9, below slot 50 → ROUND-10 ROTATION LIST) ---
         "salted_segment_value": _salted_segment_value,
         "sessionize_table_udtf": _sessionize_table_udtf,
+        "asof_cogrouped_clicks": _asof_cogrouped,
     }
 
 
@@ -9683,6 +9690,11 @@ _ORACLES["salted_segment_value"] = """
 # gap rule, 1-based session_seq, same output grain), so it shares the
 # sessionize oracle verbatim
 _ORACLES["sessionize_table_udtf"] = _ORACLES["sessionize"]
+
+# analytics.py::last_click_before_purchase_cogrouped — the cogrouped-map
+# (two-input per-key applyInPandas) form reproduces the windowed as-of
+# join exactly, so it shares last_click_before_purchase's oracle
+_ORACLES["asof_cogrouped_clicks"] = _ORACLES["last_click_before_purchase"]
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -228,6 +228,101 @@ def last_click_before_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+def last_click_before_purchase_cogrouped(events: DataFrame) -> DataFrame:
+    """As-of join, COGROUPED-MAP form: the same purchase→latest-prior-
+    click semantics as last_click_before_purchase, expressed through
+    Spark's cogrouped-map API — ``purchases.groupBy(user).cogroup(
+    clicks.groupBy(user)).applyInPandas(merge)``. The engine co-shuffles
+    BOTH relations on the key and hands each user's (purchase_pdf,
+    click_pdf) pair to one Arrow-batched Python call: the two-input
+    per-key capability class (the reduce-side MERGE of two sorted
+    streams, /root/reference/src/mr/worker.go reduce contract
+    generalized to two inputs) that groupBy().applyInPandas (one input)
+    and the table-argument UDTF (one input) cannot express.
+
+    Inside the merge the windowed operator's semantics are reproduced
+    exactly: concat both sides, stable-sort by (ts, event_id), forward-
+    fill the last click id, keep purchase rows — so the query shares
+    last_click_before_purchase's DuckDB oracle verbatim and a pytest
+    asserts row-for-row equality with the window form. Engine-feature
+    demo: the hot path remains the single-relation window (one shuffle,
+    no Python); cogrouped-map is for genuinely two-input opaque-Python
+    merges (model scoring against per-key reference curves, custom
+    as-of tolerances, reconciliation logic).
+
+    Scale shape: one co-partitioned exchange on user_id for each side,
+    Arrow transfer per group batch, no driver involvement; the
+    ffill merge is vectorized pandas, not per-row Python.
+
+    SELF-COGROUP SHARP EDGE (found building this, round 9): when both
+    cogroup children derive from the SAME scan with the same column
+    names, they share attribute ids — and any non-trivial projection
+    ABOVE the cogrouped map makes Catalyst's column pruning strip the
+    right child's data columns (the UDF then sees a key-only pdf;
+    with pd.concat that silently NaN-fills instead of erroring). The
+    defense here: the click side is renamed (c_event_id, c_ts) at the
+    source, which mints fresh attribute ids — no cross-child duplicate
+    ids, no mis-pruning, proven under expression projections by
+    tests/test_round9_wave1.py::test_cogroup_self_pruning_sharp_edge.
+    """
+    import pandas as pd
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+
+    # no type hints: this module uses `from __future__ import
+    # annotations`, which stringizes them — same trap as _hmean's
+    # explicit functionType below
+    def merge(p, c):
+        if p.empty:  # click-only users produce no purchases
+            return pd.DataFrame(
+                {
+                    "purchase_event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "last_click_event_id": pd.Series(dtype="int64"),
+                }
+            )
+        c2 = c.rename(columns={"c_event_id": "event_id", "c_ts": "ts"})
+        both = pd.concat(
+            [p.assign(_is_p=1), c2.assign(_is_p=0)], ignore_index=True
+        ).sort_values(["ts", "event_id"], kind="mergesort")
+        last_click = both["event_id"].where(both["_is_p"] == 0).ffill()
+        out = both[both["_is_p"] == 1]
+        return pd.DataFrame(
+            {
+                "purchase_event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "ts": out["ts"],
+                "last_click_event_id": last_click[both["_is_p"] == 1]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    merged = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "purchase_event_id bigint, user_id bigint, ts timestamp, "
+            "last_click_event_id bigint",
+        )
+    )
+    return merged.select(
+        "purchase_event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        "last_click_event_id",
+    )
+
+
 def event_value_hmean(events: DataFrame) -> DataFrame:
     """Per-type harmonic mean of `value` via a GROUPED_AGG pandas UDF —
     the vectorized custom-aggregate surface (Arrow-batched Series in,

@@ -192,3 +192,93 @@ def test_sessionize_udtf_splits_on_gap(spark):
     # gap of exactly GAP_US does NOT split (strict >, as the window form)
     got = sorted((r.session_seq, r.n_events) for r in rows)
     assert got == [(1, 2), (2, 1)]
+
+
+# --- cogrouped-map as-of join (wave 36 third entry) ---------------------------
+
+
+def test_asof_cogrouped_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["asof_cogrouped_clicks"],
+        entrymod.oracle_sql()["asof_cogrouped_clicks"],
+        sf_dir,
+    )
+    assert n > 0
+
+
+def test_asof_cogrouped_equals_window_form(spark, sf_dir):
+    # the two-input per-key merge must reproduce the single-relation
+    # window operator row-for-row
+    from mapreduce_golang_spark.operators.analytics import (
+        last_click_before_purchase,
+        last_click_before_purchase_cogrouped,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple, last_click_before_purchase(ev).collect()))
+    got = sorted(map(tuple, last_click_before_purchase_cogrouped(ev).collect()))
+    assert got == want
+
+
+def test_cogroup_self_pruning_sharp_edge(spark, sf_dir):
+    """Regression pin for the self-cogroup column-pruning hazard this
+    operator defends against (round 9): when BOTH cogroup children
+    derive from the same scan with identical column names (shared
+    attribute ids), any expression projection above the cogrouped map
+    makes Catalyst prune the right child's data columns — the UDF
+    receives a key-only pdf and pd.concat NaN-fills silently. The
+    operator's defense is renaming the right side at the source (fresh
+    attribute ids). This test (a) demonstrates the hazard is real on
+    this Spark version, (b) proves the renamed form survives the same
+    projection — if (a) ever starts passing columns through, the
+    upstream bug is fixed and the rename can be retired."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    same_names = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    renamed = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+
+    def probe_same(p, c):
+        return pd.DataFrame({"ok": [int("event_id" in c.columns)]})
+
+    def probe_renamed(p, c):
+        return pd.DataFrame({"ok": [int("c_event_id" in c.columns)]})
+
+    def run(right, probe):
+        out = (
+            left.groupBy("user_id")
+            .cogroup(right.groupBy("user_id"))
+            .applyInPandas(probe, "ok bigint")
+        )
+        # the non-trivial projection is what triggers the mis-pruning
+        return (
+            out.select((F.col("ok") * 1).alias("ok"))
+            .agg(F.min("ok"))
+            .first()[0]
+        )
+
+    assert run(renamed, probe_renamed) == 1, "defended form lost columns"
+    hazard = run(same_names, probe_same)
+    assert hazard in (0, 1)
+    if hazard == 1:  # upstream fixed — surface it loudly
+        import warnings
+
+        warnings.warn(
+            "self-cogroup pruning hazard no longer reproduces: the "
+            "rename defense in last_click_before_purchase_cogrouped "
+            "can be retired"
+        )
