@@ -2106,6 +2106,12 @@ def _asof_cogrouped(spark, sf_dir):
     )
 
 
+def _observed_metrics(spark, sf_dir):
+    from mapreduce_golang_spark.operators.corpus import observed_ingest_metrics
+
+    return observed_ingest_metrics(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND9_HEAD:
@@ -2149,8 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # CORRECTNESS_r09 50/50 → driver-cumulative 295/295. Any round-9
 # additions register BELOW slot 50 and form the ROUND-10 ROTATION LIST
 # (wave 36: salted_segment_value, sessionize_table_udtf,
-# asof_cogrouped_clicks — put these first in the round-10 window,
-# padded to 50 with already-green queries).
+# asof_cogrouped_clicks, observed_ingest_metrics — put these first in
+# the round-10 window, padded to 50 with already-green queries).
 # The historical ROUND-8 ROTATION LIST (the 2-query remainder — put
 # these first in the round-8 window, then any round-7 additions
 # registered below slot 50): mann_whitney_u, user_journey_signatures,
@@ -2512,6 +2518,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "salted_segment_value": _salted_segment_value,
         "sessionize_table_udtf": _sessionize_table_udtf,
         "asof_cogrouped_clicks": _asof_cogrouped,
+        "observed_ingest_metrics": _observed_metrics,
     }
 
 
@@ -9695,6 +9702,18 @@ _ORACLES["sessionize_table_udtf"] = _ORACLES["sessionize"]
 # (two-input per-key applyInPandas) form reproduces the windowed as-of
 # join exactly, so it shares last_click_before_purchase's oracle
 _ORACLES["asof_cogrouped_clicks"] = _ORACLES["last_click_before_purchase"]
+
+# corpus.py::observed_ingest_metrics — the Observation-API ride-along
+# aggregates must equal a plain second-pass scan's ground truth
+_ORACLES["observed_ingest_metrics"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(count(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT)
+               AS n_empty_text
+    FROM documents
+"""
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -408,3 +408,55 @@ def curriculum_phases(df: DataFrame, n_phases: int = 4) -> DataFrame:
             F.round(F.sum("q").cast("double") / F.count("*"), 6).alias("avg_quality"),
         )
     )
+
+
+def observed_ingest_metrics(docs: DataFrame) -> DataFrame:
+    """Pipeline OBSERVABILITY via the Observation API: QC aggregates
+    that ride the SAME pass as a sink action — `df.observe(obs, ...)`
+    attaches accumulator-backed aggregates to the plan, the write
+    executes once, and the metrics are read from the driver-side
+    handle with ZERO second scan. At 100 TB this is the difference
+    between "ingest + audit" costing one pass or two; it is also the
+    engine-native form of the reference's side-channel task counters
+    (/root/reference/src/mr/coordinator.go task bookkeeping —
+    bookkeeping rides the job, it is not a second job).
+
+    The demo action is a noop-format write (full execution, nothing
+    persisted); production callers attach the same observe() to their
+    real parquet/stream sink. Returns the metrics as a 1-row DataFrame
+    (n_docs, total_chars, min_doc_id, max_doc_id, n_empty_text) so the
+    result is oracle-checkable — the DuckDB twin computes the same
+    aggregates with a plain (second-pass) scan, proving the ride-along
+    metrics equal the ground truth.
+
+    Restrictions honored: Observation aggregates must be deterministic
+    and distinct-free (Spark rejects the rest at analysis time), which
+    these are — counts, sums, min/max on a long column.
+    """
+    from pyspark.sql import Observation
+
+    spark = docs.sparkSession
+    obs = Observation()
+    staged = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count(F.when(F.length("text") == 0, 1)).alias("n_empty_text"),
+    )
+    staged.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]),
+                int(m["total_chars"]),
+                int(m["min_doc_id"]),
+                int(m["max_doc_id"]),
+                int(m["n_empty_text"]),
+            )
+        ],
+        "n_docs bigint, total_chars bigint, min_doc_id bigint, "
+        "max_doc_id bigint, n_empty_text bigint",
+    )

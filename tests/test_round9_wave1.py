@@ -282,3 +282,37 @@ def test_cogroup_self_pruning_sharp_edge(spark, sf_dir):
             "rename defense in last_click_before_purchase_cogrouped "
             "can be retired"
         )
+
+
+# --- Observation-API ride-along metrics (wave 36 fourth entry) ---------------
+
+
+def test_observed_ingest_metrics_matches_oracle(spark, sf_dir):
+    n = assert_matches_oracle(
+        spark,
+        entrymod.queries()["observed_ingest_metrics"],
+        entrymod.oracle_sql()["observed_ingest_metrics"],
+        sf_dir,
+    )
+    assert n == 1
+
+
+def test_observed_metrics_equal_second_pass_scan(spark, sf_dir):
+    # the ride-along aggregates must equal a plain recomputation on the
+    # same session — the zero-second-scan claim is only worth making if
+    # the numbers are the ground truth
+    from pyspark.sql import functions as F
+
+    from mapreduce_golang_spark.operators.corpus import observed_ingest_metrics
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = observed_ingest_metrics(docs).first()
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count(F.when(F.length("text") == 0, 1)).alias("n_empty_text"),
+    ).first()
+    assert tuple(got) == tuple(want)
