@@ -1708,21 +1708,22 @@ def _journeys(spark, sf_dir):
     return W.user_journey_signatures(load_table(spark, sf_dir, "events"))
 
 
-# ROUND-9 WINDOW: the driver grades the FIRST 50 queries() entries only.
-# Round 8 left exactly 4 registered queries with no driver CORRECTNESS
-# row ever — wave 35, slots 291-294 (the ROUND-9 ROTATION LIST in the
+# ROUND-10 WINDOW: the driver grades the FIRST 50 queries() entries only.
+# Round 9 left exactly 4 registered queries with no driver CORRECTNESS
+# row ever — wave 36, slots 296-299 (the ROUND-10 ROTATION LIST in the
 # comment below). This head is those 4 padded to 50 with 46
-# already-driver-green sub-second queries (every pad ≤0.55 s in
-# BENCH_DETAIL.json — re-grading a green query costs nothing).
-# Done = CORRECTNESS_r09 50/50 green → driver-cumulative 295/295.
-# Any round-9 additions MUST register BELOW slot 50 (they get full-gate
-# coverage this round and the driver window next round).
-# Historical round-8 head (48 never-graded + wc/q1 pads): see the
-# ROUND-8 ROTATION LIST comment above _RAW_QUERIES.
-_ROUND9_HEAD: list[str] = [
-    # wave 35 — the 4 queries with no driver row yet
-    "cdc_orders_state", "streaming_near_dup_docs",
-    "polymorphic_trigram_topk", "semdedup_hier_survivors",
+# already-driver-green sub-second queries (the same pad set as round 9,
+# every one green in CORRECTNESS_r09 — re-grading a green query costs
+# nothing). Done = CORRECTNESS_r10 50/50 green → driver-cumulative
+# 299/299: EVERY registered query has a driver row.
+# Any round-10 additions MUST register BELOW slot 50 (they get
+# full-gate coverage this round and the driver window next round).
+# Historical round-9 head (wave 35 + 46 pads): see the ROUND-9
+# ROTATION comment above _RAW_QUERIES.
+_ROUND10_HEAD: list[str] = [
+    # wave 36 — the 4 queries with no driver row yet
+    "salted_segment_value", "sessionize_table_udtf",
+    "asof_cogrouped_clicks", "observed_ingest_metrics",
     # pads: already-driver-green, each ≤0.55 s (46)
     "deterministic_doc_sample", "posexplode_tokens", "kwic_snippets",
     "stratified_sample", "file_counts", "string_functions",
@@ -2114,7 +2115,7 @@ def _observed_metrics(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND9_HEAD:
+    for name in _ROUND10_HEAD:
         ordered[name] = _shipped(_RAW_QUERIES[name])
     for name, fn in _RAW_QUERIES.items():
         if name not in ordered:
@@ -2148,7 +2149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remainder (judge-verified list) + 2 green pads; CORRECTNESS_r08 came
 # back 50/50 → every round-7-era query has a driver row (291/291
 # cumulative).
-# ROUND-9 ROTATION (executed): _ROUND9_HEAD above leads with wave 35
+# ROUND-10 ROTATION (executed): _ROUND10_HEAD above leads with wave 36
+# (salted_segment_value, sessionize_table_udtf, asof_cogrouped_clicks,
+# observed_ingest_metrics — the only 4 without a driver row) padded to
+# 50 with the same 46 green pads as round 9. Done = CORRECTNESS_r10
+# 50/50 → driver-cumulative 299/299. Round-10 additions register BELOW
+# slot 50 and form the ROUND-11 ROTATION LIST.
+# ROUND-9 ROTATION (executed): the round-9 head led with wave 35
 # (cdc_orders_state, streaming_near_dup_docs, polymorphic_trigram_topk,
 # semdedup_hier_survivors — the only 4 queries without a driver row)
 # padded to 50 with 46 sub-second hash-green queries. Done =

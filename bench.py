@@ -17,10 +17,15 @@ head-of-run queries pay JIT warm-up and shared-derivation attribution
 (the materialize-once registries land on whichever consumer runs
 first), producing 3-7× per-query swings between rounds that tracked
 the rotation, not the code. Back-to-back double execution with the
-min keeps steady-state attribution: the first run pays any one-time
-derivation, the second hits the session-lived checkpoint, and the min
-reports the plan's own cost. The one-time derivation cost still shows
-up once in total wall time via the "wall_sec_all_passes" field.
+min de-noises JIT/rotation effects. Derived caches (the
+materialize-once localCheckpoint registries) are CLEARED before every
+timed pass (round-9 verdict #3 / advice #1: without the clear, the
+second pass of a derivation-lead query like ngram_jaccard_pairs reads
+the session-lived checkpoint and the recorded "min" was a ~0.02 s
+cache read, not the plan) — so the min now reports the plan's own
+cost INCLUDING its derivation for every query. Consumers that share a
+derivation still amortize it within a single pass's execution, which
+matches production (one derivation per job, not per round).
 
 The printed line must survive the driver's tail capture (observed:
 BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
@@ -33,6 +38,7 @@ committed each round.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -59,16 +65,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    flaky: dict[str, str] = {}
     wall_all = 0.0
     for name, fn in entrymod.queries().items():
         runs: list[float] = []
         try:
             for _ in range(2):  # min-of-2: see module docstring
+                # cache clear happens OUTSIDE the timer: the timed run
+                # then pays its own derivation cold, every pass
+                entrymod.reset_derived_caches()
+                gc.collect()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
         except Exception as e:  # record, keep benching the rest
-            if not runs:
+            if runs:  # pass 2 failed: keep pass-1 timing, flag flaky
+                flaky[name] = f"{type(e).__name__}: {e}"[:200]
+            else:
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
         if runs:
             timings[name] = round(min(runs), 3)
@@ -87,13 +100,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "timing": "min_of_2",
+        "timing": "min_of_2_cold",  # derived caches cleared before every pass
         "wall_sec_all_passes": round(wall_all, 3),
         "master": spark.sparkContext.master,
         "spark_version": spark.version,
     }
     if failures:
         detail["failures"] = failures
+    if flaky:
+        detail["flaky"] = flaky
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
@@ -150,6 +165,9 @@ def main() -> None:
     if failures:
         result["n_failures"] = len(failures)
         result.pop("failures", None)
+    if flaky:
+        result["n_flaky"] = len(flaky)
+        result.pop("flaky", None)
     line = json.dumps(result)
     # hard guarantee: fit inside the driver's ~2000-char tail window
     while len(line) > 1800 and result["queries"]:

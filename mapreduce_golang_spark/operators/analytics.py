@@ -231,94 +231,138 @@ def last_click_before_purchase(events: DataFrame) -> DataFrame:
 def last_click_before_purchase_cogrouped(events: DataFrame) -> DataFrame:
     """As-of join, COGROUPED-MAP form: the same purchase→latest-prior-
     click semantics as last_click_before_purchase, expressed through
-    Spark's cogrouped-map API — ``purchases.groupBy(user).cogroup(
-    clicks.groupBy(user)).applyInPandas(merge)``. The engine co-shuffles
-    BOTH relations on the key and hands each user's (purchase_pdf,
-    click_pdf) pair to one Arrow-batched Python call: the two-input
-    per-key capability class (the reduce-side MERGE of two sorted
-    streams, /root/reference/src/mr/worker.go reduce contract
-    generalized to two inputs) that groupBy().applyInPandas (one input)
-    and the table-argument UDTF (one input) cannot express.
+    Spark's cogrouped-map API — the two-input co-shuffled merge class
+    (the reduce-side MERGE of two sorted streams,
+    /root/reference/src/mr/worker.go reduce contract generalized to two
+    inputs) that groupBy().applyInPandas (one input) and the
+    table-argument UDTF (one input) cannot express.
+
+    BUCKETED, not per-key (round-10 rework of the round-9 per-user
+    form). The cogroup key is ``pmod(hash(user_id), n_buckets)`` with
+    n_buckets = spark.sql.shuffle.partitions, NOT user_id itself:
+    profiling showed the per-group Arrow boundary costs ~2 ms/group
+    regardless of group size (1,500 user-groups → 3.9 s on cached
+    input vs 0.76 s for 50 bucket-groups on the same rows), and at
+    100 TB per-user groups would mean billions of tiny Arrow batches.
+    Hashing users into shuffle-partition-sized buckets gives O(32)
+    Python calls with large vectorized frames — the same topology as
+    the reference's reduce worker, which merges a whole sorted
+    PARTITION of keys per call, not one key per call. Per-user
+    semantics are preserved inside the merge by a groupby-ffill.
+
+    Timestamps cross the Arrow boundary as int64 epoch-micros
+    (profiling: the timestamp column alone doubled the trivial-merge
+    cogroup from 4.3 s to 8.6 s at sf0.1 — datetime64 conversion per
+    batch) and are rebuilt Spark-side with timestamp_micros(), so the
+    output and its DuckDB oracle are unchanged.
+
+    Clicks are left-semi prefiltered on purchasing users BEFORE the
+    co-shuffle: click-only users contribute zero output rows but would
+    otherwise pay shuffle bytes + merge work. At 100 TB most users
+    don't purchase, so this is the dominant scale win (round-9 verdict
+    #1); the fixture's 1,500 users all purchase, so the local effect
+    is nil by construction.
 
     Inside the merge the windowed operator's semantics are reproduced
-    exactly: concat both sides, stable-sort by (ts, event_id), forward-
-    fill the last click id, keep purchase rows — so the query shares
-    last_click_before_purchase's DuckDB oracle verbatim and a pytest
-    asserts row-for-row equality with the window form. Engine-feature
-    demo: the hot path remains the single-relation window (one shuffle,
-    no Python); cogrouped-map is for genuinely two-input opaque-Python
-    merges (model scoring against per-key reference curves, custom
-    as-of tolerances, reconciliation logic).
+    exactly: concat both sides, stable-sort by (user_id, us, event_id),
+    per-user forward-fill of the last click id on a NULLABLE Int64
+    (never float64 — event_ids above 2^53 would lose precision in a
+    float round-trip, round-9 advice #5), keep purchase rows. The
+    query shares last_click_before_purchase's DuckDB oracle verbatim
+    and a pytest asserts row-for-row equality with the window form.
+    Engine-feature demo: the hot path remains the single-relation
+    window (one shuffle, no Python); cogrouped-map is for genuinely
+    two-input opaque-Python merges (model scoring against per-key
+    reference curves, custom as-of tolerances, reconciliation logic).
 
-    Scale shape: one co-partitioned exchange on user_id for each side,
-    Arrow transfer per group batch, no driver involvement; the
-    ffill merge is vectorized pandas, not per-row Python.
-
-    SELF-COGROUP SHARP EDGE (found building this, round 9): when both
+    SELF-COGROUP SHARP EDGE (found round 9, defense kept): when both
     cogroup children derive from the SAME scan with the same column
     names, they share attribute ids — and any non-trivial projection
     ABOVE the cogrouped map makes Catalyst's column pruning strip the
     right child's data columns (the UDF then sees a key-only pdf;
     with pd.concat that silently NaN-fills instead of erroring). The
-    defense here: the click side is renamed (c_event_id, c_ts) at the
-    source, which mints fresh attribute ids — no cross-child duplicate
-    ids, no mis-pruning, proven under expression projections by
+    defense here: EVERY click-side data column is renamed at the
+    source (c_user_id, c_event_id, c_us), which mints fresh attribute
+    ids — no cross-child duplicate ids, no mis-pruning, proven under
+    expression projections by
     tests/test_round9_wave1.py::test_cogroup_self_pruning_sharp_edge.
     """
     import pandas as pd
 
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    n_buckets = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    clicks = events.where(F.col("event_type") == "click").select(
+    purchases = events.where(F.col("event_type") == "purchase").select(
         "user_id",
-        F.col("event_id").alias("c_event_id"),
-        F.col("ts").alias("c_ts"),
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket"),
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .join(
+            events.where(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.unix_micros("ts").alias("c_us"),
+            F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket"),
+        )
     )
 
     # no type hints: this module uses `from __future__ import
     # annotations`, which stringizes them — same trap as _hmean's
     # explicit functionType below
     def merge(p, c):
-        if p.empty:  # click-only users produce no purchases
+        if p.empty:  # a bucket with no purchases produces no rows
             return pd.DataFrame(
                 {
                     "purchase_event_id": pd.Series(dtype="int64"),
                     "user_id": pd.Series(dtype="int64"),
-                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "us": pd.Series(dtype="int64"),
                     "last_click_event_id": pd.Series(dtype="int64"),
                 }
             )
-        c2 = c.rename(columns={"c_event_id": "event_id", "c_ts": "ts"})
+        c2 = c.rename(
+            columns={"c_user_id": "user_id", "c_event_id": "event_id", "c_us": "us"}
+        )[["user_id", "event_id", "us"]]
         both = pd.concat(
-            [p.assign(_is_p=1), c2.assign(_is_p=0)], ignore_index=True
-        ).sort_values(["ts", "event_id"], kind="mergesort")
-        last_click = both["event_id"].where(both["_is_p"] == 0).ffill()
-        out = both[both["_is_p"] == 1]
+            [p[["user_id", "event_id", "us"]].assign(_is_p=1), c2.assign(_is_p=0)],
+            ignore_index=True,
+        ).sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        click_id = both["event_id"].where(both["_is_p"] == 0).astype("Int64")
+        last_click = click_id.groupby(both["user_id"].to_numpy()).ffill()
+        out_mask = (both["_is_p"] == 1).to_numpy()
+        out = both[out_mask]
         return pd.DataFrame(
             {
                 "purchase_event_id": out["event_id"].astype("int64"),
                 "user_id": out["user_id"].astype("int64"),
-                "ts": out["ts"],
-                "last_click_event_id": last_click[both["_is_p"] == 1]
+                "us": out["us"].astype("int64"),
+                "last_click_event_id": last_click[out_mask]
                 .fillna(-1)
                 .astype("int64"),
             }
         )
 
     merged = (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(
             merge,
-            "purchase_event_id bigint, user_id bigint, ts timestamp, "
+            "purchase_event_id bigint, user_id bigint, us bigint, "
             "last_click_event_id bigint",
         )
     )
     return merged.select(
         "purchase_event_id",
         "user_id",
-        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format(F.timestamp_micros("us"), _TS_FMT).alias("purchase_ts"),
         "last_click_event_id",
     )
 

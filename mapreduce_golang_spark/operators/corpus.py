@@ -447,13 +447,18 @@ def observed_ingest_metrics(docs: DataFrame) -> DataFrame:
     )
     staged.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # empty input: sum/min/max observation metrics come back None
+    # (round-9 advice #4 — int(None) raised TypeError); emit an
+    # explicit all-NULL-but-counts row instead
+    n_docs = int(m["n_docs"])
+    as_long = lambda v: None if v is None else int(v)  # noqa: E731
     return spark.createDataFrame(
         [
             (
-                int(m["n_docs"]),
-                int(m["total_chars"]),
-                int(m["min_doc_id"]),
-                int(m["max_doc_id"]),
+                n_docs,
+                as_long(m["total_chars"]),
+                as_long(m["min_doc_id"]),
+                as_long(m["max_doc_id"]),
                 int(m["n_empty_text"]),
             )
         ],

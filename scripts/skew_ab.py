@@ -237,7 +237,12 @@ def main() -> None:
             for label, fn in (("plain SMJ", _plain_join), ("salted_join (16 salts)", _salt_join)):
                 t = _timed(lambda: _noop(fn()))
                 j = fn()
-                j.collect()  # finalize the adaptive plan on j itself
+                # finalize the adaptive plan on j itself WITHOUT
+                # pulling the ~21x-fact joined output into the driver
+                # (round-9 advice #3: collect() here was a driver-OOM
+                # risk at larger SF); count() executes end-to-end and
+                # AQE re-plans identically under either action
+                j.count()
                 skew_marks = (
                     j._jdf.queryExecution().executedPlan().toString().count("skew=true")
                 )

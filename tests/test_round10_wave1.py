@@ -1,0 +1,95 @@
+"""Round-10 wave 1: bucketed cogrouped as-of join edge cases + the
+observed-metrics empty-input guard (round-9 verdict #1 and advice
+#4/#5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_asof_cogrouped_click_only_and_purchase_only_users(spark):
+    """The bucketed rework must keep per-user semantics exactly:
+    click-only users emit nothing (the left-semi prefilter), purchase-
+    only users emit -1, ties at identical ts resolve by event_id just
+    like the window form's orderBy(ts, event_id)."""
+    from mapreduce_golang_spark.operators.analytics import (
+        last_click_before_purchase,
+        last_click_before_purchase_cogrouped,
+    )
+
+    rows = [
+        # user 1: click before purchase, plus a later click (ignored)
+        (1, 10, "click", "2024-01-01 00:00:01"),
+        (1, 11, "purchase", "2024-01-01 00:00:05"),
+        (1, 12, "click", "2024-01-01 00:00:09"),
+        # user 2: purchase-only -> last_click_event_id = -1
+        (2, 20, "purchase", "2024-01-01 00:00:03"),
+        # user 3: click-only -> no output row at all
+        (3, 30, "click", "2024-01-01 00:00:02"),
+        # user 4: click and purchase at the IDENTICAL timestamp;
+        # click's event_id is smaller so it sorts before -> counted
+        (4, 40, "click", "2024-01-01 00:00:07"),
+        (4, 41, "purchase", "2024-01-01 00:00:07"),
+        # user 5: purchase then click at identical ts with LARGER id
+        # -> click sorts after the purchase, NOT counted
+        (5, 50, "purchase", "2024-01-01 00:00:08"),
+        (5, 51, "click", "2024-01-01 00:00:08"),
+        # user 6: two purchases sharing one earlier click
+        (6, 60, "click", "2024-01-01 00:00:01"),
+        (6, 61, "purchase", "2024-01-01 00:00:02"),
+        (6, 62, "purchase", "2024-01-01 00:00:04"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts_s string"
+    ).select("user_id", "event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+
+    got = sorted(map(tuple, last_click_before_purchase_cogrouped(ev).collect()))
+    want = sorted(map(tuple, last_click_before_purchase(ev).collect()))
+    assert got == want
+    by_purchase = {r[0]: r[3] for r in got}
+    assert by_purchase == {11: 10, 20: -1, 41: 40, 50: -1, 61: 60, 62: 60}
+    assert 30 not in {r[1] for r in got}  # click-only user absent
+
+
+def test_asof_cogrouped_no_per_user_groups_in_plan(spark, sf_dir):
+    """Scale pin: the cogroup key must be the hash bucket, never the
+    raw user_id — per-user groups mean one ~2 ms Arrow call per user
+    (billions at 100 TB). The FlatMapCoGroupsInPandas grouping
+    expressions in the executed plan must reference `bucket`."""
+    from mapreduce_golang_spark.operators.analytics import (
+        last_click_before_purchase_cogrouped,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        last_click_before_purchase_cogrouped(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    line = next(
+        ln for ln in plan.splitlines() if "FlatMapCoGroupsInPandas" in ln
+    )
+    # executed form: FlatMapCoGroupsInPandas [<left keys>], [<right keys>], ...
+    left_keys, right_keys = line.split("[")[1], line.split("[")[2]
+    assert left_keys.startswith("bucket") and right_keys.startswith("bucket")
+    assert "user_id" not in left_keys.split("]")[0]
+    assert "user_id" not in right_keys.split("]")[0]
+
+
+def test_observed_ingest_metrics_empty_input(spark):
+    """Round-9 advice #4: sum/min/max observation metrics are None on
+    an empty input — the operator must emit a NULL-carrying row, not
+    raise TypeError."""
+    from mapreduce_golang_spark.operators.corpus import observed_ingest_metrics
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, n_chars bigint"
+    )
+    row = observed_ingest_metrics(empty).collect()[0]
+    assert row.n_docs == 0
+    assert row.n_empty_text == 0
+    assert row.total_chars is None
+    assert row.min_doc_id is None and row.max_doc_id is None
