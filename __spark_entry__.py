@@ -2113,6 +2113,14 @@ def _observed_metrics(spark, sf_dir):
     return observed_ingest_metrics(load_table(spark, sf_dir, "documents"))
 
 
+def _streaming_kill_recover(spark, sf_dir):
+    from mapreduce_golang_spark.streaming.recovery import (
+        streaming_dedup_kill_recover,
+    )
+
+    return streaming_dedup_kill_recover(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND10_HEAD:
@@ -2526,6 +2534,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionize_table_udtf": _sessionize_table_udtf,
         "asof_cogrouped_clicks": _asof_cogrouped,
         "observed_ingest_metrics": _observed_metrics,
+        # --- wave 37 (round 10, below slot 50 → ROUND-11 ROTATION LIST) ---
+        "streaming_kill_recover_dedup": _streaming_kill_recover,
     }
 
 
@@ -9720,6 +9730,20 @@ _ORACLES["observed_ingest_metrics"] = """
            CAST(count(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT)
                AS n_empty_text
     FROM documents
+"""
+
+# streaming/recovery.py::streaming_dedup_kill_recover — the checkpointed
+# streaming dedup is STOPPED after 2 committed micro-batches (mid-drain
+# of 8 duplicate-bearing chunk files) and RESUMED from the checkpoint;
+# the recovered sink must equal batch DISTINCT over the same rows.
+# Duplicates are injected so they straddle the stop point: equality
+# proves state-store restore AND the file sink's exactly-once commit
+# log. event_id is unique in the fixture, so DISTINCT here is the
+# injected-duplicate collapse, nothing else.
+_ORACLES["streaming_kill_recover_dedup"] = """
+    SELECT DISTINCT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -86,11 +86,11 @@ TABLES = [
 ]
 
 
-def _multiply(spark, mult: int, out_dir: str) -> None:
+def _multiply(spark, mult: int, out_dir: str, tables: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    for t in TABLES:
+    for t in tables if tables is not None else TABLES:
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
         dst = f"{out_dir}/{t}.parquet"
         marker = f"{dst}.done"

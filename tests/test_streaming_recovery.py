@@ -1,0 +1,112 @@
+"""Streaming kill-and-recover proofs (round-9 verdict #7): the
+streaming analogue of the reference's crash test — a checkpointed
+stateful query interrupted mid-drain must, after resuming from its
+checkpoint, produce output identical to the uninterrupted run.
+
+Two escalating variants:
+1. graceful stop() mid-drain + resume (the driver-graded query path);
+2. SIGKILL of a worker process mid-drain (no shutdown hooks run) +
+   resume in THIS process from the orphaned checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ground_truth(spark, sf_dir):
+    from mapreduce_golang_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    return sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+
+
+def test_stop_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
+    """Graceful mid-drain stop: ≥2 batches commit, the query stops,
+    resumes from the checkpoint, drains — output must equal batch
+    DISTINCT over the same rows (duplicates injected in the second
+    half of the chunks collapse only if the dedup state survived)."""
+    from mapreduce_golang_spark.streaming import recovery
+
+    df = recovery.streaming_dedup_kill_recover(
+        spark, sf_dir, work_root=str(tmp_path)
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == _ground_truth(spark, sf_dir)
+
+
+def test_sigkill_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
+    """True crash: the streaming query runs in a CHILD process that is
+    SIGKILLed after ≥2 commits (mid-drain of 8 chunk files, likely
+    mid-batch — no graceful stop, no sink cleanup). This process then
+    resumes from the orphaned checkpoint and drains. The recovered
+    output must equal batch DISTINCT: offsets WAL replay + state-store
+    restore + the file sink's commit log hiding any part files the
+    killed batch half-wrote."""
+    from mapreduce_golang_spark.streaming import recovery
+
+    work_dir = str(tmp_path / "run")
+    os.makedirs(work_dir, exist_ok=True)
+    input_dir = recovery.build_chunked_input(spark, sf_dir, work_dir)
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "streaming_crash_worker.py"),
+         input_dir, work_dir],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 240
+        while recovery.committed_batches(work_dir) < 2:
+            if proc.poll() is not None:
+                pytest.fail(f"worker exited early rc={proc.returncode}")
+            if time.time() > deadline:
+                pytest.fail("worker never reached 2 commits")
+            time.sleep(0.05)
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    n_at_kill = recovery.committed_batches(work_dir)
+    assert n_at_kill < 2 * recovery.N_UNIQUE_CHUNKS  # genuinely mid-drain
+
+    recovery.resume_and_drain(spark, input_dir, work_dir)
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        map(
+            tuple,
+            recovery.read_sink(spark, work_dir)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            )
+            .collect(),
+        )
+    )
+    assert got == _ground_truth(spark, sf_dir)
