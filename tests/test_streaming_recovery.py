@@ -56,6 +56,43 @@ def test_stop_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
     assert got == _ground_truth(spark, sf_dir)
 
 
+def test_stop_resume_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The same kill-and-recover proof under the RocksDB state store
+    provider — the 100 TB state-scale path (state spills to local
+    RocksDB instead of living in the executor heap like the default
+    HDFS-backed map; checkpointing ships snapshots/changelogs). The
+    provider conf is read at query start and must match across the
+    stop/resume boundary; recovery semantics must be identical."""
+    from mapreduce_golang_spark.streaming import recovery
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        df = recovery.streaming_dedup_kill_recover(
+            spark, sf_dir, work_root=str(tmp_path)
+        )
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert got == _ground_truth(spark, sf_dir)
+    # prove RocksDB actually held the state: its checkpoint layout is
+    # zip snapshots / changelogs, never the HDFS provider's .delta
+    state_dir = os.path.join(str(tmp_path), "run", "checkpoint", "state")
+    names = [
+        f
+        for _, _, fs in os.walk(state_dir)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert names and not any(f.endswith(".delta") for f in names)
+    assert any(f.endswith((".zip", ".changelog")) for f in names)
+
+
 def test_sigkill_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
     """True crash: the streaming query runs in a CHILD process that is
     SIGKILLed after ≥2 commits (mid-drain of 8 chunk files, likely
