@@ -158,6 +158,9 @@ def main() -> None:
         # round 9: applied salted join + hierarchical SemDeDup post-fix
         "salted_segment_value",
         "semdedup_hier_survivors",
+        # round 10: reworked bucketed cogroup + kill-and-recover proof
+        "asof_cogrouped_clicks",
+        "streaming_kill_recover_dedup",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}
