@@ -476,9 +476,19 @@ def streaming_incident_hours(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the documents fixture (schema declared up
-    front, glob-filtered to the one file — same topology as
-    read_events_stream; no event-time normalization needed because
-    documents carry no timestamp)."""
+    front — same topology as read_events_stream; no event-time
+    normalization needed because documents carry no timestamp).
+
+    Handles BOTH physical layouts: the driver fixtures ship
+    ``documents.parquet`` as a single flat FILE (glob-filter the
+    parent dir to that name), while Spark-written corpora — the
+    .xl_fixtures scaling ladder, any production output — are a
+    DIRECTORY of part files (stream the directory itself). Round-10
+    fix: the glob-only form silently matched ZERO files on
+    directory-shaped input, so every streaming probe on the xl
+    fixtures drained an empty source and reported a no-op wall."""
+    import os
+
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -488,6 +498,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_chars", LongType()),
         ]
     )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -643,10 +656,10 @@ def streaming_near_dup_docs(
     one batch). A multi-batch drain is still correct streaming-dedup
     semantics, but rows arriving after the watermark has advanced past
     their wrapped ts would be late-dropped and the count could diverge
-    from the batch oracle. Note read_documents_stream glob-filters on
-    the literal file name ``documents.parquet``; a DIRECTORY-shaped
-    fixture would match zero files — repoint the glob before reusing
-    this reader on partitioned corpora.
+    from the batch oracle. read_documents_stream handles both the
+    flat-file driver fixture and DIRECTORY-shaped (Spark-written)
+    corpora since round 10; with maxFilesPerTrigger unset the
+    availableNow drain stays a single batch in both layouts.
 
     Returns (source, n_unique_docs) — the per-source count of
     surviving (near-dup-distinct) documents; on finite availableNow

@@ -23,7 +23,9 @@ inside each repeat, derived caches + Spark cache cleared before every
 timed run. Only documents + embeddings fixtures are built (the four
 probes drive nothing else), at 10×/30×/100×.
 
-Run:  python scripts/scaling_xl100.py [N]    # default N=3
+Run:  python scripts/scaling_xl100.py [N] [probe1,probe2,...]
+      # default N=3, all PROBES; the optional second arg restricts
+      # the run (e.g. re-proving one row after a fix)
 Appends a table to SCALING_XL.md.
 """
 
@@ -52,6 +54,13 @@ PROBES = [
 
 def main() -> None:
     n_reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    probes = PROBES
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2].split(","))
+        probes = [p for p in PROBES if p[0] in wanted]
+        missing = wanted - {p[0] for p in probes}
+        if missing:
+            raise SystemExit(f"unknown probes: {sorted(missing)}")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     # the 100× corpus needs real heap in local mode (one JVM is driver
     # + all 32 executor threads); must be set before the JVM launches
@@ -64,7 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    need = sorted({t for _, t in PROBES})
+    need = sorted({t for _, t in probes})
     dirs = {1: BASE}
     for m in MULTS:
         d = os.path.join(XL_ROOT, f"sf0.1x{m}")
@@ -81,7 +90,7 @@ def main() -> None:
 
     walls: dict[tuple[str, int], list[float]] = {}
     for rep in range(n_reps):
-        for name, _t in PROBES:
+        for name, _t in probes:
             for m, d in dirs.items():
                 entrymod.reset_derived_caches()
                 gc.collect()
@@ -112,7 +121,7 @@ def main() -> None:
         "| query | min s x1 | x10 | x30 | x100 | µs/row x1 | µs/row x100 | per-row growth | max/min spread |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, table in PROBES:
+    for name, table in probes:
         mins, spread = {}, 0.0
         for m in scales:
             series = [w for w in walls[(name, m)] if w == w]  # drop NaN

@@ -79,6 +79,32 @@ def test_asof_cogrouped_no_per_user_groups_in_plan(spark, sf_dir):
     assert "user_id" not in right_keys.split("]")[0]
 
 
+def test_documents_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Round-10 fix: read_documents_stream must handle Spark-written
+    DIRECTORY-shaped corpora (xl fixtures, any production output), not
+    just the driver's flat-file fixture — the glob-only form matched
+    zero files on directories and silently drained an empty source."""
+    from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.streaming.events_stream import (
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.count()
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    stream = read_documents_stream(spark, str(tmp_path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dir_layout_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dir_layout_probe").count() == want > 0
+
+
 def test_observed_ingest_metrics_empty_input(spark):
     """Round-9 advice #4: sum/min/max observation metrics are None on
     an empty input — the operator must emit a NULL-carrying row, not
