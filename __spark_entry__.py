@@ -2121,6 +2121,51 @@ def _streaming_kill_recover(spark, sf_dir):
     return streaming_dedup_kill_recover(spark, sf_dir)
 
 
+def _streaming_cdc_state(spark, sf_dir):
+    """streaming/cdc_stream.py::streaming_cdc_apply over the SAME
+    deterministic orders change log as cdc_orders_state, but delivered
+    as seq-DESCENDING micro-batches (every later batch is out-of-order
+    history) and applied incrementally with carried (seq, op) state +
+    delete tombstones. Shares cdc_orders_state's oracle verbatim: the
+    piecewise streaming apply must equal the one-shot batch MERGE."""
+    import tempfile
+
+    from mapreduce_golang_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    price = F_.col("o_totalprice").cast("double")
+    price_dec = F_.col("o_totalprice").cast("decimal(18,2)")
+    target = orders.where(F_.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", F_.round(price, 2).alias("price")
+    )
+    upd = orders.where(F_.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.round(price_dec * F_.lit("1.05").cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("price"),
+        (F_.col("o_orderkey") % 5 + 1).alias("seq"),
+        F_.lit("U").alias("op"),
+    )
+    dels = orders.where(F_.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.lit(None).cast("double").alias("price"),
+        (F_.col("o_orderkey") % 5 + 2).alias("seq"),
+        F_.lit("D").alias("op"),
+    )
+    ins = orders.where(F_.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_.round(price, 2).alias("price"),
+        F_.lit(1).cast("long").alias("seq"),
+        F_.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    work_dir = tempfile.mkdtemp(prefix="mr_spark_cdc_stream_")
+    return streaming_cdc_apply(spark, target, changes, "o_orderkey", work_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUND10_HEAD:
@@ -2536,6 +2581,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "observed_ingest_metrics": _observed_metrics,
         # --- wave 37 (round 10, below slot 50 → ROUND-11 ROTATION LIST) ---
         "streaming_kill_recover_dedup": _streaming_kill_recover,
+        "streaming_cdc_apply_changes": _streaming_cdc_state,
     }
 
 
@@ -9745,6 +9791,13 @@ _ORACLES["streaming_kill_recover_dedup"] = """
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
     FROM events
 """
+
+# streaming/cdc_stream.py::streaming_cdc_apply — the incremental
+# (micro-batched, seq-DESCENDING delivery) APPLY CHANGES must equal the
+# one-shot batch MERGE over the same change log, so it shares
+# cdc_orders_state's oracle verbatim; equality proves carried-(seq,op)
+# state + tombstones make piecewise application order-insensitive
+_ORACLES["streaming_cdc_apply_changes"] = _ORACLES["cdc_orders_state"]
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -105,6 +105,58 @@ def test_documents_stream_reads_directory_layout(spark, sf_dir, tmp_path):
     assert spark.table("dir_layout_probe").count() == want > 0
 
 
+def test_streaming_cdc_equals_batch_merge(spark, sf_dir):
+    """The piecewise streaming APPLY CHANGES (seq-descending batches)
+    must equal the one-shot batch MERGE row-for-row."""
+    import __spark_entry__ as entrymod
+
+    want = sorted(
+        map(tuple, entrymod.queries()["cdc_orders_state"](spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            entrymod.queries()["streaming_cdc_apply_changes"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_cdc_tombstone_blocks_resurrection(spark, tmp_path):
+    """The failure mode that distinguishes correct incremental apply
+    from naive per-batch last-writer-wins: a key DELETED at seq 5 in
+    the FIRST micro-batch must stay deleted when its seq-1 UPDATE
+    arrives batches later (tombstone + carried seq), and a key whose
+    high-seq UPDATE precedes its low-seq INSERT must keep the UPDATE
+    payload."""
+    from mapreduce_golang_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "old", 20.0)],
+        "k bigint, status string, price double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: delete at seq 5 (arrives batch 0), update at seq 1
+            # (arrives last batch) — must NOT resurrect
+            (1, "zombie", 99.0, 1, "U"),
+            (1, None, None, 5, "D"),
+            # key 3: update at seq 5 first, insert at seq 1 later —
+            # the UPDATE payload must win
+            (3, "newest", 30.0, 5, "U"),
+            (3, "stale", 3.0, 1, "I"),
+        ],
+        "k bigint, status string, price double, seq bigint, op string",
+    )
+    out = streaming_cdc_apply(
+        spark, target, changes, "k", str(tmp_path)
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(2, "old", 20.0), (3, "newest", 30.0)]
+
+
 def test_observed_ingest_metrics_empty_input(spark):
     """Round-9 advice #4: sum/min/max observation metrics are None on
     an empty input — the operator must emit a NULL-carrying row, not
