@@ -125,9 +125,12 @@ def streaming_cdc_apply(
     seed.write.mode("overwrite").parquet(os.path.join(state_root, "v_seed"))
 
     def versions() -> list[str]:
-        return sorted(
-            d for d in os.listdir(state_root) if d.startswith("v_")
-        )
+        # numeric order with the seed FIRST — a plain lexicographic
+        # sort puts "v_seed" after every "v_0..." ('s' > '0'), which
+        # would make every batch merge against the seed and the final
+        # read return it
+        names = [d for d in os.listdir(state_root) if d.startswith("v_")]
+        return sorted(names, key=lambda d: -1 if d == "v_seed" else int(d[2:]))
 
     def apply_batch(batch_df, batch_id: int) -> None:
         prev = [
