@@ -107,12 +107,19 @@ def test_sigkill_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
     os.makedirs(work_dir, exist_ok=True)
     input_dir = recovery.build_chunked_input(spark, sf_dir, work_dir)
 
+    # start_new_session puts the worker python AND the JVM it spawns in
+    # one process group: SIGKILLing only the python pid leaves an
+    # ORPHANED JVM still draining batches into the same checkpoint,
+    # which races the resume below (CONCURRENT_STREAM_LOG_UPDATE —
+    # observed as a suite flake). killpg is also the truer crash: a
+    # dying worker machine takes all its processes down at once.
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "scripts", "streaming_crash_worker.py"),
          input_dir, work_dir],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
+        start_new_session=True,
     )
     try:
         deadline = time.time() + 240
@@ -122,11 +129,14 @@ def test_sigkill_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
             if time.time() > deadline:
                 pytest.fail("worker never reached 2 commits")
             time.sleep(0.05)
-        os.kill(proc.pid, signal.SIGKILL)
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
         proc.wait(timeout=30)
     finally:
         if proc.poll() is None:
-            proc.kill()
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
     n_at_kill = recovery.committed_batches(work_dir)
     assert n_at_kill < 2 * recovery.N_UNIQUE_CHUNKS  # genuinely mid-drain
 
