@@ -104,6 +104,7 @@ def streaming_cdc_apply(
     changes: DataFrame,
     key: str,
     work_dir: str,
+    stop_after_commits: int | None = None,
 ) -> DataFrame:
     """Drive the incremental apply: chunk the change log seq-descending,
     stream it one file per micro-batch, foreachBatch-merge into the
@@ -111,7 +112,15 @@ def streaming_cdc_apply(
     with the target's columns.
 
     The seed state is the target with (seq=0, op='I') — every real
-    change outranks it (change seqs are ≥ 1)."""
+    change outranks it (change seqs are ≥ 1).
+
+    ``stop_after_commits``: when set, the first run is STOPPED
+    mid-drain once that many micro-batches have committed, then
+    restarted from the same checkpoint (availableNow) — the
+    kill-and-recover discipline applied to this operator. The
+    in-flight batch at stop time is REPLAYED on restart; because each
+    version is rewritten deterministically from its predecessor, the
+    replay is idempotent and the final state must be unchanged."""
     schema = ", ".join(
         f"{name} {dtype}" for name, dtype in changes.dtypes
     )
@@ -147,15 +156,40 @@ def streaming_cdc_apply(
             os.path.join(state_root, f"v_{batch_id:09d}")
         )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(input_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    cp = os.path.join(work_dir, "checkpoint")
+
+    def start(available_now: bool):
+        writer = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", cp)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="50 milliseconds")
+        return writer.start()
+
+    if stop_after_commits is not None:
+        commits = os.path.join(cp, "commits")
+        q = start(available_now=False)
+        deadline = time.time() + 180.0
+        try:
+            while (
+                not os.path.isdir(commits)
+                or sum(1 for f in os.listdir(commits) if f.isdigit())
+                < stop_after_commits
+            ):
+                if time.time() > deadline:
+                    raise TimeoutError("CDC stream never reached stop point")
+                time.sleep(0.05)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    q = start(available_now=True)
     q.awaitTermination()
 
     final = spark.read.parquet(os.path.join(state_root, versions()[-1]))

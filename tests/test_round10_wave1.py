@@ -124,6 +124,56 @@ def test_streaming_cdc_equals_batch_merge(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_cdc_stop_resume_mid_drain(spark, sf_dir, tmp_path):
+    """Kill-and-recover applied to the CDC apply: stop after 2 commits
+    (mid-drain of 4 seq-banded chunks), resume from the checkpoint —
+    the in-flight batch is replayed and must rewrite its state version
+    idempotently, so the final state equals both the uninterrupted
+    streaming apply and the one-shot batch MERGE."""
+    import __spark_entry__ as entrymod
+    from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    want = sorted(
+        map(tuple, entrymod.queries()["cdc_orders_state"](spark, sf_dir).collect())
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    target = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", F.round(price, 2).alias("price")
+    )
+    upd = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(price_dec * F.lit("1.05").cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("price"),
+        (F.col("o_orderkey") % 5 + 1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("double").alias("price"),
+        (F.col("o_orderkey") % 5 + 2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(price, 2).alias("price"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    out = streaming_cdc_apply(
+        spark, target, changes, "o_orderkey", str(tmp_path), stop_after_commits=2
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_cdc_tombstone_blocks_resurrection(spark, tmp_path):
     """The failure mode that distinguishes correct incremental apply
     from naive per-batch last-writer-wins: a key DELETED at seq 5 in
