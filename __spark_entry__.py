@@ -2121,6 +2121,12 @@ def _streaming_kill_recover(spark, sf_dir):
     return streaming_dedup_kill_recover(spark, sf_dir)
 
 
+def _state_store_audit(spark, sf_dir):
+    from mapreduce_golang_spark.streaming.introspection import state_store_audit
+
+    return state_store_audit(spark, sf_dir)
+
+
 def _streaming_cdc_state(spark, sf_dir):
     """streaming/cdc_stream.py::streaming_cdc_apply over the SAME
     deterministic orders change log as cdc_orders_state, but delivered
@@ -2582,6 +2588,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- wave 37 (round 10, below slot 50 → ROUND-11 ROTATION LIST) ---
         "streaming_kill_recover_dedup": _streaming_kill_recover,
         "streaming_cdc_apply_changes": _streaming_cdc_state,
+        "state_store_audit": _state_store_audit,
     }
 
 
@@ -9798,6 +9805,15 @@ _ORACLES["streaming_kill_recover_dedup"] = """
 # cdc_orders_state's oracle verbatim; equality proves carried-(seq,op)
 # state + tombstones make piecewise application order-insensitive
 _ORACLES["streaming_cdc_apply_changes"] = _ORACLES["cdc_orders_state"]
+
+# streaming/introspection.py::state_store_audit — the state data source
+# reads the drained dedup stream's checkpoint back as a DataFrame; its
+# key set must equal batch DISTINCT event_id (event_id is unique in the
+# fixture, so this is the full key inventory), proving the introspection
+# surface reads the store completely and exactly
+_ORACLES["state_store_audit"] = """
+    SELECT DISTINCT event_id FROM events
+"""
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):
 # pyspark.ml.feature.MinHashLSH's seeded affine hash functions are

@@ -207,6 +207,31 @@ def test_streaming_cdc_tombstone_blocks_resurrection(spark, tmp_path):
     assert got == [(2, "old", 20.0), (3, "newest", 30.0)]
 
 
+def test_state_store_audit_matches_oracle_and_metadata(spark, sf_dir, tmp_path):
+    """The state data source must read the dedup checkpoint's key set
+    completely (≡ batch DISTINCT) and the state-metadata source must
+    list the dedup operator."""
+    from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.streaming.introspection import (
+        drain_dedup_checkpoint,
+        read_dedup_state,
+        state_operator_names,
+    )
+
+    cp = drain_dedup_checkpoint(spark, sf_dir, str(tmp_path))
+    got = sorted(r.event_id for r in read_dedup_state(spark, cp).collect())
+    want = sorted(
+        r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    ops = state_operator_names(spark, cp)
+    assert any("dedupe" in o.lower() for o in ops), ops
+
+
 def test_observed_ingest_metrics_empty_input(spark):
     """Round-9 advice #4: sum/min/max observation metrics are None on
     an empty input — the operator must emit a NULL-carrying row, not
