@@ -2121,6 +2121,14 @@ def _streaming_kill_recover(spark, sf_dir):
     return streaming_dedup_kill_recover(spark, sf_dir)
 
 
+def _ps_orders_profile(spark, sf_dir):
+    from mapreduce_golang_spark.operators.pandas_api import (
+        ps_orders_status_profile,
+    )
+
+    return ps_orders_status_profile(spark, sf_dir)
+
+
 def _state_store_audit(spark, sf_dir):
     from mapreduce_golang_spark.streaming.introspection import state_store_audit
 
@@ -2589,6 +2597,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_kill_recover_dedup": _streaming_kill_recover,
         "streaming_cdc_apply_changes": _streaming_cdc_state,
         "state_store_audit": _state_store_audit,
+        "ps_orders_status_profile": _ps_orders_profile,
     }
 
 
@@ -9813,6 +9822,19 @@ _ORACLES["streaming_cdc_apply_changes"] = _ORACLES["cdc_orders_state"]
 # surface reads the store completely and exactly
 _ORACLES["state_store_audit"] = """
     SELECT DISTINCT event_id FROM events
+"""
+
+# operators/pandas_api.py::ps_orders_status_profile — the pandas-API-on-
+# Spark compatibility layer must compute the same answer SQL semantics
+# demand (count/sum/mean/max per status, floats rounded for the hash)
+_ORACLES["ps_orders_status_profile"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total_revenue,
+           round(avg(CAST(o_totalprice AS DOUBLE)), 2) AS avg_price,
+           round(max(CAST(o_totalprice AS DOUBLE)), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

@@ -232,6 +232,35 @@ def test_state_store_audit_matches_oracle_and_metadata(spark, sf_dir, tmp_path):
     assert any("dedupe" in o.lower() for o in ops), ops
 
 
+def test_ps_orders_profile_matches_native(spark, sf_dir):
+    """The pandas-API form must equal the native DataFrame aggregation
+    row-for-row."""
+    from mapreduce_golang_spark.operators.pandas_api import (
+        ps_orders_status_profile,
+    )
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    native = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias(
+                "total_revenue"
+            ),
+            F.round(F.avg(F.col("o_totalprice").cast("double")), 2).alias(
+                "avg_price"
+            ),
+            F.round(F.max(F.col("o_totalprice").cast("double")), 2).alias(
+                "max_price"
+            ),
+        )
+    )
+    want = sorted(map(tuple, native.collect()))
+    got = sorted(map(tuple, ps_orders_status_profile(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_observed_ingest_metrics_empty_input(spark):
     """Round-9 advice #4: sum/min/max observation metrics are None on
     an empty input — the operator must emit a NULL-carrying row, not
