@@ -2121,6 +2121,26 @@ def _streaming_kill_recover(spark, sf_dir):
     return streaming_dedup_kill_recover(spark, sf_dir)
 
 
+def _sql_scripting_threshold(spark, sf_dir):
+    from mapreduce_golang_spark.functions.sql_surface import (
+        sql_scripting_coverage_threshold,
+    )
+
+    return sql_scripting_coverage_threshold(spark, sf_dir)
+
+
+def _sql_udf_bands(spark, sf_dir):
+    from mapreduce_golang_spark.functions.sql_surface import sql_udf_price_bands
+
+    return sql_udf_price_bands(spark, sf_dir)
+
+
+def _collated_counts(spark, sf_dir):
+    from mapreduce_golang_spark.functions.sql_surface import collated_type_counts
+
+    return collated_type_counts(spark, sf_dir)
+
+
 def _ps_orders_profile(spark, sf_dir):
     from mapreduce_golang_spark.operators.pandas_api import (
         ps_orders_status_profile,
@@ -2221,7 +2241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # observed_ingest_metrics — the only 4 without a driver row) padded to
 # 50 with the same 46 green pads as round 9. Done = CORRECTNESS_r10
 # 50/50 → driver-cumulative 299/299. Round-10 additions register BELOW
-# slot 50 and form the ROUND-11 ROTATION LIST.
+# slot 50 and form the ROUND-11 ROTATION LIST (wave 37:
+# streaming_kill_recover_dedup, streaming_cdc_apply_changes,
+# state_store_audit, ps_orders_status_profile — put these first in the
+# round-11 window, padded to 50 with already-green queries).
 # ROUND-9 ROTATION (executed): the round-9 head led with wave 35
 # (cdc_orders_state, streaming_near_dup_docs, polymorphic_trigram_topk,
 # semdedup_hier_survivors — the only 4 queries without a driver row)
@@ -2598,6 +2621,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "streaming_cdc_apply_changes": _streaming_cdc_state,
         "state_store_audit": _state_store_audit,
         "ps_orders_status_profile": _ps_orders_profile,
+        "sql_scripting_coverage_threshold": _sql_scripting_threshold,
+        "sql_udf_price_bands": _sql_udf_bands,
+        "collated_type_counts": _collated_counts,
     }
 
 
@@ -9835,6 +9861,48 @@ _ORACLES["ps_orders_status_profile"] = """
            round(max(CAST(o_totalprice AS DOUBLE)), 2) AS max_price
     FROM orders
     GROUP BY o_orderstatus
+"""
+
+# functions/sql_surface.py::sql_scripting_coverage_threshold — the
+# procedural WHILE loop's fixpoint re-derived declaratively: the
+# smallest power of two whose order-price coverage ≥ 0.9, with the
+# coverage fraction evaluated at exactly that threshold
+_ORACLES["sql_scripting_coverage_threshold"] = """
+    WITH cand AS (
+        SELECT power(2, g) AS thr FROM generate_series(1, 40) t(g)
+    ),
+    cov AS (
+        SELECT thr,
+               (SELECT avg(CASE WHEN CAST(o_totalprice AS DOUBLE) <= thr
+                           THEN 1.0 ELSE 0.0 END) FROM orders) AS frac
+        FROM cand
+    )
+    SELECT CAST(thr AS DOUBLE) AS threshold, round(frac, 6) AS covered_frac
+    FROM cov WHERE frac >= 0.9
+    ORDER BY thr LIMIT 1
+"""
+
+# functions/sql_surface.py::sql_udf_price_bands — SQL UDFs are inlined
+# at analysis time; the oracle inlines the body by hand
+_ORACLES["sql_udf_price_bands"] = """
+    SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 50000 THEN 'low'
+                WHEN CAST(o_totalprice AS DOUBLE) < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total_revenue
+    FROM orders
+    GROUP BY 1
+"""
+
+# functions/sql_surface.py::collated_type_counts — UTF8_LCASE grouping
+# over deterministically case-scrambled part types ≡ lower()-keyed
+# grouping on ASCII data
+_ORACLES["collated_type_counts"] = """
+    SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END) AS p_type_ci,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM part
+    GROUP BY 1
 """
 
 # minhash_ml_crosscheck intentionally has NO oracle entry (rows-only):

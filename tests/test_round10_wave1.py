@@ -261,6 +261,56 @@ def test_ps_orders_profile_matches_native(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_sql_table_udf(spark):
+    """CREATE FUNCTION ... RETURNS TABLE — the SQL-defined table
+    function surface (the scalar form is oracle-gated via
+    sql_udf_price_bands)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION upto(n INT) RETURNS TABLE(i INT) "
+        "RETURN SELECT explode(sequence(1, n))"
+    )
+    assert spark.sql("SELECT sum(i) AS s FROM upto(100)").collect()[0].s == 5050
+
+
+def test_collation_actually_splits_without_collate(spark, sf_dir):
+    """Prove the case-scramble is load-bearing: WITHOUT the collation
+    the scrambled keys form strictly more groups, so the collated
+    grouping (≡ oracle) is doing real case-insensitive work."""
+    from mapreduce_golang_spark.functions.sql_surface import collated_type_counts
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("collation_part_v")
+    plain = spark.sql(
+        """
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                    ELSE lower(p_type) END AS c
+        FROM collation_part_v
+        """
+    ).select("c").distinct().count()
+    collated = collated_type_counts(spark, sf_dir).count()
+    assert plain > collated > 0
+
+
+def test_sql_scripting_loop_terminates_at_fixpoint(spark, sf_dir):
+    """The WHILE loop's threshold must actually cover ≥90% and its
+    half must not (minimality of the power-of-two fixpoint)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from mapreduce_golang_spark.sources.tables import load_table
+
+    row = entrymod.queries()["sql_scripting_coverage_threshold"](
+        spark, sf_dir
+    ).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    frac_at = lambda t: orders.agg(  # noqa: E731
+        F.avg(
+            F.when(F.col("o_totalprice").cast("double") <= t, 1.0).otherwise(0.0)
+        )
+    ).collect()[0][0]
+    assert row.covered_frac >= 0.9
+    assert frac_at(row.threshold) >= 0.9 > frac_at(row.threshold / 2)
+
+
 def test_observed_ingest_metrics_empty_input(spark):
     """Round-9 advice #4: sum/min/max observation metrics are None on
     an empty input — the operator must emit a NULL-carrying row, not
