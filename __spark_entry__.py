@@ -2243,8 +2243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 50/50 → driver-cumulative 299/299. Round-10 additions register BELOW
 # slot 50 and form the ROUND-11 ROTATION LIST (wave 37:
 # streaming_kill_recover_dedup, streaming_cdc_apply_changes,
-# state_store_audit, ps_orders_status_profile — put these first in the
-# round-11 window, padded to 50 with already-green queries).
+# state_store_audit, ps_orders_status_profile,
+# sql_scripting_coverage_threshold, sql_udf_price_bands,
+# collated_type_counts — put these 7 first in the round-11 window,
+# padded to 50 with already-green queries).
 # ROUND-9 ROTATION (executed): the round-9 head led with wave 35
 # (cdc_orders_state, streaming_near_dup_docs, polymorphic_trigram_topk,
 # semdedup_hier_survivors — the only 4 queries without a driver row)
