@@ -23,9 +23,27 @@ timed pass (round-9 verdict #3 / advice #1: without the clear, the
 second pass of a derivation-lead query like ngram_jaccard_pairs reads
 the session-lived checkpoint and the recorded "min" was a ~0.02 s
 cache read, not the plan) — so the min now reports the plan's own
-cost INCLUDING its derivation for every query. Consumers that share a
-derivation still amortize it within a single pass's execution, which
-matches production (one derivation per job, not per round).
+cost INCLUDING its derivation for every query.
+
+TWO headline walls, both printed every round (round-10 verdict #3):
+
+- ``total_wall_sec`` — sum of per-query ``min_of_2_cold`` minima.
+  The PINNED per-query protocol from round 10 on (do not change it:
+  round-over-round totals are only meaningful under one protocol).
+  Conservative attribution: every consumer of a shared derivation
+  (e.g. each of the ~9 near-dup pair-graph consumers) pays the full
+  derivation in its own row, so families double-count vs production.
+- ``suite_wall_sec`` — ONE extra single pass over the registry with
+  derived caches cleared exactly once up front, so shared
+  derivations amortize across their family within the pass. This is
+  what a production run of the whole suite pays (one derivation per
+  job, not per query); it is a whole-suite wall, not a per-query
+  table.
+
+A query that fails on EITHER timed pass is a failure (excluded from
+timings/n_queries, listed under failures with a pass marker) — the
+post-clear pass 2 is the colder run, so a reproducible cold-run
+breakage must not be recorded as a green pass-1 timing.
 
 The printed line must survive the driver's tail capture (observed:
 BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
@@ -65,7 +83,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    flaky: dict[str, str] = {}
     wall_all = 0.0
     for name, fn in entrymod.queries().items():
         runs: list[float] = []
@@ -79,13 +96,39 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
         except Exception as e:  # record, keep benching the rest
-            if runs:  # pass 2 failed: keep pass-1 timing, flag flaky
-                flaky[name] = f"{type(e).__name__}: {e}"[:200]
-            else:
-                failures[name] = f"{type(e).__name__}: {e}"[:200]
+            # A pass-2 failure is a FAILURE, not a flaky timing: the
+            # post-clear pass is the colder run, so a reproducible
+            # cold-run breakage must not hide behind its pass-1 wall
+            # (round-10 advice #3). The pass marker keeps triage easy.
+            tag = "pass2: " if runs else ""
+            failures[name] = f"{tag}{type(e).__name__}: {e}"[:200]
+            runs = []
         if runs:
             timings[name] = round(min(runs), 3)
             wall_all += sum(runs)
+
+    # SUITE MODE (round-10 verdict #3): one additional single pass over
+    # the whole registry with derived caches cleared exactly ONCE up
+    # front — consumers of a shared derivation (the near-dup pair-graph
+    # family, the corpus-selection family) amortize it within the pass,
+    # which is what a production run pays. `total_wall_sec` (min-of-2
+    # cold, the per-query table) stays the conservative per-query
+    # attribution; `suite_wall_sec` is the amortized whole-suite wall.
+    entrymod.reset_derived_caches()
+    gc.collect()
+    t_suite = time.perf_counter()
+    n_suite = 0
+    for name, fn in entrymod.queries().items():
+        if name in failures:
+            continue
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            n_suite += 1
+        except Exception as e:
+            failures.setdefault(
+                name, f"suite: {type(e).__name__}: {e}"[:200]
+            )
+    suite_wall = round(time.perf_counter() - t_suite, 3)
 
     sf_token = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -100,15 +143,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "timing": "min_of_2_cold",  # derived caches cleared before every pass
+        "timing": "min_of_2_cold",  # PINNED protocol — see module docstring
+        "suite_wall_sec": suite_wall,  # single amortized pass, see docstring
+        "n_suite": n_suite,
         "wall_sec_all_passes": round(wall_all, 3),
         "master": spark.sparkContext.master,
         "spark_version": spark.version,
     }
     if failures:
         detail["failures"] = failures
-    if flaky:
-        detail["flaky"] = flaky
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
@@ -168,9 +211,6 @@ def main() -> None:
     if failures:
         result["n_failures"] = len(failures)
         result.pop("failures", None)
-    if flaky:
-        result["n_flaky"] = len(flaky)
-        result.pop("flaky", None)
     line = json.dumps(result)
     # hard guarantee: fit inside the driver's ~2000-char tail window
     while len(line) > 1800 and result["queries"]:

@@ -335,7 +335,11 @@ def last_click_before_purchase_cogrouped(events: DataFrame) -> DataFrame:
             [p[["user_id", "event_id", "us"]].assign(_is_p=1), c2.assign(_is_p=0)],
             ignore_index=True,
         ).sort_values(["user_id", "us", "event_id"], kind="mergesort")
-        click_id = both["event_id"].where(both["_is_p"] == 0).astype("Int64")
+        # astype BEFORE where: masking an int64 ndarray-backed Series
+        # promotes to float64 (NaN) and only then converts to Int64 —
+        # ids above 2^53 would already be rounded. On the Int64
+        # extension dtype, .where fills with pd.NA and keeps exactness.
+        click_id = both["event_id"].astype("Int64").where(both["_is_p"] == 0)
         last_click = click_id.groupby(both["user_id"].to_numpy()).ffill()
         out_mask = (both["_is_p"] == 1).to_numpy()
         out = both[out_mask]

@@ -150,13 +150,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str, n_buckets: int = 8) 
     time, which is the point of bucketing for repeated co-located
     joins at 100 TB. Returns per-order revenue
     (o_orderkey, o_totalprice, line_revenue, n_lines)."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.tempdirs import scratch_dir
 
-    loc = tempfile.mkdtemp(prefix="mgs_buckets_")
+    loc = scratch_dir("mgs_buckets_")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

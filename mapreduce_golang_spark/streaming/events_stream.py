@@ -486,7 +486,15 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIRECTORY of part files (stream the directory itself). Round-10
     fix: the glob-only form silently matched ZERO files on
     directory-shaped input, so every streaming probe on the xl
-    fixtures drained an empty source and reported a no-op wall."""
+    fixtures drained an empty source and reported a no-op wall.
+
+    The layout probe goes through Hadoop's FileSystem (round-10
+    advice #2), NOT os.path.isdir: a driver-local isdir is always
+    False for s3://, hdfs:// etc., which would silently recreate the
+    zero-files-matched empty-source bug on any non-local corpus. The
+    local-stat fallback only triggers when the JVM handle is absent
+    (Spark Connect), where local paths are the only supported input.
+    """
     import os
 
     schema = StructType(
@@ -498,8 +506,15 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_chars", LongType()),
         ]
     )
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(path):
+    path = sf_dir.rstrip("/") + "/documents.parquet"
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
+    except Exception:  # no JVM handle (Connect) → local FS only
+        is_dir = os.path.isdir(path)
+    if is_dir:
         return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)

@@ -79,8 +79,10 @@ def state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     store back — the returned key set must equal batch DISTINCT
     event_id over the input (the DuckDB oracle), proving the
     introspection read is complete and exact."""
-    import tempfile
+    from mapreduce_golang_spark.tempdirs import scratch_dir
 
-    work_dir = tempfile.mkdtemp(prefix="mr_spark_stateread_")
+    # atexit-cleaned: the returned DF reads the store lazily, so the
+    # dir must outlive this call but not the process (r10 advice #4)
+    work_dir = scratch_dir("mr_spark_stateread_")
     cp = drain_dedup_checkpoint(spark, sf_dir, work_dir)
     return read_dedup_state(spark, cp)

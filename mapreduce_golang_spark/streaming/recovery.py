@@ -180,10 +180,12 @@ def streaming_dedup_kill_recover(
     scripts/streaming_crash_worker.py; the checkpoint/recovery path
     exercised is the same.
     """
-    import tempfile
+    from mapreduce_golang_spark.tempdirs import scratch_dir
 
     if work_root is None:
-        work_root = tempfile.mkdtemp(prefix="mr_spark_recover_")
+        # atexit-cleaned: the returned DF reads the sink lazily, so
+        # the dir must outlive this call but not the process
+        work_root = scratch_dir("mr_spark_recover_")
     work_dir = os.path.join(work_root, "run")
     os.makedirs(work_dir, exist_ok=True)
     input_dir = build_chunked_input(spark, sf_dir, work_dir)

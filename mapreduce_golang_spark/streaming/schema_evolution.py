@@ -1,0 +1,202 @@
+"""STATE SCHEMA EVOLUTION across a streaming-query restart — the ops
+story one step past kill-and-recover (round-10 verdict #6a): what
+happens when the business asks a long-running stateful query to start
+computing MORE than its checkpointed state knows about.
+
+Three facts are proven, each pinned by a pytest and the graded query:
+
+1. **The guard**: Spark's state-schema compatibility check REFUSES to
+   restart a streaming aggregation from a checkpoint whose value-state
+   buffer doesn't match the new plan (adding `sum(value)` to a
+   count-only agg changes the buffer schema). This is a feature, not a
+   failure — silent reuse would corrupt the new aggregate with an
+   undefined history. The pytest asserts the refusal class so an
+   engine that ever started accepting it silently gets caught.
+
+2. **The migration**: the supported evolution path is drain + carry:
+   read the old checkpoint's state store back as a DataFrame (the
+   Spark 4 `statestore` source — same surface as introspection.py),
+   carry the CONTINUOUS metric (the running count) forward into the
+   evolved topology, and start the NEW metric at the evolution point
+   with a fresh checkpoint. Continuous metrics survive evolution;
+   new metrics begin life at the cutover (production alternative:
+   batch-backfill the new metric from historical data — same join,
+   different source).
+
+3. **The equivalence**: carried + fresh ≡ one-shot. The graded query's
+   per-type `n_total` (old-state count + evolved-era count) must equal
+   batch `count(*)` over ALL events, and `era2_value_sum` must equal
+   batch `sum(value)` over exactly the evolved-era rows — the DuckDB
+   oracle checks both, so a lost key, double-carried count, or
+   era-leaking sum all hash-mismatch.
+
+Scale shape: the state read is a batch scan of store files (no live
+query interaction); the carry join is per-group (5 event types here,
+bounded by group cardinality not input rows); era-2 runs as a normal
+checkpointed stream. At 100 TB the same recipe applies checkpoint-
+sized work, not corpus-sized work — only the state store and the new
+era's input are touched.
+
+Reference parity: the reference has no schema versioning at all — a
+changed reduce function simply reruns the job from scratch
+(/root/reference/src/main/mrcoordinator.go one-shot lifecycle); the
+migration recipe here is what replaces "rerun from scratch" when the
+job is a never-ending stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .chunks import CHUNK_SCHEMA, build_plain_chunks
+
+#: events rows with pmod(event_id, 4) in {0,1} are "era 1" (counted
+#: under the old count-only schema); {2,3} are "era 2" (after the
+#: evolution adds sum(value)). The DuckDB oracle uses the same split.
+N_CHUNKS = 4
+ERA_SPLIT = 2
+
+
+def _count_plan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The ORIGINAL topology: running count per event_type."""
+    return (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .parquet(input_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _evolved_plan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The EVOLVED topology: count + sum(value) — one more buffer
+    field in the value state than the original checkpoint carries."""
+    return (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .parquet(input_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("val_sum"))
+    )
+
+
+def drain_era1(spark: SparkSession, sf_dir: str, work_dir: str) -> str:
+    """Run the original count-only aggregation over the era-1 chunks to
+    completion (availableNow, update mode, noop sink), leaving its
+    checkpoint — and therefore its count-buffer state store — behind.
+    Returns the checkpoint dir."""
+    input_dir = build_plain_chunks(
+        spark, sf_dir, os.path.join(work_dir, "era1"),
+        n_chunks=N_CHUNKS, chunk_range=(0, ERA_SPLIT),
+    )
+    cp = os.path.join(work_dir, "cp_era1")
+    q = (
+        _count_plan(spark, input_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cp
+
+
+def attempt_incompatible_restart(
+    spark: SparkSession, sf_dir: str, work_dir: str, cp: str
+) -> Exception | None:
+    """Try to restart the EVOLVED plan from the ORIGINAL checkpoint.
+    Returns the exception Spark raises (expected: the state-schema
+    compatibility guard) or None if the engine accepted it — the
+    pytest asserts this is NOT None and names the guard.
+
+    Two restart invariants matter here: (1) the checkpoint's offsets
+    WAL pins the SOURCE PATH, so the restart must read the same
+    input dir the checkpoint was built on (a different dir fails on
+    basePath before any state is touched); (2) the schema check runs
+    when the stateful operator opens the store for a new batch, so
+    the era-2 chunks are appended INTO that same dir to force one."""
+    input_dir = build_plain_chunks(
+        spark, sf_dir, os.path.join(work_dir, "era1"),
+        n_chunks=N_CHUNKS, chunk_range=(ERA_SPLIT, N_CHUNKS),
+    )
+    try:
+        q = (
+            _evolved_plan(spark, input_dir)
+            .writeStream.format("noop")
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return None
+    except Exception as exc:  # noqa: BLE001 — the guard IS the result
+        return exc
+
+
+def read_carried_counts(spark: SparkSession, cp: str) -> DataFrame:
+    """Read the era-1 checkpoint's aggregation state store back:
+    (event_type, old_n). The count buffer is the state value's single
+    field — selected positionally (and pinned to be single) so the
+    read doesn't couple to Spark's internal buffer-attribute naming."""
+    state = spark.read.format("statestore").load(cp)
+    value_fields = state.schema["value"].dataType.fieldNames()
+    if len(value_fields) != 1:
+        raise AssertionError(
+            f"count-only agg must carry a 1-field buffer, got {value_fields}"
+        )
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{value_fields[0]}").cast("long").alias("old_n"),
+    )
+
+
+def state_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded query: era-1 count-only drain → state carried out of
+    the old checkpoint → evolved (count + sum) topology over era 2 on a
+    FRESH checkpoint → merge. Per type: n_total = carried + era-2
+    count; era2_value_sum starts at the evolution point. Oracle: batch
+    count(*) over all events + sum(value) over era-2 rows only."""
+    from mapreduce_golang_spark.tempdirs import scratch_dir
+
+    work_dir = scratch_dir("mr_spark_evolve_")
+    cp1 = drain_era1(spark, sf_dir, work_dir)
+    carried = read_carried_counts(spark, cp1)
+
+    era2_dir = build_plain_chunks(
+        spark, sf_dir, os.path.join(work_dir, "era2"),
+        n_chunks=N_CHUNKS, chunk_range=(ERA_SPLIT, N_CHUNKS),
+    )
+    sink = f"evolved_era2_{abs(hash(work_dir)) % 10_000_000}"
+    q = (
+        _evolved_plan(spark, era2_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    era2 = spark.table(sink).select(
+        "event_type",
+        F.col("n").alias("new_n"),
+        F.col("val_sum").alias("era2_sum"),
+    )
+
+    # full outer: a type seen only before (or only after) the cutover
+    # must still carry through with the other era contributing zero
+    return (
+        carried.join(era2, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("old_n"), F.lit(0))
+                + F.coalesce(F.col("new_n"), F.lit(0))
+            ).alias("n_total"),
+            F.round(F.coalesce(F.col("era2_sum"), F.lit(0.0)), 2).alias(
+                "era2_value_sum"
+            ),
+        )
+    )

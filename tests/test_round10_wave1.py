@@ -68,15 +68,19 @@ def test_asof_cogrouped_no_per_user_groups_in_plan(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "FlatMapCoGroupsInPandas" in plan
-    line = next(
-        ln for ln in plan.splitlines() if "FlatMapCoGroupsInPandas" in ln
+    # Anchor on the node name and read its first two bracketed lists
+    # (left and right grouping expressions) semantically — bucket must
+    # be the key, user_id must not be — instead of positional '['
+    # splitting, which coupled to plan-string layout (round-10 advice).
+    import re
+
+    m = re.search(
+        r"FlatMapCoGroupsInPandas\s+\[([^\]]*)\],\s*\[([^\]]*)\]", plan
     )
-    # executed form: FlatMapCoGroupsInPandas [<left keys>], [<right keys>], ...
-    left_keys, right_keys = line.split("[")[1], line.split("[")[2]
-    assert left_keys.startswith("bucket") and right_keys.startswith("bucket")
-    assert "user_id" not in left_keys.split("]")[0]
-    assert "user_id" not in right_keys.split("]")[0]
+    assert m is not None, plan
+    left_keys, right_keys = m.group(1), m.group(2)
+    assert "bucket" in left_keys and "bucket" in right_keys
+    assert "user_id" not in left_keys and "user_id" not in right_keys
 
 
 def test_documents_stream_reads_directory_layout(spark, sf_dir, tmp_path):
