@@ -204,6 +204,9 @@ def main() -> None:
         # round 10: reworked bucketed cogroup + kill-and-recover proof
         "asof_cogrouped_clicks",
         "streaming_kill_recover_dedup",
+        # round 11: schema-evolution migration + multi-sink fanout
+        "state_schema_evolution_counts",
+        "foreach_batch_fanout",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}

@@ -49,6 +49,13 @@ PROBES = [
     ("incremental_dedup", "documents"),
     ("streaming_near_dup_docs", "documents"),
     ("semdedup_hier_survivors", "embeddings"),
+    # round-11 tier (round-10 verdict #4): the next-heaviest operators
+    # without a 100× row — the banded-LSH join, the Apriori level-3
+    # lattice, and the two pair-graph component-loop consumers
+    ("minhash_lsh_pairs", "documents"),
+    ("basket_triple_itemsets", "lineitem"),
+    ("leakage_safe_splits", "documents"),
+    ("split_leakage_audit", "documents"),
 ]
 
 

@@ -48,3 +48,16 @@ def test_asof_cogrouped_preserves_ids_above_2_53(spark):
     want = sorted(map(tuple, last_click_before_purchase(ev).collect()))
     have = sorted(map(tuple, last_click_before_purchase_cogrouped(ev).collect()))
     assert have == want
+
+
+def test_scratch_dir_registers_for_exit_cleanup():
+    """scratch_dir must mint a real dir and register it so the atexit
+    sweep removes it — the round-10 advice #4 leak defense."""
+    import os
+
+    from mapreduce_golang_spark import tempdirs
+
+    d = tempdirs.scratch_dir("mr_spark_test_")
+    assert os.path.isdir(d) and d in tempdirs._REGISTERED
+    tempdirs._cleanup()
+    assert not os.path.exists(d) and not tempdirs._REGISTERED
