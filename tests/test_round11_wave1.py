@@ -61,3 +61,28 @@ def test_scratch_dir_registers_for_exit_cleanup():
     assert os.path.isdir(d) and d in tempdirs._REGISTERED
     tempdirs._cleanup()
     assert not os.path.exists(d) and not tempdirs._REGISTERED
+
+
+def test_no_bare_mkdtemp_in_operator_paths():
+    """Standing audit (round-11 discipline): work dirs minted by
+    graded-query paths must go through tempdirs.scratch_dir so they
+    are removed at interpreter exit — a bare tempfile.mkdtemp in the
+    package or the entry module re-opens the /tmp leak the round-10
+    advice closed. session.py's package-archive dir is exempt by
+    design (process-lifetime, one per session)."""
+    import pathlib
+    import re
+
+    import mapreduce_golang_spark
+
+    root = pathlib.Path(mapreduce_golang_spark.__file__).parent
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        if p.name in ("tempdirs.py", "session.py"):
+            continue
+        if re.search(r"tempfile\.mkdtemp\(", p.read_text()):
+            offenders.append(str(p.relative_to(root)))
+    entry = root.parent / "__spark_entry__.py"
+    if re.search(r"tempfile\.mkdtemp\(", entry.read_text()):
+        offenders.append("__spark_entry__.py")
+    assert not offenders, offenders
