@@ -56,6 +56,13 @@ PROBES = [
     ("basket_triple_itemsets", "lineitem"),
     ("leakage_safe_splits", "documents"),
     ("split_leakage_audit", "documents"),
+    # round-11 extra tier: the iterative checkpointed loop (10 genuine
+    # pagerank iterations on the pair graph), the multi-branch funnel
+    # report, and the by-design re-deriving calibration — the last
+    # heavy family without a 100× row
+    ("near_dup_weighted_pagerank", "documents"),
+    ("corpus_funnel_report", "documents"),
+    ("minhash_estimate_error", "documents"),
 ]
 
 
