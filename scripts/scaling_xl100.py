@@ -63,6 +63,12 @@ PROBES = [
     ("near_dup_weighted_pagerank", "documents"),
     ("corpus_funnel_report", "documents"),
     ("minhash_estimate_error", "documents"),
+    # round-11 wave-38 streaming proofs on the events ladder: the
+    # timed wall INCLUDES each proof's own chunk-fixture build (the
+    # query stages its input), so these rows bound the whole proof,
+    # not just the streaming engine work
+    ("state_schema_evolution_counts", "events"),
+    ("foreach_batch_fanout", "events"),
 ]
 
 
