@@ -40,10 +40,12 @@ TWO headline walls, both printed every round (round-10 verdict #3):
   job, not per query); it is a whole-suite wall, not a per-query
   table.
 
-A query that fails on EITHER timed pass is a failure (excluded from
-timings/n_queries, listed under failures with a pass marker) — the
-post-clear pass 2 is the colder run, so a reproducible cold-run
-breakage must not be recorded as a green pass-1 timing.
+A query that fails on ANY pass (either min-of-2 pass or the suite
+pass) is a failure — excluded from timings/n_queries/total_wall_sec,
+listed under failures with a pass marker. The post-clear pass 2 is
+the colder run, so a reproducible cold-run breakage must not be
+recorded as a green pass-1 timing, and a suite-only breakage must not
+leave a green timing contradicting its failures entry.
 
 The printed line must survive the driver's tail capture (observed:
 BENCH_r01–r03 store only the last ~2000 chars of stdout and parse from
@@ -125,9 +127,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             n_suite += 1
         except Exception as e:
+            # a suite-pass failure demotes the query entirely: its
+            # min-of-2 timing leaves the table/total so n_queries,
+            # total_wall_sec and failures never disagree about it
             failures.setdefault(
                 name, f"suite: {type(e).__name__}: {e}"[:200]
             )
+            timings.pop(name, None)
     suite_wall = round(time.perf_counter() - t_suite, 3)
 
     sf_token = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

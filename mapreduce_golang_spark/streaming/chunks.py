@@ -53,7 +53,11 @@ def build_plain_chunks(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         dst = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage_dir, part), dst)
+        # rename, not copy: stage dir is a sibling on the same
+        # filesystem, and each staged part is consumed exactly once —
+        # at the 100× events ladder a byte copy would add four
+        # multi-MB copies inside every timed proof wall
+        os.replace(os.path.join(stage_dir, part), dst)
         os.utime(dst, (base + i, base + i))
     shutil.rmtree(stage_dir, ignore_errors=True)
     return input_dir

@@ -43,15 +43,12 @@ the same name any number of times.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .chunks import CHUNK_SCHEMA, build_plain_chunks
-from .recovery import committed_batches
-
-_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+from .recovery import wait_for_commits
 
 
 def make_fanout_writer(sink_raw: str, sink_agg: str):
@@ -106,49 +103,67 @@ def _start(
 
 
 def inject_replay(work_dir: str) -> int:
-    """Simulate the crash between sink writes and commit: delete the
-    NEWEST commit marker. The offsets WAL still pins that batch's file
-    set, so the resume re-runs foreachBatch with the same batch id and
-    data — against sinks that already hold its output. Returns the
-    replayed batch id."""
+    """Simulate the crash between sink writes and commit, such that the
+    resume GENUINELY re-runs one batch. Spark's restart logic re-runs
+    only the latest WAL-planned batch (commit-log gaps deeper than one
+    produce a warning, not a replay), so which file to delete depends
+    on where the stop landed:
+
+    - offsets ahead of commits (the stop interrupted an in-flight
+      batch): that batch will replay naturally on resume — deleting an
+      older commit would leave a permanent hole that never re-runs and
+      make the proof vacuous. Delete nothing; the in-flight batch id
+      is the replayed one (its foreachBatch may already have written
+      sinks before the stop — exactly the crash shape under test).
+    - offsets == commits (the stop landed on a batch boundary): delete
+      the newest commit marker; the offsets WAL still pins that
+      batch's file set, so the resume re-runs foreachBatch with the
+      same batch id and data against sinks that already hold its
+      output.
+
+    Returns the batch id the resume must re-run; callers can assert
+    its commit marker exists again after the drain (proof the replay
+    completed)."""
     commits = os.path.join(work_dir, "checkpoint", "commits")
-    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
-    os.remove(os.path.join(commits, str(ids[-1])))
+    offsets = os.path.join(work_dir, "checkpoint", "offsets")
+    c_latest = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    o_latest = max(int(f) for f in os.listdir(offsets) if f.isdigit())
+    if o_latest > c_latest:
+        return o_latest  # in-flight batch: replays without our help
+    os.remove(os.path.join(commits, str(c_latest)))
     # local-FS sharp edge: Hadoop's ChecksumFileSystem shadows every
     # commit marker with a .N.crc sibling; leaving it behind makes the
     # resumed query's atomic rewrite of commits/N look like a
     # concurrent writer (SparkConcurrentModificationException) instead
     # of a clean replay
-    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    crc = os.path.join(commits, f".{c_latest}.crc")
     if os.path.exists(crc):
         os.remove(crc)
-    return ids[-1]
+    return c_latest
 
 
 def run_fanout_with_replay(
     spark: SparkSession, sf_dir: str, work_dir: str, timeout_s: float = 180.0
 ) -> int:
-    """Phase 1 (one file per trigger) until 2 commits → stop → delete
-    the newest commit marker → phase 2 resume (availableNow) drains the
-    replayed batch plus the remainder. Returns the replayed batch id."""
+    """Phase 1 (one file per trigger) until 2 commits → stop → arrange
+    a replay (see inject_replay for the two stop-position cases) →
+    phase 2 resume (availableNow) drains the replayed batch plus the
+    remainder. Returns the replayed batch id, and ASSERTS the resume
+    actually re-committed it — the proof is not allowed to go vacuous
+    silently."""
     input_dir = build_plain_chunks(
         spark, sf_dir, os.path.join(work_dir, "input")
     )
     q = _start(spark, input_dir, work_dir, available_now=False, per_file_batches=True)
-    deadline = time.time() + timeout_s
-    try:
-        while committed_batches(work_dir) < 2:
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"only {committed_batches(work_dir)} commits after {timeout_s}s"
-                )
-            time.sleep(0.05)
-    finally:
-        q.stop()
-        q.awaitTermination()
+    wait_for_commits(q, work_dir, 2, timeout_s)
     replayed = inject_replay(work_dir)
     q = _start(spark, input_dir, work_dir, available_now=True, per_file_batches=False)
     q.awaitTermination()
+    commit_marker = os.path.join(work_dir, "checkpoint", "commits", str(replayed))
+    if not os.path.exists(commit_marker):
+        raise AssertionError(
+            f"resume did not re-commit batch {replayed}: the replay never ran"
+        )
     return replayed
 
 

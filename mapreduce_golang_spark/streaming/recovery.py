@@ -120,18 +120,18 @@ def committed_batches(work_dir: str) -> int:
     return sum(1 for f in os.listdir(commits) if f.isdigit())
 
 
-def run_until_n_commits(
-    spark: SparkSession, input_dir: str, work_dir: str, n_commits: int,
-    timeout_s: float = 180.0,
-) -> int:
-    """Phase 1: start the checkpointed dedup stream and STOP it
-    mid-drain, as soon as ``n_commits`` micro-batches have committed
-    (well before the 2×N chunk files are drained). Returns the commit
-    count at stop time."""
-    q = _start_sink(_dedup_plan(spark, input_dir), work_dir, available_now=False)
+def wait_for_commits(q, work_dir: str, n_commits: int, timeout_s: float) -> int:
+    """Wait until ``n_commits`` micro-batches have committed, then STOP
+    the query. Fails fast if the stream dies (q.exception) instead of
+    spinning out the timeout masking the real error. Returns the
+    commit count at stop time. Shared by the kill-recover and fanout
+    proofs' phase 1."""
     deadline = time.time() + timeout_s
     try:
         while committed_batches(work_dir) < n_commits:
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             if time.time() > deadline:
                 raise TimeoutError(
                     f"only {committed_batches(work_dir)} commits after {timeout_s}s"
@@ -141,6 +141,18 @@ def run_until_n_commits(
         q.stop()
         q.awaitTermination()
     return committed_batches(work_dir)
+
+
+def run_until_n_commits(
+    spark: SparkSession, input_dir: str, work_dir: str, n_commits: int,
+    timeout_s: float = 180.0,
+) -> int:
+    """Phase 1: start the checkpointed dedup stream and STOP it
+    mid-drain, as soon as ``n_commits`` micro-batches have committed
+    (well before the 2×N chunk files are drained). Returns the commit
+    count at stop time."""
+    q = _start_sink(_dedup_plan(spark, input_dir), work_dir, available_now=False)
+    return wait_for_commits(q, work_dir, n_commits, timeout_s)
 
 
 def resume_and_drain(spark: SparkSession, input_dir: str, work_dir: str) -> None:

@@ -16,12 +16,17 @@ round-9 verdict named:
 - streaming_near_dup_docs  (micro-batch near-dup: state-store drain +
   integer signature)
 
+Later rounds widened the PROBES list past the original four (round 11:
+the banded-LSH join, the Apriori lattice, the pair-graph component
+and iterative-loop consumers, and the wave-38 streaming proofs).
+
 Protocol is the established noisy-host estimator (scaling_xl_median.py
 docstring: this Firecracker box has multi-regime throughput, single
 shots spread up to 15×): MIN over N interleaved repeats, scale rotating
 inside each repeat, derived caches + Spark cache cleared before every
-timed run. Only documents + embeddings fixtures are built (the four
-probes drive nothing else), at 10×/30×/100×.
+timed run. Only the fixtures the SELECTED probes drive are built
+(documents/embeddings for the original four; lineitem and events
+joined the ladder in round 11), at 10×/30×/100×.
 
 Run:  python scripts/scaling_xl100.py [N] [probe1,probe2,...]
       # default N=3, all PROBES; the optional second arg restricts

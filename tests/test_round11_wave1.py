@@ -52,15 +52,24 @@ def test_asof_cogrouped_preserves_ids_above_2_53(spark):
 
 def test_scratch_dir_registers_for_exit_cleanup():
     """scratch_dir must mint a real dir and register it so the atexit
-    sweep removes it — the round-10 advice #4 leak defense."""
+    sweep removes it — the round-10 advice #4 leak defense. The sweep
+    is exercised against THIS test's dir only: draining the global
+    registry would delete scratch dirs backing other tests'
+    not-yet-materialized DataFrames in the same pytest process."""
     import os
 
     from mapreduce_golang_spark import tempdirs
 
     d = tempdirs.scratch_dir("mr_spark_test_")
     assert os.path.isdir(d) and d in tempdirs._REGISTERED
-    tempdirs._cleanup()
-    assert not os.path.exists(d) and not tempdirs._REGISTERED
+    others = [x for x in tempdirs._REGISTERED if x != d]
+    del tempdirs._REGISTERED[:]
+    tempdirs._REGISTERED.append(d)
+    try:
+        tempdirs._cleanup()
+        assert not os.path.exists(d) and not tempdirs._REGISTERED
+    finally:
+        tempdirs._REGISTERED.extend(others)
 
 
 def test_no_bare_mkdtemp_in_operator_paths():
