@@ -146,3 +146,59 @@ def test_fanout_replay_round_trip(spark, sf_dir, tmp_path):
         .agg(F.sum("n").cast("long").alias("n"))
     )
     assert sorted(map(tuple, agg.collect())) == want
+
+
+def test_schema_evolution_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The evolution proof under the RocksDB state store provider —
+    the 100 TB state-scale path: the schema guard must still refuse
+    the evolved plan, and the statestore reader must carry the counts
+    out of a RocksDB-held checkpoint exactly."""
+    import os
+
+    from mapreduce_golang_spark.sources.tables import load_table
+    from mapreduce_golang_spark.streaming.schema_evolution import (
+        ERA_SPLIT,
+        N_CHUNKS,
+        attempt_incompatible_restart,
+        drain_era1,
+        read_carried_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        cp = drain_era1(spark, sf_dir, str(tmp_path))
+        got = sorted(map(tuple, read_carried_counts(spark, cp).collect()))
+        exc = attempt_incompatible_restart(spark, sf_dir, str(tmp_path), cp)
+    finally:
+        spark.conf.set(key, old)
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .where(F.pmod("event_id", F.lit(N_CHUNKS)) < ERA_SPLIT)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("old_n"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert exc is not None, "RocksDB path silently accepted an evolved schema"
+    msg = str(exc)
+    assert "chema" in msg and ("ompatib" in msg or "STATE_STORE" in msg), msg
+    # prove RocksDB actually held the state: zip/changelog layout,
+    # never the HDFS provider's .delta files
+    state_dir = os.path.join(cp, "state")
+    names = [
+        f
+        for _, _, fs in os.walk(state_dir)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert names and not any(f.endswith(".delta") for f in names)
+    assert any(f.endswith((".zip", ".changelog")) for f in names)
