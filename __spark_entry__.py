@@ -2274,8 +2274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # collated_type_counts — the only 7 without a driver row) padded to 50
 # with 43 of the round-10 green pads. Done = CORRECTNESS_r11 50/50 →
 # driver-cumulative 306/306. Round-11 additions register BELOW slot 50
-# and form the ROUND-12 ROTATION LIST (wave 38: see the comment that
-# accompanies their registrations at the tail of _RAW_QUERIES).
+# and form the ROUND-12 ROTATION LIST (wave 38:
+# state_schema_evolution_counts, foreach_batch_fanout — put these 2
+# first in the round-12 window, padded to 50 with already-green
+# queries).
 # ROUND-9 ROTATION (executed): the round-9 head led with wave 35
 # (cdc_orders_state, streaming_near_dup_docs, polymorphic_trigram_topk,
 # semdedup_hier_survivors — the only 4 queries without a driver row)
