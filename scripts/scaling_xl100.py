@@ -74,6 +74,12 @@ PROBES = [
     # not just the streaming engine work
     ("state_schema_evolution_counts", "events"),
     ("foreach_batch_fanout", "events"),
+    # round-11 blanket: the last pair-graph consumers above ~4.8 s
+    # cold without their own 100× row (family shape already proven,
+    # these close the tier completely)
+    ("component_best_representative", "documents"),
+    ("dup_cluster_size_hist", "documents"),
+    ("near_dup_pagerank", "documents"),
 ]
 
 
