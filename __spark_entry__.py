@@ -1708,25 +1708,25 @@ def _journeys(spark, sf_dir):
     return W.user_journey_signatures(load_table(spark, sf_dir, "events"))
 
 
-# ROUND-11 WINDOW: the driver grades the FIRST 50 queries() entries only.
-# Round 10 left exactly 7 registered queries with no driver CORRECTNESS
-# row ever — wave 37, slots 300-306 (the ROUND-11 ROTATION LIST in the
-# comment below). This head is those 7 padded to 50 with 43
-# already-driver-green queries (a subset of the round-9/10 pad set,
-# every one green in CORRECTNESS_r10 — re-grading a green query costs
-# nothing). Done = CORRECTNESS_r11 50/50 green → driver-cumulative
-# 306/306: EVERY registered query has a driver row.
-# Any round-11 additions MUST register BELOW slot 50 (they get
+# ROUND-12 WINDOW: the driver grades the FIRST 50 queries() entries only.
+# Round 11 left exactly 2 registered queries with no driver CORRECTNESS
+# row ever — wave 38 (state_schema_evolution_counts, foreach_batch_fanout,
+# the ROUND-12 ROTATION LIST staged by the round-11 verdict). This head
+# is those 2 padded to 50 with 48 already-driver-green queries (the 43
+# round-11 pads plus 5 of the wave-37 queries that went green in
+# CORRECTNESS_r11 — re-grading a green query costs nothing). Done =
+# CORRECTNESS_r12 50/50 green → driver-cumulative 308/308: EVERY query
+# ever registered has a driver row.
+# Any round-12 additions MUST register BELOW slot 50 (they get
 # full-gate coverage this round and the driver window next round).
-# Historical round-10 head (wave 36 + 46 pads): see the ROUND-10
+# Historical round-11 head (wave 37 + 43 pads): see the ROUND-11
 # ROTATION comment above _RAW_QUERIES.
-_ROUND11_HEAD: list[str] = [
-    # wave 37 — the 7 queries with no driver row yet
-    "streaming_kill_recover_dedup", "streaming_cdc_apply_changes",
-    "state_store_audit", "ps_orders_status_profile",
-    "sql_scripting_coverage_threshold", "sql_udf_price_bands",
-    "collated_type_counts",
-    # pads: already-driver-green (43; r10 pad set minus the 3 slowest)
+_ROUND12_HEAD: list[str] = [
+    # wave 38 — the only 2 queries with no driver row yet
+    "state_schema_evolution_counts", "foreach_batch_fanout",
+    # pads: already-driver-green (48 = 43 r11 pads + 5 wave-37 r11 greens)
+    "ps_orders_status_profile", "sql_scripting_coverage_threshold",
+    "sql_udf_price_bands", "collated_type_counts", "state_store_audit",
     "deterministic_doc_sample", "posexplode_tokens", "kwic_snippets",
     "stratified_sample", "file_counts", "string_functions",
     "near_dup_survivors", "weighted_doc_sample", "q6_forecast_revenue",
@@ -2228,7 +2228,7 @@ def _streaming_cdc_state(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND11_HEAD:
+    for name in _ROUND12_HEAD:
         ordered[name] = _shipped(_RAW_QUERIES[name])
     for name, fn in _RAW_QUERIES.items():
         if name not in ordered:
@@ -2267,7 +2267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # observed_ingest_metrics — the only 4 without a driver row) padded to
 # 50 with the same 46 green pads as round 9. CORRECTNESS_r10 came back
 # 50/50 → driver-cumulative 299/299 for every pre-wave-37 query.
-# ROUND-11 ROTATION (executed): _ROUND11_HEAD above leads with wave 37
+# ROUND-12 ROTATION (executed): _ROUND12_HEAD above leads with wave 38
+# (state_schema_evolution_counts, foreach_batch_fanout — the only 2
+# queries without a driver row after CORRECTNESS_r11's 50/50) padded to
+# 50 with 48 driver-green queries. Done = CORRECTNESS_r12 50/50 →
+# driver-cumulative 308/308. Round-12 additions register BELOW slot 50
+# and form the ROUND-13 ROTATION LIST.
+# ROUND-11 ROTATION (executed): the round-11 head led with wave 37
 # (streaming_kill_recover_dedup, streaming_cdc_apply_changes,
 # state_store_audit, ps_orders_status_profile,
 # sql_scripting_coverage_threshold, sql_udf_price_bands,
@@ -9948,8 +9954,9 @@ _ORACLES["collated_type_counts"] = """
 _ORACLES["state_schema_evolution_counts"] = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_total,
-           round(coalesce(sum(CASE WHEN event_id % 4 >= 2 THEN value END),
-                          0), 2) AS era2_value_sum
+           round(CAST(coalesce(sum(CASE WHEN event_id % 4 >= 2
+                                    THEN CAST(value AS DECIMAL(28,6)) END),
+                               0) AS DOUBLE), 2) AS era2_value_sum
     FROM events
     GROUP BY event_type
 """

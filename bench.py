@@ -54,6 +54,25 @@ The line therefore carries the total plus a fixed HEADLINE subset of
 per-query timings and is kept under 1800 chars; the full per-query
 timing table is written to ``BENCH_DETAIL.json`` at the repo root and
 committed each round.
+
+HOST-REGIME SELF-EVIDENCE (round-11 verdict #3): two driver passes in
+a row ran 1.3-1.5× the committed pass and the co-tenancy attribution
+had to be reconstructed after the fact each time (per-query medians +
+steal-tick archaeology). The bench now carries its own evidence:
+
+- ``spin_calib_s`` — [before, after] wall times of a FIXED pure-Python
+  single-core spin loop (same iteration count every run). The loop's
+  work is constant, so its wall time is a pure host-speed probe: a
+  committed-run value of ~X and a driver-run value of ~1.4X is the
+  contention, measured, with no per-query archaeology.
+- ``steal_ticks`` / ``steal_frac`` — /proc/stat cpu steal-tick delta
+  across the suite (and its fraction of total ticks): nonzero steal is
+  direct hypervisor-level evidence of a co-tenant regime.
+
+``wall_sec_all_passes`` includes the elapsed time of FAILED passes
+(the pass-1 wall of a pass-2 failure, the partial wall of the failing
+pass itself is unmeasured) — it reports wall actually spent in timed
+passes, not just the green subset (round-11 advice #4).
 """
 
 from __future__ import annotations
@@ -67,6 +86,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _spin_calib() -> float:
+    """Fixed single-core spin — identical work every invocation, so the
+    returned wall time is a host-speed probe, not a benchmark of
+    anything in the repo. ~0.3-0.8 s on an idle core; scales up 1:1
+    with co-tenant contention. See module docstring."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    if acc < 0:  # unreachable; keeps the loop from being elided
+        raise AssertionError(acc)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate cpu line of
+    /proc/stat; None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -74,6 +122,9 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from mapreduce_golang_spark.session import get_spark
+
+    spin_before = _spin_calib()
+    ticks_before = _cpu_ticks()
 
     spark = get_spark(app_name="mapreduce-golang-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,8 +153,13 @@ def main() -> None:
             # post-clear pass is the colder run, so a reproducible
             # cold-run breakage must not hide behind its pass-1 wall
             # (round-10 advice #3). The pass marker keeps triage easy.
+            # Completed passes still count toward wall_sec_all_passes
+            # (round-11 advice #4: the field reports wall actually
+            # spent, so a pass-1 elapsed must not vanish with the
+            # demotion); only the failing pass's partial wall is lost.
             tag = "pass2: " if runs else ""
             failures[name] = f"{tag}{type(e).__name__}: {e}"[:200]
+            wall_all += sum(runs)
             runs = []
         if runs:
             timings[name] = round(min(runs), 3)
@@ -136,6 +192,15 @@ def main() -> None:
             timings.pop(name, None)
     suite_wall = round(time.perf_counter() - t_suite, 3)
 
+    spin_after = _spin_calib()
+    ticks_after = _cpu_ticks()
+    host_regime: dict[str, object] = {"spin_calib_s": [spin_before, spin_after]}
+    if ticks_before is not None and ticks_after is not None:
+        steal_d = ticks_after[0] - ticks_before[0]
+        total_d = max(1, ticks_after[1] - ticks_before[1])
+        host_regime["steal_ticks"] = steal_d
+        host_regime["steal_frac"] = round(steal_d / total_d, 5)
+
     sf_token = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_token)
@@ -155,6 +220,7 @@ def main() -> None:
         "wall_sec_all_passes": round(wall_all, 3),
         "master": spark.sparkContext.master,
         "spark_version": spark.version,
+        **host_regime,  # spin_calib_s / steal_ticks / steal_frac
     }
     if failures:
         detail["failures"] = failures

@@ -507,13 +507,19 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     path = sf_dir.rstrip("/") + "/documents.parquet"
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        is_dir = fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
-    except Exception:  # no JVM handle (Connect) → local FS only
+    # The local-stat fallback is reserved for the missing-JVM-handle
+    # case (Spark Connect, where spark._jvm/_jsc are None or absent).
+    # A real FileSystem error on a remote path (s3://, hdfs://) must
+    # propagate — swallowing it into isdir=False would silently revive
+    # the zero-files-matched empty-source bug (round-11 advice #1).
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is None or jsc is None:
         is_dir = os.path.isdir(path)
+    else:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        is_dir = fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
     if is_dir:
         return spark.readStream.schema(schema).parquet(path)
     return (

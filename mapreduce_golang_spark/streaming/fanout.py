@@ -102,34 +102,42 @@ def _start(
     return writer.start()
 
 
-def inject_replay(work_dir: str) -> int:
+def inject_replay(work_dir: str) -> int | None:
     """Simulate the crash between sink writes and commit, such that the
-    resume GENUINELY re-runs one batch. Spark's restart logic re-runs
-    only the latest WAL-planned batch (commit-log gaps deeper than one
-    produce a warning, not a replay), so which file to delete depends
-    on where the stop landed:
+    resume GENUINELY re-runs one batch OVER SINKS THAT ALREADY HOLD ITS
+    OUTPUT. Spark's restart logic re-runs only the latest WAL-planned
+    batch (commit-log gaps deeper than one produce a warning, not a
+    replay), so what to do depends on where the stop landed:
 
     - offsets ahead of commits (the stop interrupted an in-flight
       batch): that batch will replay naturally on resume — deleting an
       older commit would leave a permanent hole that never re-runs and
-      make the proof vacuous. Delete nothing; the in-flight batch id
-      is the replayed one (its foreachBatch may already have written
-      sinks before the stop — exactly the crash shape under test).
+      make the proof vacuous. Delete nothing — but the replay is only
+      the interesting crash shape if its foreachBatch already wrote
+      sink output before the stop. Check the ``batch=<id>`` raw-sink
+      directory: if it exists, return the id; if the stop killed the
+      batch before any sink write, the resume would be a plain first
+      run (round-11 advice #2's silent-weakening hole) — return None
+      so the caller retries until the injection is genuine.
     - offsets == commits (the stop landed on a batch boundary): delete
       the newest commit marker; the offsets WAL still pins that
       batch's file set, so the resume re-runs foreachBatch with the
       same batch id and data against sinks that already hold its
       output.
 
-    Returns the batch id the resume must re-run; callers can assert
-    its commit marker exists again after the drain (proof the replay
-    completed)."""
+    Returns the batch id the resume must re-run (its sink output is
+    verified present at injection time), or None if the stop position
+    cannot yield a genuine replay; callers assert the commit marker
+    exists again after the drain (proof the replay completed)."""
     commits = os.path.join(work_dir, "checkpoint", "commits")
     offsets = os.path.join(work_dir, "checkpoint", "offsets")
     c_latest = max(int(f) for f in os.listdir(commits) if f.isdigit())
     o_latest = max(int(f) for f in os.listdir(offsets) if f.isdigit())
     if o_latest > c_latest:
-        return o_latest  # in-flight batch: replays without our help
+        # In-flight batch: replays without our help — but only counts
+        # as replay-over-existing-output if the sinks were written.
+        sink_batch = os.path.join(work_dir, "sink_raw", f"batch={o_latest}")
+        return o_latest if os.path.isdir(sink_batch) else None
     os.remove(os.path.join(commits, str(c_latest)))
     # local-FS sharp edge: Hadoop's ChecksumFileSystem shadows every
     # commit marker with a .N.crc sibling; leaving it behind makes the
@@ -150,13 +158,32 @@ def run_fanout_with_replay(
     phase 2 resume (availableNow) drains the replayed batch plus the
     remainder. Returns the replayed batch id, and ASSERTS the resume
     actually re-committed it — the proof is not allowed to go vacuous
-    silently."""
+    silently. If the stop landed on a position where no genuine
+    replay-over-existing-output can be arranged (in-flight batch whose
+    foreachBatch never reached the sinks), phase 1 is resumed for one
+    more commit and the injection retried — the stop then lands either
+    on a boundary or past a sink write, both genuine."""
     input_dir = build_plain_chunks(
         spark, sf_dir, os.path.join(work_dir, "input")
     )
     q = _start(spark, input_dir, work_dir, available_now=False, per_file_batches=True)
     wait_for_commits(q, work_dir, 2, timeout_s)
     replayed = inject_replay(work_dir)
+    # 4 chunk files → at most 4 one-file batches; once all are
+    # committed a stop can only land on a boundary, where injection
+    # always succeeds, so the retry loop is bounded.
+    want_commits = 3
+    while replayed is None:
+        if want_commits > 4:
+            raise AssertionError(
+                "no genuine replay position after draining all chunks"
+            )
+        q = _start(
+            spark, input_dir, work_dir, available_now=False, per_file_batches=True
+        )
+        wait_for_commits(q, work_dir, want_commits, timeout_s)
+        want_commits += 1
+        replayed = inject_replay(work_dir)
     q = _start(spark, input_dir, work_dir, available_now=True, per_file_batches=False)
     q.awaitTermination()
     commit_marker = os.path.join(work_dir, "checkpoint", "commits", str(replayed))

@@ -59,6 +59,9 @@ from .chunks import CHUNK_SCHEMA, build_plain_chunks
 N_CHUNKS = 4
 ERA_SPLIT = 2
 
+# memory-sink name sequence (see state_schema_evolution_counts)
+_SINK_SEQ = 0
+
 
 def _count_plan(spark: SparkSession, input_dir: str) -> DataFrame:
     """The ORIGINAL topology: running count per event_type."""
@@ -72,12 +75,22 @@ def _count_plan(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def _evolved_plan(spark: SparkSession, input_dir: str) -> DataFrame:
     """The EVOLVED topology: count + sum(value) — one more buffer
-    field in the value state than the original checkpoint carries."""
+    field in the value state than the original checkpoint carries.
+    The sum is carried as decimal, not double: micro-batch partial
+    aggregation adds in engine-dependent order, and a double sum one
+    ULP off DuckDB's can round differently on a .xx5 knife edge
+    (round-11 advice #3). decimal(28,6) quantizes each input value
+    identically on both engines (a binary double never lands exactly
+    on a decimal half-way point at scale 6, so HALF_UP vs half-even
+    never diverges) and then sums exactly in any order."""
     return (
         spark.readStream.schema(CHUNK_SCHEMA)
         .parquet(input_dir)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("val_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("val_sum"),
+        )
     )
 
 
@@ -169,7 +182,15 @@ def state_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, sf_dir, os.path.join(work_dir, "era2"),
         n_chunks=N_CHUNKS, chunk_range=(ERA_SPLIT, N_CHUNKS),
     )
-    sink = f"evolved_era2_{abs(hash(work_dir)) % 10_000_000}"
+    # Monotonic counter, not hash(work_dir): hash collisions would
+    # silently REPLACE a memory table a still-lazy DataFrame from an
+    # earlier invocation reads (round-11 advice #5). Each invocation
+    # leaks one small memory-sink table for session lifetime (bench
+    # runs this ~3x/round) — bounded and accepted; a counter makes the
+    # name collision-free by construction.
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"evolved_era2_{_SINK_SEQ}"
     q = (
         _evolved_plan(spark, era2_dir)
         .writeStream.format("memory")
@@ -195,8 +216,15 @@ def state_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.coalesce(F.col("old_n"), F.lit(0))
                 + F.coalesce(F.col("new_n"), F.lit(0))
             ).alias("n_total"),
-            F.round(F.coalesce(F.col("era2_sum"), F.lit(0.0)), 2).alias(
-                "era2_value_sum"
-            ),
+            # era2_sum is an exact decimal on both engines; cast to
+            # double BEFORE rounding so both sides round the identical
+            # IEEE value (and both emit a plain float, not a decimal
+            # whose trailing-zero string form differs per engine)
+            F.round(
+                F.coalesce(
+                    F.col("era2_sum"), F.lit(0).cast("decimal(28,6)")
+                ).cast("double"),
+                2,
+            ).alias("era2_value_sum"),
         )
     )
