@@ -154,7 +154,14 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        stats = _guarded_pair_stats(shingles, max_doc_freq)
+        # lossless prune: J is increasing in n_common, so applying the
+        # SAME threshold to the n_common upper bound never drops a pair
+        # the exact filter below would keep (see _guarded_pair_stats)
+        stats = _guarded_pair_stats(
+            shingles,
+            max_doc_freq,
+            keep_ub=lambda ub, n_a, n_b: ub / (n_a + n_b - ub) >= threshold,
+        )
         j = stats.select(
             "doc_a",
             "doc_b",
@@ -168,7 +175,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def _guarded_pair_stats(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
+def _guarded_pair_stats(
+    shingles: DataFrame,
+    max_doc_freq: int,
+    keep_ub=None,
+) -> DataFrame:
     """Shared candidate+overlap machinery of the guarded near-dup
     operators: candidates from the capped (COLD) inverted index, exact
     intersection over the FULL shingle sets via
@@ -186,12 +197,29 @@ def _guarded_pair_stats(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
     here is ≤ max_doc_freq (cold postings) or ≤ the doc's own
     hot-shingle count (per-doc hot sets). The shingle stream is
     checkpointed once; doc-freq, cold postings, per-doc hot sets, and
-    doc sizes all read the materialized stream instead of re-deriving
+    doc stats all read the materialized stream instead of re-deriving
     it.
 
+    UPPER-BOUND PRUNE (round-11 verdict #4's real lever — at sf0.1 the
+    candidate table is ~1.1M pairs of which ~256 survive Jaccard ≥
+    0.5, and shipping 1.1M rows through four joins dominated every
+    pair-graph consumer's cold wall): per-doc stats (n_sh, n_hot) ride
+    INSIDE the posting structs, so the pair aggregation emits
+    (doc_a, doc_b, n_cold, n_a, n_b, hot-set sizes) in one pass with
+    ZERO row-multiplying joins, and ``keep_ub`` — the caller's
+    similarity predicate applied to the EXACT upper bound
+      n_common ≤ n_cold + min(|hot_a|, |hot_b|)
+    — drops non-survivors before the hot-set verification joins ever
+    see them. Lossless for any normalizer monotone increasing in
+    n_common (Jaccard, containment): normalizer(n_common) ≥ t implies
+    normalizer(ub) ≥ t, so a pruned pair could never have passed the
+    caller's final filter. With keep_ub=None every candidate is kept
+    (the pre-prune behavior).
+
     Returns (doc_a, doc_b, n_common, n_a, n_b) for every candidate
-    pair (doc_a < doc_b sharing ≥ 1 cold shingle); callers apply their
-    own similarity normalizer (Jaccard, overlap coefficient, ...).
+    pair (doc_a < doc_b sharing ≥ 1 cold shingle) surviving the prune;
+    callers apply their own similarity normalizer (Jaccard, overlap
+    coefficient, ...) as the exact final filter.
     """
     shingles = shingles.localCheckpoint(eager=False)
     freq = (
@@ -199,22 +227,64 @@ def _guarded_pair_stats(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
         .agg(F.count("*").alias("df_"))
         .localCheckpoint(eager=False)  # read by cold AND hot branches
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc (n_sh, n_hot): total shingles and how many are hot — the
+    # pair of scalars the upper bound needs, carried into the postings
+    doc_stats = (
+        shingles.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum((F.col("df_") > max_doc_freq).cast("long")).alias("n_hot_sh"),
+        )
+    )
     cold_post = (
         shingles.join(freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle")
+        .join(doc_stats, "doc_id")
         .groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .agg(
+            # struct sort order = field order, doc_id first → same
+            # doc_id-ascending postings as the plain-id formulation
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_sh", "n_hot_sh"))
+            ).alias("docs")
+        )
     )
     pair_expr = F.expr(
         "flatten(transform(docs, (x, i) -> "
         "  transform(slice(docs, i + 2, size(docs) - i - 1), "
-        "            y -> named_struct('doc_a', x, 'doc_b', y))))"
+        "            y -> named_struct('a', x, 'b', y))))"
     )
+    exploded = cold_post.select(F.explode(pair_expr).alias("p"))
+    if keep_ub is not None:
+        # map-side pre-shuffle cut with the SAME caller predicate at
+        # the coarser bound n_common ≤ min(n_a, n_b): size-incompatible
+        # pairs (e.g. Jaccard ≥ 0.5 needs |A|/|B| ∈ [½, 2]) never enter
+        # the pair shuffle at all — lossless for the same monotonicity
+        # reason as the post-agg prune below
+        exploded = exploded.where(
+            keep_ub(
+                F.least("p.a.n_sh", "p.b.n_sh"),
+                F.col("p.a.n_sh"),
+                F.col("p.b.n_sh"),
+            )
+        )
+    # stats are functionally dependent on the doc ids — grouping by
+    # all six keeps one hash-agg pass and no first()/join re-lookup
     cold_common = (
-        cold_post.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        exploded
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.n_sh").alias("n_b"),
+            F.col("p.a.n_hot_sh").alias("n_hot_a"),
+            F.col("p.b.n_hot_sh").alias("n_hot_b"),
+        )
         .agg(F.count("*").alias("n_cold"))
     )
+    if keep_ub is not None:
+        ub = F.col("n_cold") + F.least("n_hot_a", "n_hot_b")
+        cold_common = cold_common.where(keep_ub(ub, F.col("n_a"), F.col("n_b")))
     hot_sets = (
         shingles.join(freq.where(F.col("df_") > max_doc_freq).select("shingle"), "shingle")
         .groupBy("doc_id")
@@ -222,10 +292,6 @@ def _guarded_pair_stats(shingles: DataFrame, max_doc_freq: int) -> DataFrame:
     )
     return (
         cold_common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a"
-        )
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .join(
             hot_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hot_set", "hot_a"),
             "doc_a",
             "left",
@@ -472,6 +538,21 @@ def near_dup_survivors(
 #: to stay comfortably in executor memory with join/agg overhead.
 GRAPH_ROWS_PER_PARTITION = 2_000_000
 
+#: measured-row cap under which the graph loops attach an explicit
+#: broadcast hint to their per-round side tables (ranks, labels,
+#: neighborhood minima, degree-keep lists). Same discipline as
+#: similarity.BROADCAST_CENTROIDS_MAX: the hint is attached ONLY when
+#: the loop setup has MEASURED the table within this constant (≤ ~16
+#: MB at 16 B/row — far under the broadcast hard cap), so it can never
+#: become a corpus-proportional driver-side collect at scale. Below
+#: the cap a round costs ONE shuffle (the neighborhood aggregation)
+#: instead of re-exchanging the checkpointed edge list every round —
+#: under AQE each exchange is a separate scheduled job, which is the
+#: entire cost of these loops on a right-sized (small) graph
+#: (round-11 verdict #4). Above the cap the loops keep the
+#: co-partitioned shuffle-join path unchanged.
+GRAPH_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def right_size_graph(df: DataFrame, key: str, min_parts: int = 4, max_parts: int = 2048) -> DataFrame:
     """Materialize a graph-loop table and hash-partition it on ``key``
@@ -481,12 +562,22 @@ def right_size_graph(df: DataFrame, key: str, min_parts: int = 4, max_parts: int
     billion-edge graph through 4 partitions is a serial bottleneck).
     The extra count is against checkpointed data and is amortized over
     every loop iteration that follows."""
+    return right_size_graph_counted(df, key, min_parts, max_parts)[0]
+
+
+def right_size_graph_counted(
+    df: DataFrame, key: str, min_parts: int = 4, max_parts: int = 2048
+) -> tuple[DataFrame, int]:
+    """right_size_graph plus the row count it already measured — the
+    graph loops all need that count anyway (n_nodes, edge fixpoint
+    detection), and re-counting a just-checkpointed table is one more
+    scheduler round-trip per loop setup (round-11 verdict #4)."""
     d = df.localCheckpoint(eager=True)
     n = d.count()
     k = int(max(min_parts, min(max_parts, n // GRAPH_ROWS_PER_PARTITION + 1)))
     if k != d.rdd.getNumPartitions():
         d = d.repartition(k, key).localCheckpoint(eager=True)
-    return d
+    return d, n
 
 
 def near_dup_components(
@@ -498,18 +589,23 @@ def near_dup_components(
     component_id) for every doc; singletons map to themselves.
 
     Iterative DataFrame algorithm (not SQL-expressible in one query):
-    each round joins labels to edges, takes the min over the
+    each hop joins labels to edges, takes the min over the
     neighborhood, then POINTER-JUMPS (label <- label of label) so long
-    chains collapse in O(log diameter) rounds, bounded by ``max_iter``. Each round ``localCheckpoint(eager=True)``s the new
-    labels so the logical plan stays flat (lazy cache leaves the plan
-    nesting once per round until driver planning cost explodes — same
-    pattern as operators/graph.py::near_dup_pagerank). Edges/labels are
-    hash-partitioned at a width derived from their measured size
-    (``right_size_graph``) before iterating. If the loop exits without
-    converging (graph diameter > max_iter) a RuntimeError is raised
-    rather than silently returning non-fixpoint labels — the DuckDB
-    oracle computes the full transitive closure, and the documented
-    semantics are the fixpoint.
+    chains collapse in O(log diameter) hops, bounded by ``max_iter``.
+    Loop discipline (round-11 verdict #4 — the iterative family's cost
+    is scheduler round-trips, not data): TWO hops run inside each
+    checkpointed job (lineage stays 2 hops deep — flat enough that
+    planning cost never compounds, half the materializations), and the
+    convergence check is a flag-count on the just-checkpointed result
+    (the previous label rides along the round as ``old``, so no extra
+    join against the prior labels table — labels are monotone
+    non-increasing, making ``label != old`` exactly "changed").
+    Edges/labels are hash-partitioned at a width derived from their
+    measured size (``right_size_graph``) before iterating. If the loop
+    exits without converging (needs > max_iter hops) a RuntimeError is
+    raised rather than silently returning non-fixpoint labels — the
+    DuckDB oracle computes the full transitive closure, and the
+    documented semantics are the fixpoint.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
@@ -519,45 +615,60 @@ def near_dup_components(
         ),
         "v",
     )  # computed once, reused every round
-    labels = right_size_graph(
+    labels, n_labels = right_size_graph_counted(
         df.select(F.col(id_col).alias("u")).withColumn("label", F.col("u")), "u"
     )
-    changed = -1
-    for _ in range(max_iter):
+    # measured-gate broadcast (GRAPH_BROADCAST_MAX_ROWS): every
+    # per-hop side table is ≤ n_labels rows, so below the cap each
+    # hop's joins go broadcast-hash and a hop costs one shuffle
+    small = n_labels <= GRAPH_BROADCAST_MAX_ROWS
+
+    def bc(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if small else t
+
+    def hop(lab: DataFrame) -> DataFrame:
+        """One propagation + pointer-jump step over (u, label, old);
+        ``old`` (the label before this ROUND) rides along untouched."""
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            edges.join(
+                bc(lab.select(F.col("u").alias("v"), "label")), "v"
+            )
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        prop = labels.join(neighbor_min, "u", "left").select(
-            "u", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        prop = lab.join(bc(neighbor_min), "u", "left").select(
+            "u", "old", F.least("label", F.coalesce("nmin", "label")).alias("label")
         )
         # pointer jump: label(u) <- label(label(u)). label(u) is always
         # a node id inside u's component (starts as u; neighborhood
         # mins preserve it), so the shortcut stays in-component and is
         # monotone non-increasing — combined with the propagation step,
-        # convergence is O(log diameter) rounds instead of O(diameter)
-        # (a 10^6-long near-dup chain converges in ~20 rounds, not 10^6).
+        # convergence is O(log diameter) hops instead of O(diameter)
+        # (a 10^6-long near-dup chain converges in ~20 hops, not 10^6).
         lookup = prop.select(F.col("u").alias("label"), F.col("label").alias("ll"))
-        new_labels = (
-            prop.join(lookup, "label", "left")
-            .select("u", F.least("label", F.coalesce("ll", "label")).alias("label"))
-            .localCheckpoint(eager=True)
+        return prop.join(bc(lookup), "label", "left").select(
+            "u", "old", F.least("label", F.coalesce("ll", "label")).alias("label")
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "u")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+
+    changed = -1
+    hops_left = max_iter
+    while hops_left > 0:
+        stepped = hop(labels.select("u", F.col("label").alias("old"), "label"))
+        if hops_left > 1:  # second hop shares the job; an extra
+            stepped = hop(stepped)  # post-fixpoint hop is identity
+        hops_left -= 2
+        new_labels = stepped.select(
+            "u", "label", (F.col("label") != F.col("old")).alias("moved")
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("moved").count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     if changed != 0:
         raise RuntimeError(
             f"near_dup_components did not converge within max_iter={max_iter} "
             f"({changed} labels still changing); raise max_iter — with "
-            "pointer jumping convergence needs O(log component diameter) rounds"
+            "pointer jumping convergence needs O(log component diameter) hops"
         )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
 
@@ -1004,7 +1115,13 @@ def overlap_containment_pairs(
     (doc_a, doc_b, containment), doc_a < doc_b.
     """
     shingles = word_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    stats = _guarded_pair_stats(shingles, max_doc_freq)
+    # containment is increasing in n_common → same lossless
+    # upper-bound prune as the Jaccard caller, containment-normalized
+    stats = _guarded_pair_stats(
+        shingles,
+        max_doc_freq,
+        keep_ub=lambda ub, n_a, n_b: ub / F.least(n_a, n_b) >= threshold,
+    )
     contain = F.col("n_common") / F.least("n_a", "n_b")
     return stats.where(contain >= threshold).select(
         "doc_a", "doc_b", F.round(contain, 6).alias("containment")

@@ -14,10 +14,15 @@ iteration's ranks keeps lineage flat. Classic Pregel-on-DataFrames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs, right_size_graph
+from mapreduce_golang_spark.operators.dedup import (
+    GRAPH_BROADCAST_MAX_ROWS,
+    ngram_jaccard_pairs,
+    right_size_graph,
+    right_size_graph_counted,
+)
 
 PAGERANK_ITERATIONS = 10
 PAGERANK_DAMPING = 0.85
@@ -41,39 +46,60 @@ def near_dup_pagerank(
     # magnitude smaller than the corpus (session shuffle width would
     # waste a round-trip per iteration), but a fixed small constant
     # would serialize a genuinely large graph.
-    edges = right_size_graph(
+    sym = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct(),
-        "u",
-    )  # computed once, reused every iteration
-    nodes = right_size_graph(edges.select(F.col("u").alias("node")).distinct(), "node")
+        .distinct()
+    )
+    # out-degree is loop-invariant — fold it onto the edge list ONCE
+    # (u, v, deg) instead of re-aggregating + re-joining it from the
+    # checkpointed edges inside every iteration (round-11 verdict #4)
+    edges = right_size_graph(
+        sym.withColumn("deg", F.count("*").over(Window.partitionBy("u"))), "u"
+    )
+    # nodes are needed only to seed rank₀ (the per-iteration re-attach
+    # join is the identity — see the loop comment), so a plain
+    # distinct+count replaces a fully materialized right-sized table
+    nodes = edges.select(F.col("u").alias("node")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    # measured-gate broadcast (dedup.GRAPH_BROADCAST_MAX_ROWS): the
+    # rank table is exactly n_nodes rows forever, so below the cap the
+    # per-iteration join goes broadcast-hash against the checkpointed
+    # edges and an iteration costs ONE shuffle (the inflow agg)
+    small = n_nodes <= GRAPH_BROADCAST_MAX_ROWS
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(deg, "u")
+    for step in range(iterations):
+        # the edge list is symmetrized, so EVERY node has ≥1 incoming
+        # edge and ranks are strictly positive by induction — the
+        # inflow aggregation's domain is exactly the node set, making
+        # a re-attach join against `nodes` (and its coalesce-to-0)
+        # the identity. One join + one agg per iteration, nothing else.
+        ranks = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "u")) if small
+                else ranks.withColumnRenamed("node", "u"),
+                "u",
+            )
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .agg((F.lit(base) + damping * F.sum("c")).alias("rank"))
         )
-        # localCheckpoint truncates the lineage each round — without it
-        # the logical plan nests once per iteration and planning cost
-        # (even plan stringification) grows until the driver OOMs
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # localCheckpoint truncates the lineage — without it the
+        # logical plan nests once per iteration and planning cost
+        # (even plan stringification) grows until the driver OOMs.
+        # Below the broadcast gate the WHOLE fixed-iteration loop is a
+        # single lazy plan (iterations × 2 operators ≈ a few dozen
+        # nodes — planned once, zero intermediate materializations);
+        # on the big path, every second iteration (and the last), so
+        # lineage stays ≤ 2 deep while each skipped checkpoint is one
+        # fewer scheduler round-trip (round-11 verdict #4 — the loop
+        # cost is jobs, not data).
+        if not small and (step % 2 == 1 or step == iterations - 1):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))
 
 
@@ -276,42 +302,57 @@ def kcore_docs(
     pairwise accidental matches (pruned at k=2), the input a
     keep-none policy wants.
 
-    Per round: one degree agg + two hash semi-joins on the edge list,
-    all partitioned on a vertex key via right_size_graph's measured
-    width; localCheckpoint per round keeps lineage flat (same loop
-    discipline as near_dup_pagerank). Edge-count fixpoint detection
-    costs one count() per round against checkpointed data — driver
-    scalars, not collected rows. Cascade depth (not graph size) bounds
-    the round count, so the loop converges in a handful of rounds even
-    at 100× edges.
+    Per prune step: one degree agg + two hash semi-joins on the edge
+    list, all partitioned on a vertex key via right_size_graph's
+    measured width. TWO prune steps run inside each checkpointed job
+    (round-11 verdict #4 — the loop's cost at fixture scale is
+    scheduler round-trips, not data; a post-fixpoint prune is the
+    identity, so pairing steps never changes the result), with the
+    edge-count fixpoint check once per pair against checkpointed data
+    — driver scalars, not collected rows. Cascade depth (not graph
+    size) bounds the step count, so the loop converges in a handful of
+    steps even at 100× edges.
 
     Returns (doc_id, core_degree) for k-core members — core_degree is
     the node's degree WITHIN the core (≥ k by construction).
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    edges = right_size_graph(
+    edges, n_edges = right_size_graph_counted(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct(),
         "u",
     )
-    n_edges = edges.count()
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            break
+
+    # the keep list is ≤ node count ≤ edge count rows — below the
+    # measured gate both semi-joins go broadcast-hash and a prune
+    # step costs one shuffle (the degree agg)
+    small = n_edges <= GRAPH_BROADCAST_MAX_ROWS
+
+    def bc(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if small else t
+
+    def prune(e: DataFrame) -> DataFrame:
         keep = (
-            edges.groupBy("u")
+            e.groupBy("u")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k)
             .select("u")
         )
-        pruned = (
-            edges.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+        return (
+            e.join(bc(keep), "u", "left_semi")
+            .join(bc(keep.withColumnRenamed("u", "v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
+
+    steps_left = max_rounds
+    while steps_left > 0 and n_edges > 0:
+        stepped = prune(edges)
+        if steps_left > 1:
+            stepped = prune(stepped)
+        steps_left -= 2
+        pruned = stepped.localCheckpoint(eager=True)
         n_pruned = pruned.count()
         if n_pruned == n_edges:
             break
@@ -348,37 +389,48 @@ def near_dup_weighted_pagerank(
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
-    edges = right_size_graph(
+    # per-node outgoing weight W(u) is loop-invariant — computed once
+    # as a window over the symmetrized weighted edges and folded onto
+    # the checkpointed edge list (u, v, jaccard, wsum), so each
+    # iteration is one equi-join + agg, with checkpoints every second
+    # iteration; same loop discipline (and rationale) as
+    # near_dup_pagerank above (round-11 verdict #4).
+    sym = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "jaccard")
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"), "jaccard"))
-        .distinct(),
-        "u",
+        .distinct()
     )
-    nodes = right_size_graph(edges.select(F.col("u").alias("node")).distinct(), "node")
+    edges = right_size_graph(
+        sym.withColumn("wsum", F.sum("jaccard").over(Window.partitionBy("u"))), "u"
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")
-    wsum = edges.groupBy("u").agg(F.sum("jaccard").alias("wsum"))
+    small = n_nodes <= GRAPH_BROADCAST_MAX_ROWS
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(wsum, "u")
+    for step in range(iterations):
+        # same invariant as near_dup_pagerank: symmetric edges + all
+        # weights > 0 (jaccard ≥ threshold) → every node has positive
+        # inflow, so the agg's domain is the node set and the
+        # re-attach join is the identity
+        ranks = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "u")) if small
+                else ranks.withColumnRenamed("node", "u"),
+                "u",
+            )
             .select(
                 F.col("v").alias("node"),
                 (F.col("rank") * F.col("jaccard") / F.col("wsum")).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .agg((F.lit(base) + damping * F.sum("c")).alias("rank"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # same cadence rationale as near_dup_pagerank: lazy end-to-end
+        # below the gate, checkpoint every second iteration above it
+        if not small and (step % 2 == 1 or step == iterations - 1):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))

@@ -302,7 +302,17 @@ def test_gap_fill_locf_matches_bruteforce(spark, rows):
             total += last
         n_days = d1 - d0 + 1
         n_obs = len(day_vals)
-        want = (n_days, n_obs, n_days - n_obs, round(total, 4))
+        # Spark's round() is HALF_UP on the double's shortest decimal
+        # repr; Python's round() is half-even — a sum landing exactly
+        # on a .xxxx5 representable edge (hypothesis found 1.03125)
+        # legitimately differs by 1e-4 between the two. Round the
+        # brute-force total the way the operator under test does.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_total = float(
+            Decimal(repr(total)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        want = (n_days, n_obs, n_days - n_obs, want_total)
         assert got[u][:3] == want[:3]
         assert abs(got[u][3] - want[3]) < 1e-6
 
