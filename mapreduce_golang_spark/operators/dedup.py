@@ -593,13 +593,14 @@ def near_dup_components(
     neighborhood, then POINTER-JUMPS (label <- label of label) so long
     chains collapse in O(log diameter) hops, bounded by ``max_iter``.
     Loop discipline (round-11 verdict #4 — the iterative family's cost
-    is scheduler round-trips, not data): TWO hops run inside each
-    checkpointed job (lineage stays 2 hops deep — flat enough that
-    planning cost never compounds, half the materializations), and the
-    convergence check is a flag-count on the just-checkpointed result
-    (the previous label rides along the round as ``old``, so no extra
-    join against the prior labels table — labels are monotone
-    non-increasing, making ``label != old`` exactly "changed").
+    is scheduler round-trips, not data): below the measured broadcast
+    gate each hop's joins are broadcast-hash, so a hop costs one
+    shuffle; one hop per checkpointed job (a fused 2-hop job measured
+    SLOWER — see the loop comment); and the convergence check is a
+    flag-count on the just-checkpointed result (the previous label
+    rides along the round as ``old``, so no extra join against the
+    prior labels table — labels are monotone non-increasing, making
+    ``label != old`` exactly "changed").
     Edges/labels are hash-partitioned at a width derived from their
     measured size (``right_size_graph``) before iterating. If the loop
     exits without converging (needs > max_iter hops) a RuntimeError is
@@ -651,12 +652,14 @@ def near_dup_components(
         )
 
     changed = -1
-    hops_left = max_iter
-    while hops_left > 0:
+    for _ in range(max_iter):
+        # ONE hop per checkpointed job — an A/B against a fused 2-hop
+        # job measured the fusion SLOWER (3.7 s vs 1.9 s warm at
+        # sf0.1): hop 2 references hop 1's un-materialized output from
+        # three broadcast-build subtrees, and those rebuild the whole
+        # hop-1 chain each (broadcast stages don't share un-shuffled
+        # subtrees the way ReusedExchange shares shuffles)
         stepped = hop(labels.select("u", F.col("label").alias("old"), "label"))
-        if hops_left > 1:  # second hop shares the job; an extra
-            stepped = hop(stepped)  # post-fixpoint hop is identity
-        hops_left -= 2
         new_labels = stepped.select(
             "u", "label", (F.col("label") != F.col("old")).alias("moved")
         ).localCheckpoint(eager=True)
@@ -737,7 +740,13 @@ def incremental_dedup(
     never corpus²; ``max_doc_freq`` (computed over the whole corpus,
     same guard semantics as ngram_jaccard_pairs) caps the per-shingle
     blow-up, and Jaccard is verified over FULL shingle sets so reported
-    similarity is never underestimated.
+    similarity is never underestimated. The verify is count-based with
+    the same lossless upper-bound prune as _guarded_pair_stats
+    (n_common ≤ n_cold + min(|hot_a|, |hot_b|); J monotone in
+    n_common): per-doc (n_sh, n_hot) ride the posting streams, the
+    pair join aggregates straight to n_cold, and only UB-surviving
+    pairs touch the per-doc hot sets — no candidate-distinct pass, no
+    full shingle arrays shipped per pair.
     """
     is_new = F.pmod(F.col(id_col), F.lit(batch_mod)) == 0
     hashed = df.select(
@@ -764,26 +773,96 @@ def incremental_dedup(
         eager=False
     )
     if max_doc_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_")).localCheckpoint(
+            eager=False
+        )
+        doc_stats = (
+            shingles.join(freq, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_sh"),
+                F.sum((F.col("df_") > max_doc_freq).cast("long")).alias("n_hot_sh"),
+            )
+        )
         capped = shingles.join(
             freq.where(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
         )
     else:
+        doc_stats = (
+            shingles.groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+            .withColumn("n_hot_sh", F.lit(0).cast("long"))
+        )
         capped = shingles
+    capped = capped.join(doc_stats, "doc_id")
     # batch membership is a pure function of doc_id — split the capped
     # posting stream with narrow filters, not id-list joins (an earlier
     # form paid two joins of the full posting stream here)
     is_new_post = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == 0
     post_new = capped.where(is_new_post).select(
-        F.col("doc_id").alias("doc_b"), "shingle"
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("n_b"),
+        F.col("n_hot_sh").alias("n_hot_b"),
     )
     post_old = capped.where(~is_new_post).select(
-        F.col("doc_id").alias("doc_a"), "shingle"
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+        F.col("n_hot_sh").alias("n_hot_a"),
     )
-    cand = post_old.join(post_new, "shingle").select("doc_a", "doc_b").distinct()
+    # count-based exact intersection, same shape as _guarded_pair_stats:
+    # the pair join aggregates straight to the shared-COLD count (the
+    # stats ride along as grouping keys — functionally dependent on the
+    # ids), the UB prune drops pairs that could not reach the threshold
+    # even with a fully shared hot set, and only survivors pay the
+    # hot-set intersection joins. No candidate-distinct pass, no full
+    # shingle arrays shipped per pair.
+    common = (
+        post_old.join(post_new, "shingle")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b", "n_hot_a", "n_hot_b")
+        .agg(F.count("*").alias("n_cold"))
+    )
+    ub = F.col("n_cold") + F.least("n_hot_a", "n_hot_b")
+    pruned = common.where(ub / (F.col("n_a") + F.col("n_b") - ub) >= threshold)
+    if max_doc_freq is not None:
+        hot_sets = (
+            shingles.join(
+                freq.where(F.col("df_") > max_doc_freq).select("shingle"), "shingle"
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("hot_set"))
+        )
+        pruned = (
+            pruned.join(
+                hot_sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "hot_set", "hot_a"
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "hot_set", "hot_b"
+                ),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "n_hot",
+                F.when(
+                    F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+                    F.size(F.array_intersect("hot_a", "hot_b")),
+                ).otherwise(F.lit(0)),
+            )
+        )
+    else:
+        pruned = pruned.withColumn("n_hot", F.lit(0))
+    n_common = F.col("n_cold") + F.col("n_hot")
     near = (
-        _jaccard_for_pairs(cand, shingles)
-        .where(F.col("jaccard_raw") >= threshold)
+        pruned.where(
+            n_common / (F.col("n_a") + F.col("n_b") - n_common) >= threshold
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near_dup", F.lit(1))

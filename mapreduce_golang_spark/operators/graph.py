@@ -90,15 +90,14 @@ def near_dup_pagerank(
         )
         # localCheckpoint truncates the lineage — without it the
         # logical plan nests once per iteration and planning cost
-        # (even plan stringification) grows until the driver OOMs.
-        # Below the broadcast gate the WHOLE fixed-iteration loop is a
-        # single lazy plan (iterations × 2 operators ≈ a few dozen
-        # nodes — planned once, zero intermediate materializations);
-        # on the big path, every second iteration (and the last), so
-        # lineage stays ≤ 2 deep while each skipped checkpoint is one
-        # fewer scheduler round-trip (round-11 verdict #4 — the loop
-        # cost is jobs, not data).
-        if not small and (step % 2 == 1 or step == iterations - 1):
+        # grows: an A/B measured the fully-lazy 10-iteration plan
+        # SLOWER than checkpointing every second iteration (2.8-5.1 s
+        # vs 2.3-2.7 s warm at sf0.1; AQE re-optimizes the whole
+        # remaining tree after every stage, so depth costs planning
+        # time even when jobs are fewer). Every SECOND iteration keeps
+        # lineage ≤ 2 deep at half the materializations of per-step
+        # checkpointing (round-11 verdict #4).
+        if step % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))
 
@@ -302,16 +301,13 @@ def kcore_docs(
     pairwise accidental matches (pruned at k=2), the input a
     keep-none policy wants.
 
-    Per prune step: one degree agg + two hash semi-joins on the edge
-    list, all partitioned on a vertex key via right_size_graph's
-    measured width. TWO prune steps run inside each checkpointed job
-    (round-11 verdict #4 — the loop's cost at fixture scale is
-    scheduler round-trips, not data; a post-fixpoint prune is the
-    identity, so pairing steps never changes the result), with the
-    edge-count fixpoint check once per pair against checkpointed data
-    — driver scalars, not collected rows. Cascade depth (not graph
-    size) bounds the step count, so the loop converges in a handful of
-    steps even at 100× edges.
+    Per prune step: one degree agg + two semi-joins on the edge list
+    (broadcast-hash below the measured gate — one shuffle per step;
+    co-partitioned hash joins above it), checkpointed per step with
+    the edge-count fixpoint check against checkpointed data — driver
+    scalars, not collected rows. Cascade depth (not graph size) bounds
+    the step count, so the loop converges in a handful of steps even
+    at 100× edges.
 
     Returns (doc_id, core_degree) for k-core members — core_degree is
     the node's degree WITHIN the core (≥ k by construction).
@@ -346,13 +342,15 @@ def kcore_docs(
             .select("u", "v")
         )
 
-    steps_left = max_rounds
-    while steps_left > 0 and n_edges > 0:
-        stepped = prune(edges)
-        if steps_left > 1:
-            stepped = prune(stepped)
-        steps_left -= 2
-        pruned = stepped.localCheckpoint(eager=True)
+    # ONE prune per checkpointed job: fusing two was measured SLOWER
+    # (1.8 s vs 1.2 s warm at sf0.1) — the fused step's keep-list
+    # broadcast and both semi-join probes each rebuild the first
+    # prune's un-materialized subtree (same recompute trap as the
+    # components hop fusion; see near_dup_components)
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        pruned = prune(edges).localCheckpoint(eager=True)
         n_pruned = pruned.count()
         if n_pruned == n_edges:
             break
@@ -429,8 +427,7 @@ def near_dup_weighted_pagerank(
             .groupBy("node")
             .agg((F.lit(base) + damping * F.sum("c")).alias("rank"))
         )
-        # same cadence rationale as near_dup_pagerank: lazy end-to-end
-        # below the gate, checkpoint every second iteration above it
-        if not small and (step % 2 == 1 or step == iterations - 1):
+        # same cadence rationale as near_dup_pagerank
+        if step % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col), F.round("rank", 6).alias("rank"))

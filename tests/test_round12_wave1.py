@@ -107,17 +107,14 @@ def test_kcore_big_path_equals_small_path(spark, tiny_graph, monkeypatch):
     assert small == {1: 2, 2: 2, 3: 2}
 
 
-def test_small_path_pagerank_plan_is_broadcast_and_lazy(spark, tiny_graph):
-    """Below the gate the per-iteration join must be broadcast-hash
-    (no per-iteration exchange of the edge list) and the plan must be
-    the single lazy 10-iteration tree (no LogicalRDD from intermediate
-    localCheckpoints)."""
+def test_small_path_pagerank_plan_is_broadcast(spark, tiny_graph):
+    """Below the gate the per-iteration join must be broadcast-hash —
+    never a shuffle of the checkpointed edge list. With the measured
+    checkpoint cadence (every 2nd iteration) an odd iteration count
+    leaves the final iteration lazy, so its join is visible in the
+    returned plan."""
     docs, pairs = tiny_graph
-    ranks = graph_mod.near_dup_pagerank(docs, pairs=pairs)
+    ranks = graph_mod.near_dup_pagerank(docs, pairs=pairs, iterations=3)
     plan = ranks._jdf.queryExecution().executedPlan().toString()
-    # all 10 iterations visible as broadcast joins in ONE plan tree:
-    # an intermediate localCheckpoint would truncate the tree (fewer
-    # joins visible), a shuffle-join path would show SortMergeJoin /
-    # ShuffledHashJoin for the edge side instead
-    assert plan.count("BroadcastHashJoin") == graph_mod.PAGERANK_ITERATIONS
+    assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
