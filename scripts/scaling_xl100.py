@@ -80,6 +80,13 @@ PROBES = [
     ("component_best_representative", "documents"),
     ("dup_cluster_size_hist", "documents"),
     ("near_dup_pagerank", "documents"),
+    # round-12 blanket: the two remaining >4.8 s cold queries without
+    # a 100× row — the dual-leg MinHash calibration (MLlib + hand-
+    # rolled, rows-only by design) and the kill-recover proof (the
+    # timed wall includes its own chunk-fixture build and both run
+    # phases, same convention as the wave-38 proof rows)
+    ("minhash_ml_crosscheck", "documents"),
+    ("streaming_kill_recover_dedup", "events"),
 ]
 
 
