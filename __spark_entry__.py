@@ -2271,8 +2271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (state_schema_evolution_counts, foreach_batch_fanout — the only 2
 # queries without a driver row after CORRECTNESS_r11's 50/50) padded to
 # 50 with 48 driver-green queries. Done = CORRECTNESS_r12 50/50 →
-# driver-cumulative 308/308. Round-12 additions register BELOW slot 50
-# and form the ROUND-13 ROTATION LIST.
+# driver-cumulative 308/308. Round-12 added NO new queries (a depth
+# round: loop/derivation optimization + advice fixes), so there is no
+# remainder — the ROUND-13 ROTATION LIST is empty and the round-13
+# head may keep this window (re-grading greens costs nothing) unless
+# round 13 registers new queries, which go BELOW slot 50 as always.
 # ROUND-11 ROTATION (executed): the round-11 head led with wave 37
 # (streaming_kill_recover_dedup, streaming_cdc_apply_changes,
 # state_store_audit, ps_orders_status_profile,
