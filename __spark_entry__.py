@@ -1252,6 +1252,18 @@ def _minhash_ml_crosscheck(spark, sf_dir):
     return _dedup.minhash_ml_crosscheck(load_table(spark, sf_dir, "documents"))
 
 
+def _minhash_ml_crosscheck_scaled(spark, sf_dir):
+    # num_features=None → corpus-scaled HashingTF sizing (next pow2 ≥
+    # 4× approx distinct shingles) — the remedy the round-12 100×
+    # probe's MLlib-bend caveat recommends, registered so the remedy
+    # is measured on the same ladder (SCALING_XL.md), not asserted.
+    from mapreduce_golang_spark.operators import dedup as _dedup
+
+    return _dedup.minhash_ml_crosscheck(
+        load_table(spark, sf_dir, "documents"), num_features=None
+    )
+
+
 def _pca_topvar(spark, sf_dir):
     from mapreduce_golang_spark.operators import similarity
 
@@ -2669,6 +2681,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- wave 38 (round 11, below slot 50 → ROUND-12 ROTATION LIST) ---
         "state_schema_evolution_counts": _state_schema_evolution,
         "foreach_batch_fanout": _foreach_batch_fanout,
+        # --- wave 39 (round 13, below slot 50 → ROUND-14 ROTATION LIST) ---
+        # the corpus-scaled-numFeatures leg the round-12 100× probe's
+        # caveat recommends (SCALING_XL.md): rows-only like the pinned
+        # crosscheck (same seeded-JVM-hash reason — no SQL twin).
+        "minhash_ml_crosscheck_scaled": _minhash_ml_crosscheck_scaled,
     }
 
 
@@ -9953,13 +9970,16 @@ _ORACLES["collated_type_counts"] = """
 # streaming/schema_evolution.py::state_schema_evolution_counts —
 # carried + fresh ≡ one-shot: the per-type total count survives the
 # schema evolution (old state + evolved era), the new sum metric
-# starts at the evolution point (era-2 rows only, pmod(event_id,4)>=2)
+# starts at the evolution point (era-2 rows only, pmod(event_id,4)>=2).
+# round() runs in DECIMAL space on both engines (half-up/away-from-zero
+# for decimals on both), and only the exact 2-dp decimal is cast to
+# double — see schema_evolution.py (round-12 advice #1).
 _ORACLES["state_schema_evolution_counts"] = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_total,
-           round(CAST(coalesce(sum(CASE WHEN event_id % 4 >= 2
+           CAST(round(coalesce(sum(CASE WHEN event_id % 4 >= 2
                                     THEN CAST(value AS DECIMAL(28,6)) END),
-                               0) AS DOUBLE), 2) AS era2_value_sum
+                               0), 2) AS DOUBLE) AS era2_value_sum
     FROM events
     GROUP BY event_type
 """

@@ -33,6 +33,44 @@ def tokenize(df: DataFrame, text_col: str = "text", out: str = "word", keep: tup
     return exploded.where(F.col(out) != "")
 
 
+def widen_for_cpu(df: DataFrame, key_col: str = "text") -> DataFrame:
+    """Widen-ONLY repartition in front of regex/lexicon-heavy per-doc
+    map work: if the input has fewer partitions than the session's
+    defaultParallelism, hash-repartition on ``key_col`` so the CPU
+    work spreads over every core.
+
+    Why it exists: a small documents table arrives as ONE parquet
+    split (128 MB maxPartitionBytes swallows the whole file), so every
+    downstream tokenize/shingle/lexicon-filter expression — the
+    genuinely CPU-bound part of the text family — ran serially on one
+    core of local[32] (measured: corpus_funnel_report 4.7 → 3.7 s
+    min-of-4 at sf0.1 from this change alone). At 100 TB the scan
+    already has orders of magnitude more splits than cores, the gate
+    is false, and this is a metadata no-op — it can never ADD a
+    shuffle at scale, only at fixture scale where the exchange is a
+    few hundred KB.
+
+    Hash-partitioning (not round-robin) keeps the row→partition map a
+    pure function of the data, so repeated runs and task retries see
+    identical partitions. The default key is the text payload itself:
+    near-unique, skew-free, and present in every caller; id-like
+    columns are NOT used because two callers key by low-cardinality
+    ``source``, which would hash 5 000 docs into ≤ n_sources
+    partitions.
+
+    Deliberately NOT applied to graph-loop inputs: widening the tiny
+    labels/edges tables multiplies per-round scheduler overhead
+    (measured: dup_cluster_size_hist 3.1 → 3.5 s when the whole
+    documents load was widened instead of just the shingle build).
+    """
+    if df.isStreaming:  # .rdd is illegal on a streaming plan; micro-
+        return df       # batch width is the source's concern anyway
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key_col))
+    return df
+
+
 def doc_name(source_col: str = "source", doc_id_col: str = "doc_id") -> Column:
     """The 'filename' of a documents-table row — plays the role the input
     file name plays in the reference (one file == one document,

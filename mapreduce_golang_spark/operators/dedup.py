@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE, widen_for_cpu
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -56,8 +56,12 @@ def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     the explode — rows leave this operator already distinct, so there
     is ZERO exchange here at any corpus size (an earlier formulation
     paid a full shuffle for ``.distinct()`` after the explode; callers'
-    joins repartition the stream anyway).
+    joins repartition the stream anyway). The regex split is the
+    CPU-bound step, so a too-narrow input (one parquet split at
+    fixture scale) is widened first — a no-op whenever the scan is
+    already at least core-wide (``widen_for_cpu``).
     """
+    df = widen_for_cpu(df, key_col=text_col)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_remove(F.split(F.col(text_col), LETTERS_ONLY_RE), "").alias("toks"),
@@ -447,7 +451,7 @@ def minhash_ml_crosscheck(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
-    num_features: int = 1 << 18,
+    num_features: int | None = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:
     """Library-vs-hand-rolled MinHash agreement report: the pair set
@@ -470,10 +474,31 @@ def minhash_ml_crosscheck(
 
     Returns one row: (n_ours, n_lib, n_common, agreement) where
     agreement = |common| / |union|, rounded to 6.
+
+    ``num_features=None`` selects CORPUS-SCALED sizing: numFeatures =
+    the next power of two ≥ 4× the (approx) distinct-shingle count,
+    floored at the library's 2^18 default and capped at 2^30 (MLlib's
+    HashingTF accepts any positive int — nothing in the API forces the
+    default). The round-12 100× probe measured the pinned-2^18 leg
+    going super-linear once the corpus carried ~26M distinct shingles
+    (feature aliasing inflates vector overlap → MinHashLSH's
+    OR-amplified buckets grow super-linearly); scaling numFeatures
+    with the corpus is the remedy that report recommends, and the
+    scaled variant exists so the remedy is measured, not asserted.
+    The sizing pass is one approx_count_distinct over the already-
+    checkpointed shingle stream (a sketch aggregation — no extra
+    shuffle of the corpus), but it does cost one scheduler round-trip
+    plus a driver sync, which is why the default stays the library
+    constant at fixture scale.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     shingles = word_shingles(df, k=k).localCheckpoint(eager=False)
+    if num_features is None:
+        n_distinct = shingles.agg(
+            F.approx_count_distinct("shingle").alias("n")
+        ).first()["n"]
+        num_features = max(1 << 18, min(1 << 30, 1 << (4 * max(n_distinct, 1) - 1).bit_length()))
     _, cand = _minhash_band_candidates(shingles, n_hashes, bands)
     ours = (
         _jaccard_for_pairs(cand, shingles)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
+from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE, widen_for_cpu
 
 #: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 #: Shared with the DuckDB oracle (oracle built from this constant).
@@ -73,8 +73,11 @@ def lang_id(spark: SparkSession, df: DataFrame) -> DataFrame:
     Zero-shuffle formulation: the lexicons are tiny compile-time
     constants, so the whole operator is a narrow map over the scan (a
     lexicon JOIN would add an explode + exchange for nothing).
-    ``spark`` is unused but kept for signature stability.
+    ``spark`` is unused but kept for signature stability. The lexicon
+    filters are the CPU; a one-split fixture scan is widened first
+    (no-op at any real corpus width — ``widen_for_cpu``).
     """
+    df = widen_for_cpu(df)
     best = _lang_best_struct()
     return df.select(
         "doc_id",
@@ -90,8 +93,11 @@ def text_quality(df: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     Spark and DuckDB); stopword ratio over letters-only tokens;
     composite = 0.4*stopword + 0.3*(1-punct) + 0.3*min(n_tokens/100,1).
     ``keep_cols`` passes extra input columns through (e.g. `source`
-    for the drift report) without a join back onto the scan.
+    for the drift report) without a join back onto the scan. The regex
+    ratio features are the CPU; a one-split fixture scan is widened
+    first (no-op at any real corpus width — ``widen_for_cpu``).
     """
+    df = widen_for_cpu(df)
     text = F.col("text")
     toks = _clean_tokens(F.lower(text))
     n_chars = F.length(text)

@@ -216,15 +216,22 @@ def state_schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.coalesce(F.col("old_n"), F.lit(0))
                 + F.coalesce(F.col("new_n"), F.lit(0))
             ).alias("n_total"),
-            # era2_sum is an exact decimal on both engines; cast to
-            # double BEFORE rounding so both sides round the identical
-            # IEEE value (and both emit a plain float, not a decimal
-            # whose trailing-zero string form differs per engine)
+            # era2_sum is an exact decimal on both engines; round IN
+            # DECIMAL SPACE first (HALF_UP / away-from-zero on both
+            # Spark and DuckDB for decimals), THEN cast the exact 2-dp
+            # decimal to double — both engines convert the identical
+            # exact value, so no rounding-of-a-double knife-edge
+            # remains (round-12 advice #1: rounding AFTER the double
+            # cast diverged when a sum landed on x.xx5000, because
+            # Spark rounds the double's shortest decimal repr while
+            # DuckDB rounds the scaled binary value). The double cast
+            # still keeps the output a plain float (decimal
+            # trailing-zero string forms differ per engine).
             F.round(
-                F.coalesce(
-                    F.col("era2_sum"), F.lit(0).cast("decimal(28,6)")
-                ).cast("double"),
+                F.coalesce(F.col("era2_sum"), F.lit(0).cast("decimal(28,6)")),
                 2,
-            ).alias("era2_value_sum"),
+            )
+            .cast("double")
+            .alias("era2_value_sum"),
         )
     )

@@ -87,6 +87,10 @@ PROBES = [
     # phases, same convention as the wave-38 proof rows)
     ("minhash_ml_crosscheck", "documents"),
     ("streaming_kill_recover_dedup", "events"),
+    # round-13 (verdict #3): the corpus-scaled-numFeatures leg — the
+    # remedy the round-12 MLlib-bend caveat recommends, on the same
+    # ladder so its per-row µs is directly comparable to the pinned row
+    ("minhash_ml_crosscheck_scaled", "documents"),
 ]
 
 

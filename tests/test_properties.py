@@ -7,6 +7,7 @@ generated inputs, not just fixtures.
 from __future__ import annotations
 
 import re
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -305,16 +306,16 @@ def test_gap_fill_locf_matches_bruteforce(spark, rows):
         # Spark's round() is HALF_UP on the double's shortest decimal
         # repr; Python's round() is half-even — a sum landing exactly
         # on a .xxxx5 representable edge (hypothesis found 1.03125)
-        # legitimately differs by 1e-4 between the two. Round the
-        # brute-force total the way the operator under test does.
-        from decimal import ROUND_HALF_UP, Decimal
-
+        # legitimately differs by 1e-4 between the two. The model
+        # replicates the operator's rounding EXACTLY, so the pinned
+        # property is bit-equality — no residual tolerance that would
+        # obscure which contract the test asserts (round-12 advice #3).
         want_total = float(
             Decimal(repr(total)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
         )
         want = (n_days, n_obs, n_days - n_obs, want_total)
         assert got[u][:3] == want[:3]
-        assert abs(got[u][3] - want[3]) < 1e-6
+        assert got[u][3] == want[3]
 
 
 @given(st.integers(min_value=1, max_value=200))

@@ -103,3 +103,43 @@ def test_small_files_are_bin_packed_not_one_task_each(files_conf, tmp_path):
         spark.read.parquet(frag).count()
         == spark.read.parquet(SF01_LINEITEM).count()
     )
+
+
+def test_widen_for_cpu_gate(spark):
+    """widen_for_cpu widens a one-split scan to core width, is a
+    no-op on an already-wide input (it must never SHRINK or add an
+    exchange at scale), and passes streaming plans through untouched
+    (.rdd is illegal there)."""
+    from mapreduce_golang_spark.functions.tokenize import widen_for_cpu
+
+    n = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert docs.rdd.getNumPartitions() < n  # the fixture premise
+    widened = widen_for_cpu(docs)
+    assert widened.rdd.getNumPartitions() == n
+
+    already_wide = docs.repartition(n + 7, "doc_id")
+    assert widen_for_cpu(already_wide) is already_wide
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS text")
+    )
+    assert widen_for_cpu(stream) is stream
+
+
+def test_widen_for_cpu_preserves_results(spark):
+    """Hash-widening must not change any operator result — pair set
+    of the guarded near-dup join is identical either way (partition
+    layout is the only thing that moves)."""
+    from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = spark.sparkContext.defaultParallelism
+    widened = ngram_jaccard_pairs(docs)  # 1-split input → operator widens by text-hash
+    # already-wide input on a DIFFERENT key → widen is a no-op and the
+    # shingle stream enters with an unrelated partition layout
+    other_layout = ngram_jaccard_pairs(docs.repartition(n + 3, "source"))
+    a = sorted(map(tuple, widened.collect()))
+    b = sorted(map(tuple, other_layout.collect()))
+    assert a == b and len(a) > 0
