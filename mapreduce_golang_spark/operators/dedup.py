@@ -671,6 +671,17 @@ def near_dup_components(
         # monotone non-increasing — combined with the propagation step,
         # convergence is O(log diameter) hops instead of O(diameter)
         # (a 10^6-long near-dup chain converges in ~20 hops, not 10^6).
+        # KNOWN + MEASURED-ACCEPTABLE (round-12 advice #2): on the
+        # small/broadcast path, ``lookup``'s broadcast build re-derives
+        # the un-materialized prop subtree, so propagation + neighbor-
+        # min run twice per hop. Materializing prop per hop instead
+        # (localCheckpoint before the jump) A/B'd SLIGHTLY SLOWER at
+        # sf0.1 — min-of-6 interleaved 1.00 vs 0.96 s per loop
+        # (scripts/ab_pointer_jump.py; identical outputs) — the extra
+        # per-hop materialization job costs more than the recompute of
+        # a ≤ GRAPH_BROADCAST_MAX_ROWS subtree. Above the gate the
+        # joins are shuffle joins and ReusedExchange shares the
+        # subtree's exchange, so the double-compute is small-path-only.
         lookup = prop.select(F.col("u").alias("label"), F.col("label").alias("ll"))
         return prop.join(bc(lookup), "label", "left").select(
             "u", "old", F.least("label", F.coalesce("ll", "label")).alias("label")
