@@ -2288,6 +2288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remainder — the ROUND-13 ROTATION LIST is empty and the round-13
 # head may keep this window (re-grading greens costs nothing) unless
 # round 13 registers new queries, which go BELOW slot 50 as always.
+# ROUND-13 (executed): kept the r12 head unchanged; registered ONE new
+# query below slot 50 (wave 39: minhash_ml_crosscheck_scaled, the
+# corpus-scaled-numFeatures leg the r12 verdict #3 prescribed). The
+# ROUND-14 ROTATION LIST is therefore exactly
+# [minhash_ml_crosscheck_scaled] — put it first in the round-14 head,
+# padded to 50 with already-green queries.
 # ROUND-11 ROTATION (executed): the round-11 head led with wave 37
 # (streaming_kill_recover_dedup, streaming_cdc_apply_changes,
 # state_store_audit, ps_orders_status_profile,

@@ -641,8 +641,20 @@ def near_dup_components(
         ),
         "v",
     )  # computed once, reused every round
+    # the loop iterates over PAIR-GRAPH NODES only (round 13): a doc
+    # with no near-dup edge can never change labels — it is a
+    # singleton by construction — so singletons rejoin ONCE after
+    # convergence instead of riding every hop's joins, checkpoint and
+    # convergence count. At 100 TB this is the difference between
+    # shuffling/broadcasting the CORPUS per hop and only the dup-graph
+    # nodes (dups are the minority by design of a deduped pipeline);
+    # at sf0.1 it A/B'd a wash (scripts/ab_loop_nodes.py: min-of-6
+    # 1.13 vs 1.02 s components-alone, identical on the hist
+    # composition — the fixture loop is scheduler-bound, not
+    # data-bound), landed for the scale shape with outputs proven
+    # identical either way.
     labels, n_labels = right_size_graph_counted(
-        df.select(F.col(id_col).alias("u")).withColumn("label", F.col("u")), "u"
+        edges.select("u").distinct().withColumn("label", F.col("u")), "u"
     )
     # measured-gate broadcast (GRAPH_BROADCAST_MAX_ROWS): every
     # per-hop side table is ≤ n_labels rows, so below the cap each
@@ -709,7 +721,18 @@ def near_dup_components(
             f"({changed} labels still changing); raise max_iter — with "
             "pointer jumping convergence needs O(log component diameter) hops"
         )
-    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component_id"))
+    # singletons (docs with no qualifying pair) rejoin once, mapped to
+    # themselves — the same labels they'd have earned riding the loop.
+    # The converged labels table is ≤ dup-graph-node rows, so below the
+    # gate this is one broadcast join over the corpus scan.
+    return (
+        df.select(F.col(id_col).alias("u"))
+        .join(bc(labels), "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("label", F.col("u")).alias("component_id"),
+        )
+    )
 
 
 def near_dup_pipeline(
