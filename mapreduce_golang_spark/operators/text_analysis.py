@@ -954,7 +954,14 @@ def char_trigram_logprob(df: DataFrame, k_smooth: float = 0.5) -> DataFrame:
     counts, one ln per distinct trigram, round(6).
 
     Returns (doc_id, n_trigrams, avg_nll).
+
+    The char-trigram explode multiplies every doc into ~len(text)
+    rows before the first agg, so a one-split fixture scan serializes
+    the heaviest stage — widened first (gated no-op at real corpus
+    width; measured 2.97 → 1.23 s min-of-4 at sf0.1, and the ccnet
+    bucket family shares this pass).
     """
+    df = widen_for_cpu(df)
     # CASE guard: sequence(1, n) with n < 1 generates a DESCENDING
     # sequence in Spark, not an empty one — sub-3-char docs must yield
     # array() (same trap word_shingles documents)

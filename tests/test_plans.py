@@ -132,14 +132,28 @@ def test_repetition_ratio_is_narrow(spark, sf_dir):
 
 def test_word_shingles_explode_has_no_exchange(spark, sf_dir):
     # per-doc dedup rides in-array (array_distinct before the explode);
-    # the stream must leave the operator without a shuffle
+    # at REAL corpus width (input already ≥ core-wide) the stream must
+    # leave the operator without a shuffle — the widen_for_cpu gate is
+    # a fixture-scale-only repartition, asserted absent here by feeding
+    # an already-wide input (the operator's 100 TB plan shape)
     from mapreduce_golang_spark.operators.dedup import word_shingles
     from mapreduce_golang_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(n, "doc_id")
     plan = word_shingles(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # exactly the input-widening exchange we fed it, nothing added
+    assert plan.count("Exchange") == 1 and "REPARTITION_BY_NUM" in plan
     assert "array_distinct" in plan
+
+    # and on a fixture-narrow input, the ONLY exchange is the gate's
+    # own text-hash widen — the shingle computation itself adds none
+    narrow_plan = (
+        word_shingles(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert narrow_plan.count("Exchange") == 1
+    assert "hashpartitioning(text" in narrow_plan
 
 
 def test_balanced_mixing_broadcasts_quotas(spark, sf_dir):
