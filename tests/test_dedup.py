@@ -130,3 +130,19 @@ def test_incremental_dedup_matches_oracle(spark, sf_dir):
         sf_dir,
     )
     assert n > 0
+
+
+def test_minhash_crosscheck_scaled_floors_to_pinned_at_fixture_scale(spark, sf_dir):
+    """num_features=None sizes by the corpus: at fixture scale the
+    distinct-shingle count is far below 2^18/4, so the auto mode
+    floors to the library default and must reproduce the pinned
+    variant EXACTLY (same HashingTF space, same seed, same joins) —
+    the two legs only diverge once the corpus outgrows the pin, which
+    SCALING_XL's 100x pair measures."""
+    from mapreduce_golang_spark.operators.dedup import minhash_ml_crosscheck
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pinned = minhash_ml_crosscheck(docs).collect()
+    scaled = minhash_ml_crosscheck(docs, num_features=None).collect()
+    assert [tuple(r) for r in pinned] == [tuple(r) for r in scaled]
+    assert len(pinned) == 1 and pinned[0]["n_ours"] >= 0
