@@ -279,6 +279,11 @@ def main() -> None:
         # round 11: schema-evolution migration + multi-sink fanout
         "state_schema_evolution_counts",
         "foreach_batch_fanout",
+        # round 13: the widen-gate representatives + the corpus-scaled
+        # MinHashLSH leg
+        "lineitem_column_profile",
+        "char_trigram_logprob",
+        "minhash_ml_crosscheck_scaled",
     ]
     result = dict(detail)
     result["queries"] = {n: timings[n] for n in headline if n in timings}
