@@ -1757,6 +1757,15 @@ _ROUND12_HEAD: list[str] = [
     "trailing_hour_value", "scd2_customers",
 ]
 
+# ROUND-14 head: the ROUND-14 ROTATION LIST is exactly
+# [minhash_ml_crosscheck_scaled] (wave 39, registered below slot 50 in
+# round 13 per protocol — the only query without a driver CORRECTNESS
+# row after CORRECTNESS_r13's 50/50). Lead with it, pad to 50 with 49
+# of the round-12/13 driver-green head (drop the last pad to keep the
+# window at exactly 50). Done = CORRECTNESS_r14 50/50 →
+# driver-cumulative 309/309, zero rotation debt.
+_ROUND14_HEAD: list[str] = ["minhash_ml_crosscheck_scaled"] + _ROUND12_HEAD[:49]
+
 
 def _embedding_stats_arrow(spark, sf_dir):
     return similarity.embedding_stats_arrow(load_table(spark, sf_dir, "embeddings"))
@@ -2240,7 +2249,7 @@ def _streaming_cdc_state(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND12_HEAD:
+    for name in _ROUND14_HEAD:
         ordered[name] = _shipped(_RAW_QUERIES[name])
     for name, fn in _RAW_QUERIES.items():
         if name not in ordered:
@@ -2294,6 +2303,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ROUND-14 ROTATION LIST is therefore exactly
 # [minhash_ml_crosscheck_scaled] — put it first in the round-14 head,
 # padded to 50 with already-green queries.
+# ROUND-14 ROTATION (executed): _ROUND14_HEAD above leads with
+# minhash_ml_crosscheck_scaled + 49 of the r12/r13 green pads
+# (scd2_customers dropped to keep the window at 50; it has driver rows
+# from r12 AND r13, so no debt is created). Round 14 is a depth round;
+# any new queries register BELOW slot 50 and form the ROUND-15
+# ROTATION LIST (currently: scd2_customers re-window optional, debt 0).
 # ROUND-11 ROTATION (executed): the round-11 head led with wave 37
 # (streaming_kill_recover_dedup, streaming_cdc_apply_changes,
 # state_store_audit, ps_orders_status_profile,

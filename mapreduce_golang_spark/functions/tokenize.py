@@ -62,6 +62,18 @@ def widen_for_cpu(df: DataFrame, key_col: str = "text") -> DataFrame:
     labels/edges tables multiplies per-round scheduler overhead
     (measured: dup_cluster_size_hist 3.1 → 3.5 s when the whole
     documents load was widened instead of just the shingle build).
+
+    Gate limits (round-13 advice): ``df.rdd.getNumPartitions()`` is a
+    PLANNING-TIME, pre-AQE width — downstream of a shuffle it reads
+    ``spark.sql.shuffle.partitions`` (usually ≥ defaultParallelism),
+    not the AQE-coalesced runtime width, so on post-shuffle inputs the
+    gate can be a false no-op; each call also forces physical planning
+    of the plan prefix. The gate is therefore only meaningful applied
+    DIRECTLY to scan-side inputs (all 6 in-repo call sites are), and
+    because a widen reorders rows across partitions, callers must be
+    partitioning-invariant (round-sensitive aggregates must sum in
+    exact decimal space before any double cast — the widened queries
+    all do).
     """
     if df.isStreaming:  # .rdd is illegal on a streaming plan; micro-
         return df       # batch width is the source's concern anyway

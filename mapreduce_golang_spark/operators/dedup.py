@@ -632,6 +632,18 @@ def near_dup_components(
     raised rather than silently returning non-fixpoint labels — the
     DuckDB oracle computes the full transitive closure, and the
     documented semantics are the fixpoint.
+
+    Contract (round-13 advice): an externally supplied ``pairs`` must
+    draw BOTH endpoints from ``df``'s doc ids. Since round 13 the
+    label frontier is initialized from the edge endpoints (so the loop
+    shuffles only the pair graph, not the corpus); an out-of-corpus
+    endpoint would therefore participate in min-label propagation —
+    it can bridge components and even become the winning min label, so
+    a returned component_id could name a doc absent from ``df``
+    (pre-round-13 such edges were inert because non-``df`` nodes had
+    no label row). Every in-repo caller derives ``pairs`` from the
+    same ``df``; a caller with a stale/broader pairs table must
+    semi-join both endpoint columns against ``df``'s ids first.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(df)
