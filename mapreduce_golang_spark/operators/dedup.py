@@ -979,14 +979,25 @@ def _simhash_narrow(df: DataFrame, n_bits: int, contrib_expr: str, text_col: str
     and its run length becomes the weight — word-soup docs would
     otherwise pay the md5+decode per occurrence. Docs with zero tokens
     produce no row (same semantics as the explode-based oracle).
+
+    The zero-token drop is a ``text rlike '\\p{L}'`` on the RAW column
+    (⟺ the token array is non-empty: tokens are maximal letter runs),
+    NOT a ``where(size(st) > 0)`` above the projection — Catalyst
+    substitutes the aliased expression into the pushed-down Filter, so
+    the old form ran the sort+split tokenize twice and kept the pushed
+    copy BELOW the widen exchange, serial on the fixture's one parquet
+    split. With the cheap predicate the widen gate finally bites on
+    this zero-shuffle kernel: simhash64 2.77 → 0.44 s min-of-5 at
+    sf0.1, outputs bit-identical (scripts/ab_filter_pushdup.py).
     """
+    df = widen_for_cpu(df, key_col=text_col)
     # double the backslashes: the regex rides inside a SQL string
     # literal, where \p would otherwise be eaten as an escape
     re_sql = LETTERS_ONLY_RE.replace("\\", "\\\\")
     toks = f"array_sort(array_remove(split({text_col}, '{re_sql}'), ''))"
-    base = df.select(
+    base = df.where(F.col(text_col).rlike(r"\p{L}")).select(
         F.col(id_col).alias("doc_id"), F.expr(toks).alias("st")
-    ).where(F.size("st") > 0)
+    )
     # run boundaries over the sorted array: starts[j]..ends[j] is the
     # j-th distinct token's run; run length = weight
     starts = "filter(sequence(1, size(st)), i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))"

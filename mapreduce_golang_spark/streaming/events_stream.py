@@ -709,23 +709,32 @@ def near_dup_survivors_stream(
     from mapreduce_golang_spark.functions.tokenize import LETTERS_ONLY_RE
 
     docs = read_documents_stream(spark, sf_dir)
+    # Short-doc drop happens HERE, on the cheap token count, NOT as a
+    # `where(size(sh) > 0)` above the shingle projection (round 14):
+    # Catalyst pushes a deterministic filter below the projection and
+    # substitutes the aliased expression into the predicate, so the
+    # old form evaluated the whole array_distinct∘transform∘slice
+    # shingle build TWICE per doc — once in the pushed-down Filter at
+    # the scan (serially, on the fixture's one split) and again in the
+    # Project. Measured at sf0.1 batch-side: 0.32 s → 3.3 s from the
+    # filter alone (scripts/ab_sig_decompose.py). Filtering on
+    # size(toks) duplicates only the split — the cheap ~5% — and is
+    # exactly equivalent: sh is non-empty iff the doc has ≥ k tokens,
+    # which also makes the old CASE WHEN descending-sequence guard
+    # unreachable (sequence(1, size-k+1) ascends whenever size ≥ k).
     toks = docs.select(
         "doc_id",
         "source",
         F.array_remove(F.split(F.col("text"), LETTERS_ONLY_RE), "").alias("toks"),
-    )
-    # same short-doc guard as dedup.py::word_shingles (sequence() with
-    # n < 1 descends instead of emitting empty)
+    ).where(F.size("toks") >= k)
     shingled = toks.select(
         "doc_id",
         "source",
         F.expr(
-            f"CASE WHEN size(toks) >= {k} "
-            f"THEN array_distinct(transform(sequence(1, size(toks) - {k - 1}), "
-            f"     i -> array_join(slice(toks, i, {k}), ' '))) "
-            f"ELSE array() END"
+            f"array_distinct(transform(sequence(1, size(toks) - {k - 1}), "
+            f"     i -> array_join(slice(toks, i, {k}), ' ')))"
         ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    )
 
     # one 28-bit integer hash per shingle: 7 hex chars of ONE md5.
     # 28 bits keeps aₛ·h + bₛ ≤ 2^60 — no bigint overflow in either

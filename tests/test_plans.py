@@ -110,18 +110,30 @@ def test_semantic_dedup_scan_floor(spark, sf_dir):
 
 def test_simhash_signature_is_narrow(spark, sf_dir):
     # both SimHash signatures are ONE projection over the scan — any
-    # Exchange here means the explode→groupBy pipeline regressed back.
-    # Asserted on the OPERATORS (the registry's `simhash` query now
-    # returns the shared materialize-once signature table, whose plan
-    # is just the checkpoint scan).
+    # Exchange beyond the widen gate's fixture-width repartition means
+    # the explode→groupBy pipeline regressed back. At REAL corpus
+    # width (input already ≥ core-wide, the 100 TB plan shape) the
+    # gate is a no-op and the plan must be exchange-free; on the
+    # fixture-narrow scan the ONLY exchange is the gate's text-hash
+    # widen, and the cheap rlike token filter must sit AT the scan
+    # (pushed below the exchange) rather than duplicating the sort+
+    # split tokenize there (round 14, scripts/ab_filter_pushdup.py).
     from mapreduce_golang_spark.operators.dedup import simhash, simhash64
     from mapreduce_golang_spark.sources.tables import load_table
 
+    n = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents")
+    wide = docs.repartition(n, "doc_id")
     for fn in [simhash, simhash64]:
-        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, fn.__name__
+        plan = fn(wide)._jdf.queryExecution().executedPlan().toString()
+        # exactly the input-widening exchange we fed it, nothing added
+        assert plan.count("Exchange") == 1 and "REPARTITION_BY_NUM" in plan, fn.__name__
         assert plan.count("FileScan parquet") == 1, fn.__name__
+        narrow = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert narrow.count("Exchange") == 1, fn.__name__
+        assert "hashpartitioning(text" in narrow, fn.__name__
+        # the pushed-down filter is the cheap rlike, not the tokenize
+        assert "array_sort" not in narrow.split("Exchange")[-1], fn.__name__
 
 
 def test_repetition_ratio_is_narrow(spark, sf_dir):
