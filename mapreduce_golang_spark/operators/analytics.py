@@ -1212,8 +1212,15 @@ def bootstrap_mean_ci(events: DataFrame, b: int = BOOTSTRAP_REPLICATES) -> DataF
     Scale shape: the ``b``-way expansion is one in-row explode
     (sequence literal), the replicate means are a (type, b) hash agg
     with decimal sums, and the CI collapse is a b-row-per-type agg.
-    Returns (event_type, n_boot, boot_mean, ci_lo, ci_hi).
+    The expansion + mixer + decimal partial agg are the CPU-bound map
+    over the scan, so the single-split fixture scan is widened first
+    (``widen_for_cpu`` — a no-op at corpus width; round-14 A/B:
+    2.75 → 1.23 s min-of-6 interleaved, outputs identical — the
+    per-(type, bi) sums are exact decimal, so partitioning cannot
+    change them). Returns (event_type, n_boot, boot_mean, ci_lo,
+    ci_hi).
     """
+    events = widen_for_cpu(events, key_col="event_id")
     rep = events.select(
         "event_type",
         "event_id",
@@ -2802,12 +2809,18 @@ def order_reconciliation_audit(
     rounded per line, then exactly summed) row per order before the
     header join, so the join moves order-count rows; the audit fold
     is one hash agg on the bounded status key with an exact
-    percentile over per-status diffs.
+    percentile over per-status diffs. The per-line decimal math +
+    partial agg are the CPU-bound map over the scan, so the
+    single-split fixture scan is widened first (``widen_for_cpu`` on
+    the l_orderkey the groupBy hashes anyway, so the aggregation
+    reuses the widen exchange; no-op at corpus width; round-14 A/B:
+    2.16 → 1.60 s min-of-6 interleaved, outputs identical — the
+    per-order sums are exact decimal).
 
     Returns (o_orderstatus, n_orders, n_with_lines, n_orphan,
     n_reconciled, reconcile_rate, p50_abs_diff, max_abs_diff).
     """
-    per_order = lineitem.groupBy("l_orderkey").agg(
+    per_order = widen_for_cpu(lineitem, key_col="l_orderkey").groupBy("l_orderkey").agg(
         F.sum(
             F.round(
                 F.col("l_extendedprice")

@@ -362,7 +362,14 @@ def split_leakage_audit(
     from mapreduce_golang_spark.operators.dedup import ngram_jaccard_pairs
 
     if pairs is None:
-        pairs = ngram_jaccard_pairs(df)
+        # materialize ONCE (the near_dup_pipeline idiom, dedup.py): the
+        # components leg eagerly right-sizes its edges in a SEPARATE
+        # job at construction time, and separate jobs cannot share
+        # exchanges — un-checkpointed, the pair derivation ran once for
+        # that setup and again for the two audit legs. Round-14 A/B
+        # (scripts/ab_split_audit_ckpt.py): 8.83 → 6.30 s min-of-6
+        # interleaved, outputs identical.
+        pairs = ngram_jaccard_pairs(df).localCheckpoint(eager=True)
 
     def _bucket_to_split(bucket):
         return (

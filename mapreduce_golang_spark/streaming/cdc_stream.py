@@ -79,10 +79,18 @@ def write_seq_banded_chunks(changes: DataFrame, work_dir: str) -> str:
     source (oldest-first) delivers the newest sequence numbers FIRST
     and every later micro-batch is out-of-order history."""
     input_dir = os.path.join(work_dir, "changes")
-    stage_dir = os.path.join(work_dir, "stage")
     os.makedirs(input_dir, exist_ok=True)
     base = int(time.time()) - 3600
-    for i, (lo, hi) in enumerate(_SEQ_BANDS):
+
+    # the per-band write jobs are independent (disjoint seq ranges,
+    # disjoint stage dirs) — submitted from a thread pool so they
+    # overlap inside the one Spark app (optimization-guide §2.6; same
+    # A/B evidence as chunks.build_plain_chunks: 0.98 → 0.38 s for a
+    # 4-chunk build, row sets identical). mtimes come from the band
+    # INDEX, so the oldest-first drain order is unchanged.
+    def _one(item) -> None:
+        i, (lo, hi) = item
+        stage_dir = os.path.join(work_dir, f"stage{i}")
         chunk = changes.where(
             (F.col("seq") >= lo) & (F.col("seq") <= hi)
         ).coalesce(1)
@@ -94,7 +102,12 @@ def write_seq_banded_chunks(changes: DataFrame, work_dir: str) -> str:
         dst = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
         shutil.copyfile(os.path.join(stage_dir, part), dst)
         os.utime(dst, (base + i, base + i))
-    shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(_SEQ_BANDS))) as pool:
+        list(pool.map(_one, enumerate(_SEQ_BANDS)))
     return input_dir
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -32,17 +33,27 @@ def build_plain_chunks(
     """Write events rows with ``pmod(event_id, n_chunks)`` in
     ``chunk_range`` (default: all) as ordered single-file chunks under
     ``input_dir``. Each selected row lands exactly once; mtimes
-    increase with chunk index. Returns ``input_dir``."""
+    increase with chunk index. Returns ``input_dir``.
+
+    The per-chunk write jobs are independent (disjoint row sets,
+    disjoint stage dirs), so they are submitted from a thread pool and
+    overlap inside the one Spark app (optimization-guide §2.6) instead
+    of serializing N scan+filter+write round trips — round-14 A/B:
+    0.98 → 0.38 s min-of-6 for the 4-chunk build, per-chunk row sets
+    identical (scripts/ab_chunk_build.py). mtimes are assigned from
+    the chunk INDEX, not completion order, so the streaming source's
+    oldest-first drain order is unchanged."""
     from ..sources.tables import load_table
 
     lo, hi = chunk_range if chunk_range is not None else (0, n_chunks)
     os.makedirs(input_dir, exist_ok=True)
-    stage_dir = input_dir.rstrip("/") + ".stage"
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
     base = int(time.time()) - 3600
-    for i in range(lo, hi):
+
+    def _one(i: int) -> None:
+        stage_dir = f"{input_dir.rstrip('/')}.stage{i}"
         chunk = events.where(
             F.pmod(F.col("event_id"), F.lit(n_chunks)) == i
         ).coalesce(1)
@@ -59,5 +70,8 @@ def build_plain_chunks(
         # multi-MB copies inside every timed proof wall
         os.replace(os.path.join(stage_dir, part), dst)
         os.utime(dst, (base + i, base + i))
-    shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, hi - lo))) as pool:
+        list(pool.map(_one, range(lo, hi)))
     return input_dir

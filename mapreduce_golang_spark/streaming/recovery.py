@@ -54,17 +54,27 @@ def build_chunked_input(spark: SparkSession, sf_dir: str, work_dir: str) -> str:
     """Write the events fixture as 2×N ordered single-file chunks under
     ``work_dir/input`` — the second N repeat the first N row-for-row.
     File mtimes increase with chunk index so the streaming file source
-    (oldest-first) drains them in order. Returns the input dir."""
+    (oldest-first) drains them in order. Returns the input dir.
+
+    The N chunk-write jobs are independent (disjoint row sets, disjoint
+    stage dirs), so they are submitted from a thread pool and overlap
+    inside the one Spark app (optimization-guide §2.6) — same move,
+    same A/B evidence as chunks.build_plain_chunks (0.98 → 0.38 s
+    min-of-6 for a 4-chunk build, row sets identical). mtimes come
+    from the chunk INDEX, so drain order is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..sources.tables import load_table
 
     input_dir = os.path.join(work_dir, "input")
-    stage_dir = os.path.join(work_dir, "stage")
     os.makedirs(input_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     base = int(time.time()) - 3600
-    for i in range(N_UNIQUE_CHUNKS):
+
+    def _one(i: int) -> None:
+        stage_dir = os.path.join(work_dir, f"stage{i}")
         chunk = events.where(
             F.pmod(F.col("event_id"), F.lit(N_UNIQUE_CHUNKS)) == i
         ).coalesce(1)
@@ -78,7 +88,10 @@ def build_chunked_input(spark: SparkSession, sf_dir: str, work_dir: str) -> str:
             dst = os.path.join(input_dir, name)
             shutil.copyfile(os.path.join(stage_dir, part), dst)
             os.utime(dst, (base + j, base + j))
-    shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=N_UNIQUE_CHUNKS) as pool:
+        list(pool.map(_one, range(N_UNIQUE_CHUNKS)))
     return input_dir
 
 
