@@ -58,6 +58,67 @@ def test_equidepth_bins_are_balanced(spark):
     assert out[0].hi == out[1].lo
 
 
+def test_mmr_incremental_matches_recompute_all_reference(spark):
+    """Round-14 contract for the incremental running-max rewrite: the
+    selection and scores must equal a plain recompute-all greedy MMR
+    computed in Python (round-to-6 cosine grain, vec_id tie-break) on
+    a fixture with ties, clone clusters and an exact duplicate —
+    the cases where an incremental-max bug would change a pick."""
+    import math
+
+    from mapreduce_golang_spark.operators.similarity import mmr_diverse_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),  # exact duplicate of 0 (cos = 1.0)
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.1]),
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.5, 0.5, 0.0]),
+        (7, [-1.0, 0.0, 0.0]),  # negative cosine region
+    ]
+    k, lam = 6, 0.7
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    cent = [sum(v[d] for _, v in vecs) / len(vecs) for d in range(3)]
+    rel = {i: cos(v, cent) for i, v in vecs}
+    # reference: recompute the max over ALL selected each round
+    sel = [min(rel, key=lambda i: (-rel[i], i))]
+    expect = {sel[0]: (1, rel[sel[0]])}
+    by_id = dict(vecs)
+    for rank in range(2, k + 1):
+        best = None
+        for i, v in vecs:
+            if i in expect:
+                continue
+            msim = max(cos(v, by_id[s]) for s in sel)
+            mmr = lam * rel[i] - (1.0 - lam) * msim
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i, mmr)
+        expect[best[1]] = (rank, round(best[2], 6))
+        sel.append(best[1])
+
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (r.rank, r.mmr_score)
+        for r in mmr_diverse_topk(emb, k=k, lam=lam).collect()
+    }
+    # picks and order must be exact; scores to the shared round-6 grain
+    # (Python round is banker's, Spark's HALF_UP — keep a 1e-6 slack)
+    assert {i: rk for i, (rk, _) in got.items()} == {
+        i: rk for i, (rk, _) in expect.items()
+    }
+    for i, (_, score) in expect.items():
+        assert abs(got[i][1] - score) <= 1e-6, (i, got[i][1], score)
+
+
 def test_mmr_prefers_diversity_over_pure_relevance(spark):
     from mapreduce_golang_spark.operators.similarity import mmr_diverse_topk
 
