@@ -77,7 +77,9 @@ def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     return toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
-def _jaccard_for_pairs(cand: DataFrame, shingles: DataFrame) -> DataFrame:
+def _jaccard_for_pairs(
+    cand: DataFrame, shingles: DataFrame, sets_: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for given candidate (doc_a, doc_b) pairs only.
 
     Shingle sets are collapsed to one array per doc first, so the
@@ -85,8 +87,15 @@ def _jaccard_for_pairs(cand: DataFrame, shingles: DataFrame) -> DataFrame:
     JVM array_intersect — no row explosion proportional to shingle
     count × candidates. Assumes per-doc shingle sets fit in a row
     (same bound the reference's whole-file model already imposes).
+
+    ``sets_`` lets a caller that ALREADY built the per-doc set table
+    (doc_id, sh_set) pass it in instead of re-aggregating the shingle
+    stream — array_intersect/size are order-insensitive, so any
+    collect_list ordering is equivalent (minhash_ml_crosscheck shares
+    one materialized set table between this verify and HashingTF).
     """
-    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
+    if sets_ is None:
+        sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh_set"))
     common = (
         cand.join(
             sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")), "doc_a"
@@ -500,13 +509,21 @@ def minhash_ml_crosscheck(
         ).first()["n"]
         num_features = max(1 << 18, min(1 << 30, 1 << (4 * max(n_distinct, 1) - 1).bit_length()))
     _, cand = _minhash_band_candidates(shingles, n_hashes, bands)
+    # the per-doc shingle-set table is needed TWICE — exact-Jaccard
+    # verify of our band candidates and HashingTF's input — and both
+    # consumers are set-semantic (array_intersect size; binary TF), so
+    # one checkpointed collect_list serves both instead of each leg
+    # re-aggregating the shingle stream (one groupBy exchange + one
+    # collect_list pass saved; outputs unchanged for any element order)
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     ours = (
-        _jaccard_for_pairs(cand, shingles)
+        _jaccard_for_pairs(
+            cand, shingles, sets_=sets_.select("doc_id", F.col("sh").alias("sh_set"))
+        )
         .where(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b")
     )
 
-    sets_ = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     feats = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     ).transform(sets_)
@@ -596,9 +613,16 @@ def right_size_graph_counted(
     """right_size_graph plus the row count it already measured — the
     graph loops all need that count anyway (n_nodes, edge fixpoint
     detection), and re-counting a just-checkpointed table is one more
-    scheduler round-trip per loop setup (round-11 verdict #4)."""
-    d = df.localCheckpoint(eager=True)
-    n = d.count()
+    scheduler round-trip per loop setup (round-11 verdict #4). Since
+    round 15 the count rides the checkpoint job itself as an observed
+    metric (``Dataset.observe`` + eager localCheckpoint — verified to
+    deliver metrics with zero extra action), so the setup is ONE job,
+    not checkpoint + count."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    d = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    n = int(obs.get["n"])
     k = int(max(min_parts, min(max_parts, n // GRAPH_ROWS_PER_PARTITION + 1)))
     if k != d.rdd.getNumPartitions():
         d = d.repartition(k, key).localCheckpoint(eager=True)
@@ -711,6 +735,8 @@ def near_dup_components(
             "u", "old", F.least("label", F.coalesce("ll", "label")).alias("label")
         )
 
+    from pyspark.sql import Observation
+
     changed = -1
     for _ in range(max_iter):
         # ONE hop per checkpointed job — an A/B against a fused 2-hop
@@ -718,12 +744,20 @@ def near_dup_components(
         # sf0.1): hop 2 references hop 1's un-materialized output from
         # three broadcast-build subtrees, and those rebuild the whole
         # hop-1 chain each (broadcast stages don't share un-shuffled
-        # subtrees the way ReusedExchange shares shuffles)
+        # subtrees the way ReusedExchange shares shuffles).
+        # The convergence count rides the checkpoint job as an observed
+        # metric (round 15): one scheduler round-trip per hop, not two
+        # (checkpoint + count). sum over an empty frame is NULL → 0.
         stepped = hop(labels.select("u", F.col("label").alias("old"), "label"))
-        new_labels = stepped.select(
-            "u", "label", (F.col("label") != F.col("old")).alias("moved")
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where("moved").count()
+        obs = Observation()
+        new_labels = (
+            stepped.select(
+                "u", "label", (F.col("label") != F.col("old")).alias("moved")
+            )
+            .observe(obs, F.sum(F.col("moved").cast("long")).alias("changed"))
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("u", "label")
         if changed == 0:
             break

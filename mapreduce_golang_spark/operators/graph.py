@@ -58,10 +58,20 @@ def near_dup_pagerank(
         sym.withColumn("deg", F.count("*").over(Window.partitionBy("u"))), "u"
     )
     # nodes are needed only to seed rank₀ (the per-iteration re-attach
-    # join is the identity — see the loop comment), so a plain
-    # distinct+count replaces a fully materialized right-sized table
-    nodes = edges.select(F.col("u").alias("node")).distinct()
-    n_nodes = nodes.count()
+    # join is the identity — see the loop comment); the count rides
+    # the node-table checkpoint as an observed metric and round 1
+    # reads the materialized distinct instead of re-deriving it
+    # (round 15: one setup job, not distinct-count + re-distinct)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = int(obs.get["n"])
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")
     # measured-gate broadcast (dedup.GRAPH_BROADCAST_MAX_ROWS): the
@@ -346,12 +356,21 @@ def kcore_docs(
     # (1.8 s vs 1.2 s warm at sf0.1) — the fused step's keep-list
     # broadcast and both semi-join probes each rebuild the first
     # prune's un-materialized subtree (same recompute trap as the
-    # components hop fusion; see near_dup_components)
+    # components hop fusion; see near_dup_components). The fixpoint
+    # edge count rides the checkpoint job as an observed metric
+    # (round 15): one scheduler round-trip per prune, not two.
+    from pyspark.sql import Observation
+
     for _ in range(max_rounds):
         if n_edges == 0:
             break
-        pruned = prune(edges).localCheckpoint(eager=True)
-        n_pruned = pruned.count()
+        obs = Observation()
+        pruned = (
+            prune(edges)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = int(obs.get["n"])
         if n_pruned == n_edges:
             break
         edges, n_edges = pruned, n_pruned
@@ -401,8 +420,17 @@ def near_dup_weighted_pagerank(
     edges = right_size_graph(
         sym.withColumn("wsum", F.sum("jaccard").over(Window.partitionBy("u"))), "u"
     )
-    nodes = edges.select(F.col("u").alias("node")).distinct()
-    n_nodes = nodes.count()
+    # same observed-metric setup as near_dup_pagerank (round 15)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = int(obs.get["n"])
     if n_nodes == 0:
         return df.sparkSession.createDataFrame([], "doc_id long, rank double")
     small = n_nodes <= GRAPH_BROADCAST_MAX_ROWS
